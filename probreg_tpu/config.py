@@ -1,0 +1,36 @@
+"""Global configuration for the TPU-native probreg framework.
+
+The reference library hard-codes float32 in its C++ kernels
+(/root/reference/probreg/cc/types.h:5-7) and uses numpy float64 on the Python
+side. On TPU the natural compute dtype is float32 (MXU accumulates in f32);
+bfloat16 is available for the pairwise-distance matmuls via ``matmul_dtype``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Config:
+    # dtype used for point clouds and EM state.
+    dtype: jnp.dtype = jnp.float32
+    # dtype fed to the MXU for the pairwise inner products. bfloat16 doubles
+    # MXU throughput; the Gaussian kernel is tolerant of the mantissa loss
+    # because results are renormalized per-column.
+    matmul_dtype: jnp.dtype = jnp.float32
+    # Default target-chunk size for the streaming (non-Pallas) E-step.
+    estep_chunk: int = 4096
+    # Use the fused Pallas E-step kernel on TPU when shapes are large enough.
+    use_pallas: bool = True
+    # Minimum M*N above which the Pallas kernel is preferred over plain XLA.
+    pallas_min_pairs: int = 1 << 22
+
+
+config = Config()
+
+
+def eps(dtype=None) -> float:
+    return float(jnp.finfo(dtype or config.dtype).eps)

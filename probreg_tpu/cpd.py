@@ -1,0 +1,481 @@
+"""Coherent Point Drift (rigid / affine / nonrigid / constrained-nonrigid).
+
+Parity with reference probreg/cpd.py, redesigned TPU-first:
+
+* The EM loop is a ``lax.while_loop`` over a pytree state, so an entire
+  registration is ONE compiled XLA program (reference: python loop over
+  numpy/cupy ops, cpd.py:106-120).
+* The E-step never materializes the M x N posterior
+  (:mod:`probreg_tpu.ops.estep`); M-steps consume psum-able moments so the
+  same code path shards over a device mesh
+  (:mod:`probreg_tpu.parallel.sharded`).
+* M-steps are tiny D x D linear-algebra kernels (SVD with det-sign fix,
+  reference cpd.py:160-192; linear solves, cpd.py:219-303).
+* The EM core is *functional*: module-level step functions + a module-level
+  jitted runner, so XLA's compile cache is shared across instances and
+  repeated ``registration_cpd`` calls are compile-free.
+"""
+
+from __future__ import annotations
+
+import abc
+from collections import namedtuple
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as _config
+from .log import log
+from .models import transformation as tf
+from .ops import estep as estep_ops
+from .ops.estep import EstepMoments
+from .utils import interop
+from .utils import math_utils as mu
+
+EstepResult = namedtuple("EstepResult", ["pt1", "p1", "px", "n_p"])
+MstepResult = namedtuple("MstepResult", ["transformation", "sigma2", "q"])
+MstepResult.__doc__ = """Result of Maximization step.
+
+    Attributes:
+        transformation (tf.Transformation): Transformation from source to target.
+        sigma2 (float): Variance of Gaussian distribution.
+        q (float): Result of likelihood.
+"""
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def _as_jnp(x):
+    return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
+
+
+# --------------------------------------------------------------------------
+# M-steps (pure functions of the E-step moments)
+# --------------------------------------------------------------------------
+
+def rigid_maximization_step(source, mom: EstepMoments, update_scale=True) -> MstepResult:
+    """Weighted-mean centering + D x D SVD with det-sign fix (cpd.py:160-192).
+
+    ``tr_xp1x`` uses the identity sum_j pt1_j x_j == colsum(px), which reduces
+    it to ``xx - n_p |mu_x|^2`` — no pt1 vector needed (sharding-friendly).
+    ``update_scale`` may be a traced boolean.
+    """
+    p1, px, n_p, xx = mom.p1, mom.px, mom.n_p, mom.xx
+    dim = source.shape[1]
+    us = jnp.asarray(update_scale)
+    mu_x = jnp.sum(px, axis=0) / n_p
+    mu_y = source.T @ p1 / n_p
+    source_hat = source - mu_y
+    a = px.T @ source_hat - jnp.outer(mu_x, p1 @ source_hat)
+    u, _, vh = jnp.linalg.svd(a, full_matrices=True)
+    c = jnp.ones(dim, a.dtype).at[-1].set(jnp.linalg.det(u @ vh))
+    rot = (u * c) @ vh
+    tr_atr = jnp.trace(a.T @ rot)
+    tr_yp1y = jnp.sum(p1 * jnp.sum(source_hat * source_hat, axis=1))
+    scale = jnp.where(us, tr_atr / tr_yp1y, 1.0)
+    t = mu_x - scale * rot @ mu_y
+    tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
+    # Deviation from reference cpd.py:188 in the fixed-scale branch (which
+    # keeps a single -tr_atr cross term so sigma2 floors at tr_yp1y/(n_p*dim)
+    # and never anneals): use the CPD-paper estimate with the full -2*tr_atr.
+    sigma2 = jnp.where(
+        us,
+        (tr_xp1x - scale * tr_atr) / (n_p * dim),
+        (tr_xp1x - 2.0 * scale * tr_atr + tr_yp1y) / (n_p * dim),
+    )
+    sigma2 = jnp.maximum(sigma2, _F32_EPS)
+    q = (tr_xp1x - 2.0 * scale * tr_atr + scale**2 * tr_yp1y) / (2.0 * sigma2)
+    q = q + dim * n_p * 0.5 * jnp.log(sigma2)
+    return MstepResult(tf.RigidTransformation(rot, t, scale), sigma2, q)
+
+
+def affine_maximization_step(source, mom: EstepMoments) -> MstepResult:
+    """Linear solve yp1y^T B^T = a^T (reference cpd.py:219-244)."""
+    p1, px, n_p, xx = mom.p1, mom.px, mom.n_p, mom.xx
+    dim = source.shape[1]
+    mu_x = jnp.sum(px, axis=0) / n_p
+    mu_y = source.T @ p1 / n_p
+    source_hat = source - mu_y
+    a = px.T @ source_hat - jnp.outer(mu_x, p1 @ source_hat)
+    yp1y = (source_hat.T * p1) @ source_hat
+    b = jnp.linalg.solve(yp1y.T, a.T).T
+    t = mu_x - b @ mu_y
+    tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
+    tr_ab = jnp.trace(a @ b.T)
+    sigma2 = jnp.maximum((tr_xp1x - tr_ab) / (n_p * dim), _F32_EPS)
+    q = (tr_xp1x - tr_ab) / (2.0 * sigma2) + dim * n_p * 0.5 * jnp.log(sigma2)
+    return MstepResult(tf.AffineTransformation(b, t), sigma2, q)
+
+
+def nonrigid_maximization_step(source, mom: EstepMoments, g, lmd, sigma2_p) -> MstepResult:
+    """Solve ((p1 . G) + lmd s2 I) W = PX - p1 . Y (reference cpd.py:284-303)."""
+    p1, px, n_p, xx = mom.p1, mom.px, mom.n_p, mom.xx
+    dim = source.shape[1]
+    m = source.shape[0]
+    lhs = (p1 * g).T + lmd * sigma2_p * jnp.eye(m, dtype=g.dtype)
+    rhs = px - (source.T * p1).T
+    w = jnp.linalg.solve(lhs, rhs)
+    t = source + g @ w
+    tr_pxt = jnp.sum(px * t)
+    tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
+    sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+    return MstepResult(tf.NonRigidTransformation(w, g=g), sigma2, sigma2)
+
+
+def constrained_nonrigid_maximization_step(
+    source, mom: EstepMoments, g, lmd, sigma2_p, alpha, p1_tilde, px_tilde
+) -> MstepResult:
+    """Reference cpd.py:377-404 with prior reliability alpha."""
+    p1, px, n_p, xx = mom.p1, mom.px, mom.n_p, mom.xx
+    dim = source.shape[1]
+    m = source.shape[0]
+    s2a = sigma2_p / alpha
+    lhs = (p1 * g).T + s2a * (p1_tilde * g).T + lmd * sigma2_p * jnp.eye(m, dtype=g.dtype)
+    rhs = px - (source.T * p1).T + s2a * (px_tilde - (source.T * p1_tilde).T)
+    w = jnp.linalg.solve(lhs, rhs)
+    t = source + g @ w
+    tr_pxt = jnp.sum(px * t)
+    tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
+    sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+    return MstepResult(tf.NonRigidTransformation(w, g=g), sigma2, sigma2)
+
+
+# --------------------------------------------------------------------------
+# Functional EM step per transform type (module-level => stable jit cache)
+# --------------------------------------------------------------------------
+
+def _rigid_step(source, target, transf, sigma2, aux, w):
+    t_source = transf._transform(source)
+    mom = estep_ops.estep(t_source, target, sigma2, w)
+    return rigid_maximization_step(source, mom, aux["update_scale"])
+
+
+def _affine_step(source, target, transf, sigma2, aux, w):
+    t_source = transf._transform(source)
+    mom = estep_ops.estep(t_source, target, sigma2, w)
+    return affine_maximization_step(source, mom)
+
+
+def _nonrigid_step(source, target, transf, sigma2, aux, w):
+    t_source = transf._transform(source)
+    mom = estep_ops.estep(t_source, target, sigma2, w)
+    return nonrigid_maximization_step(source, mom, transf.g, aux["lmd"], sigma2)
+
+
+def _constrained_step(source, target, transf, sigma2, aux, w):
+    t_source = transf._transform(source)
+    mom = estep_ops.estep(t_source, target, sigma2, w)
+    return constrained_nonrigid_maximization_step(
+        source, mom, transf.g, aux["lmd"], sigma2,
+        aux["alpha"], aux["p1_tilde"], aux["px_tilde"],
+    )
+
+
+@partial(jax.jit, static_argnames=("step_fn", "w", "maxiter", "tol"))
+def _run_em(source, target, tf0, sigma2_0, q0, aux, *, step_fn, w, maxiter, tol):
+    """Whole-EM ``lax.while_loop`` — one XLA program per registration.
+
+    Convergence semantics match the reference loop (cpd.py:110-119):
+    stop when |q_i - q_{i-1}| < tol, at most ``maxiter`` E/M pairs.
+    """
+
+    def cond(state):
+        _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol),
+        )
+
+    def body(state):
+        transf, sigma2, q, _, i = state
+        new = step_fn(source, target, transf, sigma2, aux, w)
+        return (new.transformation, new.sigma2, new.q, q, i + 1)
+
+    state = (tf0, sigma2_0, q0, jnp.asarray(jnp.inf, q0.dtype), jnp.asarray(0))
+    transf, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return MstepResult(transf, sigma2, q)
+
+
+@partial(jax.jit, static_argnames=("step_fn", "w"))
+def _em_step_once(source, target, transf, sigma2, aux, *, step_fn, w):
+    return step_fn(source, target, transf, sigma2, aux, w)
+
+
+# --------------------------------------------------------------------------
+# OO surface (drop-in for the reference classes)
+# --------------------------------------------------------------------------
+
+class CoherentPointDrift(abc.ABC):
+    """Abstract CPD: E-step here, M-step in transform-specific subclasses.
+
+    Mirrors reference cpd.py:29-120. ``use_cuda`` is accepted for drop-in
+    compatibility and ignored (the JAX backend targets whatever accelerator
+    is attached — TPU here).
+    """
+
+    _STEP: Callable = None  # module-level step function (stable jit identity)
+
+    def __init__(self, source=None, use_cuda: bool = False, use_pallas: Optional[bool] = None):
+        del use_cuda
+        self._source = None if source is None else _as_jnp(source)
+        self._tf_type = None
+        self._callbacks: List[Callable] = []
+        self._use_pallas = use_pallas
+
+    def set_source(self, source):
+        self._source = _as_jnp(source)
+
+    def set_callbacks(self, callbacks):
+        self._callbacks.extend(callbacks)
+
+    # ------------------------------------------------------------------ API
+    def expectation_step(self, t_source, target, sigma2, w: float = 0.0) -> EstepResult:
+        """Reference-shaped E-step (cpd.py:71-88) built from the moments."""
+        mom = estep_ops.estep(
+            _as_jnp(t_source), _as_jnp(target), jnp.asarray(sigma2), float(w), self._use_pallas
+        )
+        return EstepResult(mom.pt1, mom.p1, mom.px, mom.n_p)
+
+    def maximization_step(self, target, estep_res, sigma2_p=None) -> MstepResult:
+        mom = self._moments_from_estep(estep_res, _as_jnp(target))
+        return self._mstep(self._source, mom, jnp.asarray(sigma2_p))
+
+    @staticmethod
+    def _moments_from_estep(estep_res, target) -> EstepMoments:
+        pt1, p1, px, n_p = estep_res
+        xx = jnp.sum(pt1 * jnp.sum(target * target, axis=1))
+        return EstepMoments(pt1, p1, px, n_p, xx)
+
+    # ------------------------------------------------------ jit EM machinery
+    @abc.abstractmethod
+    def _initial_tf(self) -> tf.Transformation:
+        ...
+
+    @abc.abstractmethod
+    def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
+        """Pure-jnp M-step from moments (public maximization_step path)."""
+
+    def _step_aux(self) -> Dict:
+        """Extra pytree operands threaded to the step function."""
+        return {}
+
+    def _initialize(self, target) -> MstepResult:
+        dim = self._source.shape[1]
+        sigma2 = mu.squared_kernel_sum(self._source, target)
+        q = 1.0 + target.shape[0] * dim * 0.5 * jnp.log(sigma2)
+        return MstepResult(self._initial_tf(), sigma2, q)
+
+    def registration(self, target, w: float = 0.0, maxiter: int = 50, tol: float = 0.001) -> MstepResult:
+        assert self._tf_type is not None, "transformation type is None."
+        target = _as_jnp(target)
+        res = self._initialize(target)
+        aux = self._step_aux()
+        step_fn = type(self)._STEP
+        if self._callbacks:
+            q = res.q
+            for i in range(maxiter):
+                res = _em_step_once(
+                    self._source, target, res.transformation, res.sigma2, aux,
+                    step_fn=step_fn, w=float(w),
+                )
+                for c in self._callbacks:
+                    c(res.transformation)
+                log.debug("Iteration: {}, Criteria: {}".format(i, res.q))
+                if abs(float(res.q) - float(q)) < tol:
+                    break
+                q = res.q
+            return res
+        return _run_em(
+            self._source, target, res.transformation, res.sigma2, res.q, aux,
+            step_fn=step_fn, w=float(w), maxiter=int(maxiter), tol=float(tol),
+        )
+
+
+class RigidCPD(CoherentPointDrift):
+    """Rigid CPD (reference cpd.py:123-192)."""
+
+    _STEP = staticmethod(_rigid_step)
+
+    def __init__(self, source=None, update_scale: bool = True,
+                 tf_init_params: Optional[Dict] = None, use_cuda: bool = False,
+                 use_pallas: Optional[bool] = None):
+        super().__init__(source, use_cuda, use_pallas)
+        self._tf_type = tf.RigidTransformation
+        self._update_scale = update_scale
+        self._tf_init_params = dict(tf_init_params or {})
+        self._tf_init_params.pop("xp", None)
+
+    def _initial_tf(self):
+        dim = self._source.shape[1]
+        if not self._tf_init_params:
+            return tf.RigidTransformation(dim=dim)
+        return tf.RigidTransformation(**self._tf_init_params, dim=dim)
+
+    def _step_aux(self):
+        return {"update_scale": jnp.asarray(self._update_scale)}
+
+    def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
+        return rigid_maximization_step(source, mom, self._update_scale)
+
+
+class AffineCPD(CoherentPointDrift):
+    """Affine CPD (reference cpd.py:195-244)."""
+
+    _STEP = staticmethod(_affine_step)
+
+    def __init__(self, source=None, tf_init_params: Optional[Dict] = None,
+                 use_cuda: bool = False, use_pallas: Optional[bool] = None):
+        super().__init__(source, use_cuda, use_pallas)
+        self._tf_type = tf.AffineTransformation
+        self._tf_init_params = dict(tf_init_params or {})
+        self._tf_init_params.pop("xp", None)
+
+    def _initial_tf(self):
+        dim = self._source.shape[1]
+        if not self._tf_init_params:
+            return tf.AffineTransformation(dim=dim)
+        return tf.AffineTransformation(**self._tf_init_params, dim=dim)
+
+    def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
+        return affine_maximization_step(source, mom)
+
+
+class NonRigidCPD(CoherentPointDrift):
+    """Nonrigid (motion-coherence) CPD (reference cpd.py:247-303)."""
+
+    _STEP = staticmethod(_nonrigid_step)
+
+    def __init__(self, source=None, beta: float = 2.0, lmd: float = 2.0,
+                 use_cuda: bool = False, use_pallas: Optional[bool] = None):
+        super().__init__(source, use_cuda, use_pallas)
+        self._tf_type = tf.NonRigidTransformation
+        self._beta = beta
+        self._lmd = lmd
+        self._tf_obj: Optional[tf.NonRigidTransformation] = None
+        if self._source is not None:
+            self._make_tf_obj()
+
+    def _make_tf_obj(self):
+        w0 = jnp.zeros_like(self._source)
+        self._tf_obj = tf.NonRigidTransformation(w0, self._source, self._beta)
+
+    def set_source(self, source):
+        super().set_source(source)
+        self._make_tf_obj()
+
+    def _initial_tf(self):
+        return self._tf_obj
+
+    def _step_aux(self):
+        return {"lmd": jnp.asarray(self._lmd, _config.config.dtype)}
+
+    def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
+        return nonrigid_maximization_step(source, mom, self._tf_obj.g, self._lmd, sigma2_p)
+
+
+class ConstrainedNonRigidCPD(CoherentPointDrift):
+    """Extended CPD with correspondence priors (reference cpd.py:306-404).
+
+    Prior terms p1_tilde / px_tilde are built once from the index pairs; the
+    prior's reliability is ``alpha``.
+    """
+
+    _STEP = staticmethod(_constrained_step)
+
+    def __init__(self, source=None, beta: float = 2.0, lmd: float = 2.0,
+                 alpha: float = 1e-8, use_cuda: bool = False,
+                 idx_source=None, idx_target=None, use_pallas: Optional[bool] = None):
+        super().__init__(source, use_cuda, use_pallas)
+        self._tf_type = tf.NonRigidTransformation
+        self._beta = beta
+        self._lmd = lmd
+        self.alpha = alpha
+        self.idx_source = idx_source
+        self.idx_target = idx_target
+        self._tf_obj: Optional[tf.NonRigidTransformation] = None
+        self.p1_tilde = None
+        self.px_tilde = None
+        if self._source is not None:
+            self._make_tf_obj()
+
+    def _make_tf_obj(self):
+        w0 = jnp.zeros_like(self._source)
+        self._tf_obj = tf.NonRigidTransformation(w0, self._source, self._beta)
+
+    def set_source(self, source):
+        super().set_source(source)
+        self._make_tf_obj()
+
+    def _initial_tf(self):
+        return self._tf_obj
+
+    def _initialize(self, target):
+        # Prior moments: p_tilde is one-hot over known correspondences
+        # (reference cpd.py:365-375) — built without the dense M x N matrix.
+        m = self._source.shape[0]
+        p1_tilde = jnp.zeros((m,), self._source.dtype)
+        px_tilde = jnp.zeros_like(self._source)
+        if self.idx_source is not None and self.idx_target is not None:
+            idx_s = jnp.asarray(self.idx_source)
+            idx_t = jnp.asarray(self.idx_target)
+            p1_tilde = p1_tilde.at[idx_s].add(1.0)
+            px_tilde = px_tilde.at[idx_s].add(target[idx_t])
+        self.p1_tilde, self.px_tilde = p1_tilde, px_tilde
+        return super()._initialize(target)
+
+    def _step_aux(self):
+        return {
+            "lmd": jnp.asarray(self._lmd, _config.config.dtype),
+            "alpha": jnp.asarray(self.alpha, _config.config.dtype),
+            "p1_tilde": self.p1_tilde,
+            "px_tilde": self.px_tilde,
+        }
+
+    def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
+        return constrained_nonrigid_maximization_step(
+            source, mom, self._tf_obj.g, self._lmd, sigma2_p,
+            self.alpha, self.p1_tilde, self.px_tilde,
+        )
+
+
+def registration_cpd(
+    source,
+    target,
+    tf_type_name: str = "rigid",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    callbacks: List[Callable] = [],
+    use_cuda: bool = False,
+    **kwargs: Any,
+) -> MstepResult:
+    """CPD registration — drop-in equivalent of reference cpd.py:407-456.
+
+    Args:
+        source: Source point cloud (ndarray or open3d PointCloud).
+        target: Target point cloud.
+        tf_type_name: 'rigid', 'affine', 'nonrigid' or 'nonrigid_constrained'.
+        w: Weight of the uniform (outlier) distribution, 0 <= w < 1.
+        maxiter: Maximum EM iterations.
+        tol: Convergence tolerance on the likelihood q.
+        callbacks: Called with the current Transformation each iteration.
+        use_cuda: Ignored (JAX targets the attached accelerator).
+
+    Returns:
+        MstepResult: (transformation, sigma2, q).
+    """
+    if tf_type_name == "rigid":
+        cpd = RigidCPD(source, use_cuda=use_cuda, **kwargs)
+    elif tf_type_name == "affine":
+        cpd = AffineCPD(source, use_cuda=use_cuda, **kwargs)
+    elif tf_type_name == "nonrigid":
+        cpd = NonRigidCPD(source, use_cuda=use_cuda, **kwargs)
+    elif tf_type_name == "nonrigid_constrained":
+        cpd = ConstrainedNonRigidCPD(source, use_cuda=use_cuda, **kwargs)
+    else:
+        raise ValueError("Unknown transformation type %s" % tf_type_name)
+    cpd.set_callbacks(callbacks)
+    return cpd.registration(target, w, maxiter, tol)

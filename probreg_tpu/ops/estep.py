@@ -1,0 +1,151 @@
+"""CPD expectation-step kernels: the framework's hottest loop.
+
+Reference hot loop: probreg/cpd.py:71-88 — an M x N ``cdist`` + exp +
+column-normalize (with the uniform-outlier constant ``c``) followed by the
+moment reductions pt1 (N), p1 (M), px (M, D), n_p.
+
+TPU-first redesign
+------------------
+The M x N posterior matrix is never a *result*, only its moments are. We
+therefore compute, streaming over target blocks:
+
+  den_j  = sum_i exp(-|y_i - x_j|^2 / 2s2)            (complete per column)
+  pt1_j  = den_j / (den_j + c)
+  p1_i   = sum_j exp(.) / (den_j + c)
+  px_i   = sum_j exp(.) / (den_j + c) * x_j
+  xx     = sum_j pt1_j |x_j|^2      (feeds tr(X^T d(pt1) X) in the M-step)
+
+``xx`` makes the whole E-step output *psum-able*: the rigid/affine M-steps
+(cpd.py:160-192, 219-244) only ever touch pt1 through column sums against the
+target, and `sum_j pt1_j x_j == sum_i px_i`, so sharding the target over a
+device mesh needs only an O(M*D) psum — see probreg_tpu/parallel/sharded.py.
+
+Two implementations:
+  * ``estep_xla`` — jnp + lax.scan over target blocks, fully fused by XLA.
+  * ``estep_pallas`` — fused Pallas kernel tiling both M and N (ops/estep_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .pairwise import sqdist
+
+
+class EstepMoments(NamedTuple):
+    """Moment form of the CPD E-step result.
+
+    pt1: (N,) target posterior mass; p1: (M,) source posterior mass;
+    px: (M, D) weighted target sums; n_p: scalar total mass;
+    xx: scalar sum_j pt1_j |x_j|^2.
+    """
+
+    pt1: jax.Array
+    p1: jax.Array
+    px: jax.Array
+    n_p: jax.Array
+    xx: jax.Array
+
+
+def outlier_constant(sigma2, w: float, m: int, n: int, dim: int):
+    """CPD uniform-distribution constant (reference cpd.py:78-79)."""
+    c = (2.0 * jnp.pi * sigma2) ** (dim * 0.5)
+    return c * w / (1.0 - w) * m / n
+
+
+def _block_moments(t_source, x_blk, mask, sigma2, c, eps):
+    """Moments of one (M x B) block of the posterior. mask: (B,) validity."""
+    g = jnp.exp(-sqdist(t_source, x_blk) / (2.0 * sigma2))
+    g = g * mask[None, :]
+    den_raw = jnp.sum(g, axis=0)
+    den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+    pt1 = mask * den_raw / den
+    pmat = g / den[None, :]
+    p1 = jnp.sum(pmat, axis=1)
+    px = jax.lax.dot_general(
+        pmat.astype(config.matmul_dtype),
+        x_blk.astype(config.matmul_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(t_source.dtype)
+    xx = jnp.sum(pt1 * jnp.sum(x_blk * x_blk, axis=1))
+    return pt1, p1, px, xx
+
+
+@partial(jax.jit, static_argnames=("w", "block"))
+def estep_xla(
+    t_source: jax.Array,
+    target: jax.Array,
+    sigma2: jax.Array,
+    w: float = 0.0,
+    block: Optional[int] = None,
+) -> EstepMoments:
+    """Streaming XLA E-step. Peak memory O(M * block), exact.
+
+    One pass suffices because the normalizer ``den`` is a column sum: every
+    column of the posterior lives entirely inside one target block.
+    """
+    t_source = jnp.asarray(t_source)
+    target = jnp.asarray(target)
+    m, dim = t_source.shape
+    n = target.shape[0]
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, t_source.dtype)
+    c = outlier_constant(jnp.asarray(sigma2, t_source.dtype), w, m, n, dim)
+
+    if block is None:
+        block = max(min(config.estep_chunk, n), 1)
+    if n <= block:
+        mask = jnp.ones((n,), t_source.dtype)
+        pt1, p1, px, xx = _block_moments(t_source, target, mask, sigma2, c, eps)
+        return EstepMoments(pt1, p1, px, jnp.sum(p1), xx)
+
+    pad = (-n) % block
+    tgt = jnp.concatenate([target, jnp.zeros((pad, dim), target.dtype)], axis=0)
+    nb = tgt.shape[0] // block
+    blocks = tgt.reshape(nb, block, dim)
+    offs = jnp.arange(nb) * block
+    base = jnp.arange(block)
+
+    def body(carry, inp):
+        p1_acc, px_acc, xx_acc = carry
+        x_blk, off = inp
+        mask = ((off + base) < n).astype(t_source.dtype)
+        pt1_b, p1_b, px_b, xx_b = _block_moments(t_source, x_blk, mask, sigma2, c, eps)
+        return (p1_acc + p1_b, px_acc + px_b, xx_acc + xx_b), pt1_b
+
+    init = (
+        jnp.zeros((m,), t_source.dtype),
+        jnp.zeros((m, dim), t_source.dtype),
+        jnp.zeros((), t_source.dtype),
+    )
+    (p1, px, xx), pt1_blocks = jax.lax.scan(body, init, (blocks, offs))
+    pt1 = pt1_blocks.reshape(-1)[:n]
+    return EstepMoments(pt1, p1, px, jnp.sum(p1), xx)
+
+
+def estep(
+    t_source: jax.Array,
+    target: jax.Array,
+    sigma2,
+    w: float = 0.0,
+    use_pallas: Optional[bool] = None,
+) -> EstepMoments:
+    """Dispatch to the Pallas kernel on TPU for large problems, else XLA."""
+    m, n = t_source.shape[0], target.shape[0]
+    if use_pallas is None:
+        use_pallas = (
+            config.use_pallas
+            and m * n >= config.pallas_min_pairs
+            and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from . import estep_pallas
+
+        return estep_pallas.estep_fused(t_source, target, sigma2, w)
+    return estep_xla(t_source, target, sigma2, w)

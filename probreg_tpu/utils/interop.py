@@ -1,0 +1,54 @@
+"""Host-boundary conversion helpers.
+
+The reference accepts ``np.ndarray | open3d PointCloud`` at every entry point
+via a ``cv`` lambda (cpd.py:444, bcpd.py:182, filterreg.py:306, ...). Open3D
+is an *optional* dependency here: when present, the same duck-typing works;
+when absent, plain arrays (numpy or jax) pass through.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+try:  # pragma: no cover - open3d is optional
+    import open3d as _o3
+
+    _HAS_O3 = True
+except Exception:  # pragma: no cover
+    _o3 = None
+    _HAS_O3 = False
+
+
+def has_open3d() -> bool:
+    return _HAS_O3
+
+
+def as_points(x: Any, dtype=np.float32) -> np.ndarray:
+    """Convert point-cloud-ish input to a host (N, D) float array."""
+    if _HAS_O3:
+        if isinstance(x, _o3.geometry.PointCloud):
+            return np.asarray(x.points, dtype=dtype)
+        if isinstance(x, _o3.utility.Vector3dVector):
+            return np.asarray(x, dtype=dtype)
+    return np.asarray(x, dtype=dtype)
+
+
+def as_normals(x: Optional[Any], dtype=np.float32) -> Optional[np.ndarray]:
+    if x is None:
+        return None
+    if _HAS_O3 and isinstance(x, _o3.geometry.PointCloud):
+        return np.asarray(x.normals, dtype=dtype)
+    return as_points(x, dtype)
+
+
+def maybe_o3_roundtrip(points, original):
+    """Return ``points`` wrapped in the container type of ``original``.
+
+    Mirrors Transformation.transform's Vector3dVector round-trip
+    (reference transformation.py:23-26).
+    """
+    if _HAS_O3 and isinstance(original, _o3.utility.Vector3dVector):
+        return _o3.utility.Vector3dVector(np.asarray(points, dtype=np.float64))
+    return points

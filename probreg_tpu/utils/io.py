@@ -1,0 +1,132 @@
+"""Point-cloud IO: minimal PLY / PCD readers and voxel downsampling.
+
+The reference leans on Open3D's C++ IO (examples/utils.py, tests). This module
+makes the framework self-contained: it reads the ASCII/binary PLY and PCD
+variants used by the probreg fixtures (data/horse.ply is binary_big_endian,
+examples/bunny.pcd is ASCII v.5) and reimplements
+``voxel_down_sample`` (average of points per voxel, like Open3D).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+_PLY_DTYPES = {
+    "float": "f4", "float32": "f4", "float64": "f8", "double": "f8",
+    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+}
+
+
+def read_ply(path) -> np.ndarray:
+    """Read vertex x/y/z from a PLY file (ascii or binary, either endian)."""
+    raw = Path(path).read_bytes()
+    end = raw.find(b"end_header\n")
+    if end < 0:
+        raise ValueError("not a PLY file: %s" % path)
+    header = raw[: end].decode("ascii", errors="replace").splitlines()
+    body = raw[end + len(b"end_header\n"):]
+
+    fmt = None
+    elements = []  # (name, count, [(prop_name, dtype_str) ...])
+    for line in header:
+        tok = line.strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            elements.append([tok[1], int(tok[2]), []])
+        elif tok[0] == "property" and elements:
+            if tok[1] == "list":
+                elements[-1][2].append(("__list__", (tok[2], tok[3])))
+            else:
+                elements[-1][2].append((tok[-1], _PLY_DTYPES[tok[1]]))
+
+    if not elements or elements[0][0] != "vertex":
+        raise ValueError("PLY without leading vertex element")
+    name, count, props = elements[0]
+    if any(p[0] == "__list__" for p in props):
+        raise ValueError("list property in vertex element unsupported")
+
+    if fmt == "ascii":
+        ncols = len(props)
+        vals = np.array(body.split()[: count * ncols], dtype=np.float64).reshape(count, ncols)
+        cols = [p[0] for p in props]
+        idx = [cols.index(c) for c in ("x", "y", "z")]
+        return vals[:, idx].astype(np.float64)
+
+    endian = "<" if fmt == "binary_little_endian" else ">"
+    dt = np.dtype([(p, endian + t) for p, t in props])
+    verts = np.frombuffer(body, dtype=dt, count=count)
+    return np.stack(
+        [verts["x"], verts["y"], verts["z"]], axis=1
+    ).astype(np.float64)
+
+
+def read_pcd(path) -> np.ndarray:
+    """Read x/y/z from a PCD file (ascii or binary DATA)."""
+    raw = Path(path).read_bytes()
+    m = re.search(rb"DATA\s+(\w+)\n", raw)
+    if m is None:
+        raise ValueError("not a PCD file: %s" % path)
+    header = raw[: m.end()].decode("ascii", errors="replace")
+    body = raw[m.end():]
+    fields = re.search(r"FIELDS\s+(.+)", header).group(1).split()
+    sizes = [int(s) for s in re.search(r"SIZE\s+(.+)", header).group(1).split()]
+    types = re.search(r"TYPE\s+(.+)", header).group(1).split()
+    counts_m = re.search(r"COUNT\s+(.+)", header)
+    counts = [int(c) for c in counts_m.group(1).split()] if counts_m else [1] * len(fields)
+    n = int(re.search(r"POINTS\s+(\d+)", header).group(1))
+    data_kind = m.group(1).decode()
+
+    if data_kind == "ascii":
+        vals = np.array(body.split(), dtype=np.float64)
+        ncols = sum(counts)
+        vals = vals[: n * ncols].reshape(n, ncols)
+        col = 0
+        out = {}
+        for f, c in zip(fields, counts):
+            out[f] = vals[:, col]
+            col += c
+        return np.stack([out["x"], out["y"], out["z"]], axis=1)
+    if data_kind == "binary":
+        np_t = {"F": "f", "I": "i", "U": "u"}
+        dt = np.dtype(
+            [
+                (f if c == 1 else f, "<%s%d" % (np_t[t], s), (c,) if c > 1 else ())
+                for f, s, t, c in zip(fields, sizes, types, counts)
+            ]
+        )
+        pts = np.frombuffer(body, dtype=dt, count=n)
+        return np.stack([pts["x"], pts["y"], pts["z"]], axis=1).astype(np.float64)
+    raise ValueError("unsupported PCD DATA kind: %s" % data_kind)
+
+
+def read_point_cloud(path) -> np.ndarray:
+    path = str(path)
+    if path.endswith(".ply"):
+        return read_ply(path)
+    if path.endswith(".pcd"):
+        return read_pcd(path)
+    if path.endswith(".txt"):
+        return np.loadtxt(path)
+    raise ValueError("unsupported point cloud format: %s" % path)
+
+
+def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Average points falling in the same voxel (Open3D-compatible)."""
+    points = np.asarray(points, dtype=np.float64)
+    vmin = points.min(axis=0)
+    keys = np.floor((points - vmin) / voxel_size).astype(np.int64)
+    # Lexicographic unique voxel ids.
+    _, inv = np.unique(keys, axis=0, return_inverse=True)
+    nvox = inv.max() + 1
+    sums = np.zeros((nvox, points.shape[1]))
+    np.add.at(sums, inv, points)
+    counts = np.bincount(inv, minlength=nvox)[:, None]
+    return sums / counts

@@ -1,0 +1,74 @@
+"""Math utilities (parity with reference probreg/math_utils.py).
+
+The reference delegates to its ``_math`` C++ extension; here everything is
+jax.numpy on top of :mod:`probreg_tpu.ops.pairwise` (XLA fuses the kernel maps
+into the MXU distance matmul).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pairwise
+
+
+class Normalizer:
+    """Shift/scale normalizer (reference math_utils.py:9-25)."""
+
+    def __init__(self, scale: float = 1.0, centroid=0.0):
+        self._scale = scale
+        self._centroid = centroid
+
+    @classmethod
+    def fit(cls, *clouds) -> "Normalizer":
+        """Estimate centroid/scale from one or more point clouds."""
+        allpts = jnp.concatenate([jnp.asarray(c) for c in clouds], axis=0)
+        centroid = jnp.mean(allpts, axis=0)
+        scale = jnp.maximum(jnp.max(jnp.linalg.norm(allpts - centroid, axis=1)), 1e-12)
+        return cls(scale, centroid)
+
+    def normalize(self, x):
+        return (jnp.asarray(x) - self._centroid) / self._scale
+
+    def denormalize(self, x):
+        return jnp.asarray(x) * self._scale + self._centroid
+
+
+def squared_kernel_sum(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Mean pairwise squared distance / D — the CPD sigma2 initializer.
+
+    Reference: math_utils.py:28-29 (sum / (M * D * N)). Computed in closed
+    form (ops/pairwise.sqdist_sum) so it is O(M+N), not O(M*N).
+    """
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    return pairwise.sqdist_sum(x, y) / (x.shape[0] * x.shape[1] * y.shape[0])
+
+
+def compute_rmse(source: jax.Array, target) -> jax.Array:
+    """Mean nearest-neighbor distance from source to target.
+
+    Reference: math_utils.py:32-33 takes a prebuilt cKDTree; here the second
+    argument is simply the target point array (brute-force NN on the MXU).
+    """
+    d2 = pairwise.nearest_sqdist(jnp.asarray(source), jnp.asarray(target))
+    return jnp.mean(jnp.sqrt(d2))
+
+
+def rbf_kernel(x, y, beta: float):
+    return pairwise.rbf_kernel(x, y, beta)
+
+
+def tps_kernel(x, y):
+    """Dimension-dispatching TPS kernel (reference math_utils.py:40-47)."""
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    assert x.shape[1] == y.shape[1], "x and y must have same dimensions."
+    if x.shape[1] == 2:
+        return pairwise.tps_kernel_2d(x, y)
+    if x.shape[1] == 3:
+        return pairwise.tps_kernel_3d(x, y)
+    raise ValueError("Invalid dimension of x: %d." % x.shape[1])
+
+
+def inverse_multiquadric_kernel(x, y, c: float = 1.0):
+    return pairwise.inverse_multiquadric_kernel(x, y, c)

@@ -1,0 +1,53 @@
+"""Test harness config: run on CPU with 8 virtual devices.
+
+Mirrors the test strategy in SURVEY.md §4: kernel tests against dense
+oracles, e2e recovery of known transforms, and a distributed tier on a
+simulated 8-device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _load_fixture_cloud():
+    """Downsampled horse fixture (reference tests use data/horse.ply @ 0.01)."""
+    from probreg_tpu.utils import io as pio
+
+    ref = "/root/reference/data/horse.ply"
+    if os.path.exists(ref):
+        pts = pio.read_ply(ref)
+        return pio.voxel_down_sample(pts, 0.01)
+    # Fallback: synthetic blobby surface with similar extent/point count.
+    g = np.random.default_rng(0)
+    n = 900
+    theta = g.uniform(0, np.pi, n)
+    phi = g.uniform(0, 2 * np.pi, n)
+    r = 0.1 * (1.0 + 0.3 * np.sin(3 * theta) * np.cos(2 * phi))
+    return np.stack(
+        [r * np.sin(theta) * np.cos(phi), r * np.sin(theta) * np.sin(phi), r * np.cos(theta)],
+        axis=1,
+    )
+
+
+@pytest.fixture(scope="session")
+def horse_cloud():
+    return _load_fixture_cloud()

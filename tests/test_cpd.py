@@ -1,0 +1,99 @@
+"""End-to-end CPD recovery tests (reference tests/test_cpd.py analog)."""
+
+import numpy as np
+import pytest
+
+from probreg_tpu import cpd
+from probreg_tpu import se3_op as so
+from probreg_tpu import transformation as tf
+
+
+@pytest.fixture
+def rigid_pair(horse_cloud, rng):
+    source = np.asarray(horse_cloud, np.float32)
+    rot = np.asarray(so.euler2mat(*rng.uniform(0.0, np.pi / 4, 3)))
+    trans = tf.RigidTransformation(rot, np.zeros(3))
+    target = np.asarray(trans.transform(source))
+    return source, target, rot
+
+
+def test_cpd_rigid_registration(rigid_pair):
+    source, target, rot_gt = rigid_pair
+    res = cpd.registration_cpd(source, target)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 1e-2
+    assert np.allclose(np.asarray(res.transformation.t), 0.0, atol=1e-4)
+    assert np.isclose(float(res.transformation.scale), 1.0, atol=1e-3)
+
+
+def test_cpd_rigid_no_scale(rigid_pair):
+    source, target, rot_gt = rigid_pair
+    res = cpd.registration_cpd(source, target, update_scale=False)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 1e-2
+    assert np.isclose(float(res.transformation.scale), 1.0)
+
+
+def test_cpd_rigid_with_outlier_weight(rigid_pair):
+    source, target, rot_gt = rigid_pair
+    res = cpd.registration_cpd(source, target, w=0.1)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 5e-2
+
+
+def test_cpd_affine_registration(horse_cloud, rng):
+    source = np.asarray(horse_cloud, np.float32)
+    b = np.eye(3) + 0.1 * rng.normal(size=(3, 3))
+    t = 0.05 * rng.normal(size=3)
+    target = source @ b.T + t
+    res = cpd.registration_cpd(source, target, tf_type_name="affine")
+    assert np.allclose(np.asarray(res.transformation.b), b, atol=1e-2)
+    assert np.allclose(np.asarray(res.transformation.t), t, atol=1e-2)
+
+
+def test_cpd_nonrigid_registration(rng):
+    # Small 2-D fish-like deformation: recovered points should approach target.
+    n = 80
+    source = rng.random((n, 2)).astype(np.float32)
+    target = source + 0.03 * np.sin(4.0 * source[:, :1])
+    res = cpd.registration_cpd(source, target, tf_type_name="nonrigid",
+                               beta=0.5, lmd=1.0, maxiter=60)
+    moved = np.asarray(res.transformation.transform(source))
+    rmse = np.sqrt(((moved - target) ** 2).sum(1)).mean()
+    rmse0 = np.sqrt(((source - target) ** 2).sum(1)).mean()
+    assert rmse < 0.2 * rmse0
+
+
+def test_cpd_nonrigid_constrained(rng):
+    n = 60
+    source = rng.random((n, 2)).astype(np.float32)
+    target = source + 0.03 * np.sin(4.0 * source[:, :1])
+    idx = np.arange(0, n, 5)
+    res = cpd.registration_cpd(
+        source, target, tf_type_name="nonrigid_constrained",
+        beta=0.5, lmd=1.0, alpha=1e-6, idx_source=idx, idx_target=idx, maxiter=60,
+    )
+    moved = np.asarray(res.transformation.transform(source))
+    rmse = np.sqrt(((moved - target) ** 2).sum(1)).mean()
+    rmse0 = np.sqrt(((source - target) ** 2).sum(1)).mean()
+    assert rmse < 0.2 * rmse0
+
+
+def test_cpd_callbacks_invoked(rigid_pair):
+    source, target, _ = rigid_pair
+    seen = []
+    cpd.registration_cpd(source, target, callbacks=[lambda t: seen.append(t)], maxiter=5)
+    assert 1 <= len(seen) <= 5
+    assert hasattr(seen[0], "rot")
+
+
+def test_expectation_step_api(rng):
+    src = rng.random((10, 3)).astype(np.float32)
+    tgt = rng.random((12, 3)).astype(np.float32)
+    c = cpd.RigidCPD(src)
+    e = c.expectation_step(src, tgt, 0.1, 0.05)
+    assert e.pt1.shape == (12,)
+    assert e.p1.shape == (10,)
+    assert e.px.shape == (10, 3)
+    m = c.maximization_step(tgt, e, 0.1)
+    assert np.isfinite(float(m.sigma2))
