@@ -1,0 +1,227 @@
+"""Sharded CPD: shard_map E-step over a device mesh, psum'd moments.
+
+Design (SURVEY.md §2.3 / §7.4): the target cloud X (N, D) is sharded over a
+1-D mesh axis ``points``; the source Y (M, D) and the transformation are
+replicated. Each device computes the exact posterior moments of its target
+columns — the posterior normalizer ``den_j`` is a *column* sum, so it is
+complete on-device and no cross-device softmax is needed. The per-device
+moments p1 (M,), px (M, D), n_p, xx are combined with one ``lax.psum`` over
+ICI; pt1 (N,) stays sharded with the target.
+
+The whole EM loop runs inside one jitted program: E-step under ``shard_map``,
+M-step (tiny D x D linalg) computed replicated on every device.
+
+The reference has no distributed path at all (its accelerator story is one
+cupy kernel, probreg/cupy_utils.py:5-22); this module is new capability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from .. import cpd as cpd_mod
+from ..config import config
+from ..models import transformation as tf
+from ..ops import estep as estep_ops
+from ..ops.estep import EstepMoments
+from ..ops.pairwise import sqdist
+from ..utils import interop
+from ..utils import math_utils as mu
+
+AXIS = "points"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_points(points, mesh: Mesh, axis: str = AXIS):
+    """Pad N to a multiple of the mesh size and device_put shard-wise.
+
+    Returns (sharded_points, sharded_mask, n) — mask is 0 on padding rows so
+    the E-step ignores them.
+    """
+    pts = np.asarray(interop.as_points(points, dtype=config.dtype))
+    n, dim = pts.shape
+    n_dev = mesh.shape[axis]
+    pad = (-n) % n_dev
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, dim), pts.dtype)], axis=0)
+    mask = np.zeros((pts.shape[0],), pts.dtype)
+    mask[:n] = 1.0
+    sh = NamedSharding(mesh, P(axis, None))
+    sh1 = NamedSharding(mesh, P(axis))
+    return jax.device_put(pts, sh), jax.device_put(mask, sh1), n
+
+
+def _local_moments(t_source, x_shard, mask, sigma2, c, eps):
+    """Exact moments of the posterior columns owned by this device."""
+    g = jnp.exp(-sqdist(t_source, x_shard) / (2.0 * sigma2))
+    g = g * mask[None, :]
+    den_raw = jnp.sum(g, axis=0)
+    den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+    pt1 = mask * den_raw / den
+    pmat = g / den[None, :]
+    p1 = jnp.sum(pmat, axis=1)
+    px = jax.lax.dot_general(
+        pmat, x_shard,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    xx = jnp.sum(pt1 * jnp.sum(x_shard * x_shard, axis=1))
+    return pt1, p1, px, xx
+
+
+def estep_sharded(
+    t_source: jax.Array,
+    target_sh: jax.Array,
+    mask_sh: jax.Array,
+    sigma2,
+    w: float,
+    n: int,
+    mesh: Mesh,
+    axis: str = AXIS,
+) -> EstepMoments:
+    """E-step over a sharded target. p1/px/n_p/xx psum'd; pt1 left sharded.
+
+    ``n`` is the true (unpadded) target count, used for the outlier constant
+    (reference cpd.py:78-79).
+    """
+    m, dim = t_source.shape
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, t_source.dtype)
+    c = estep_ops.outlier_constant(jnp.asarray(sigma2, t_source.dtype), w, m, n, dim)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P(), P(), P()),
+    )
+    def f(src, x_shard, msk, s2, cc):
+        pt1, p1, px, xx = _local_moments(src, x_shard, msk, s2, cc, eps)
+        p1 = jax.lax.psum(p1, axis)
+        px = jax.lax.psum(px, axis)
+        xx = jax.lax.psum(xx, axis)
+        n_p = jnp.sum(p1)
+        return pt1, p1, px, n_p, xx
+
+    pt1, p1, px, n_p, xx = f(
+        t_source, target_sh, mask_sh,
+        jnp.asarray(sigma2, t_source.dtype), c,
+    )
+    return EstepMoments(pt1, p1, px, n_p, xx)
+
+
+# --------------------------------------------------------------------------
+# Sharded EM: one jitted while_loop per registration
+# --------------------------------------------------------------------------
+
+def _mstep_dispatch(kind: str) -> Callable:
+    if kind == "rigid":
+        return lambda src, mom, aux: cpd_mod.rigid_maximization_step(
+            src, mom, aux["update_scale"])
+    if kind == "affine":
+        return lambda src, mom, aux: cpd_mod.affine_maximization_step(src, mom)
+    if kind == "nonrigid":
+        return lambda src, mom, aux: cpd_mod.nonrigid_maximization_step(
+            src, mom, aux["g"], aux["lmd"], aux["sigma2_p"])
+    raise ValueError("unknown tf_type %s" % kind)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "w", "maxiter", "tol", "n", "mesh", "axis"),
+)
+def _run_em_sharded(
+    source, target_sh, mask_sh, tf0, sigma2_0, q0, aux,
+    *, kind, w, maxiter, tol, n, mesh, axis,
+):
+    """Sharded analogue of cpd._run_em: whole EM as one SPMD XLA program."""
+
+    def step(transf, sigma2, aux):
+        t_src = transf._transform(source)
+        mom = estep_sharded(t_src, target_sh, mask_sh, sigma2, w, n, mesh, axis)
+        if kind == "nonrigid":
+            aux = dict(aux, sigma2_p=sigma2)
+        return _mstep_dispatch(kind)(source, mom, aux)
+
+    def cond(state):
+        _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol),
+        )
+
+    def body(state):
+        transf, sigma2, q, _, i = state
+        new = step(transf, sigma2, aux)
+        return (new.transformation, new.sigma2, new.q, q, i + 1)
+
+    state = (tf0, sigma2_0, q0, jnp.asarray(jnp.inf, q0.dtype), jnp.asarray(0))
+    transf, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return cpd_mod.MstepResult(transf, sigma2, q)
+
+
+def registration_cpd_sharded(
+    source,
+    target,
+    tf_type_name: str = "rigid",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    mesh: Optional[Mesh] = None,
+    update_scale: bool = True,
+    beta: float = 2.0,
+    lmd: float = 2.0,
+    **kwargs: Any,
+) -> cpd_mod.MstepResult:
+    """Multi-device CPD registration. Same semantics as registration_cpd.
+
+    Shards the target over ``mesh`` (default: all devices); source and
+    transformation are replicated; moments psum over ICI.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    src = jnp.asarray(interop.as_points(source, dtype=config.dtype))
+    target_sh, mask_sh, n = shard_points(target, mesh, axis)
+
+    dim = src.shape[1]
+    sigma2 = mu.squared_kernel_sum(src, np.asarray(interop.as_points(target, dtype=config.dtype)))
+    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2)
+
+    if tf_type_name == "rigid":
+        tf0 = tf.RigidTransformation(dim=dim)
+        aux: Dict = {"update_scale": jnp.asarray(update_scale)}
+    elif tf_type_name == "affine":
+        tf0 = tf.AffineTransformation(dim=dim)
+        aux = {}
+    elif tf_type_name == "nonrigid":
+        tf0 = tf.NonRigidTransformation(jnp.zeros_like(src), src, beta)
+        aux = {
+            "g": tf0.g,
+            "lmd": jnp.asarray(lmd, config.dtype),
+            "sigma2_p": sigma2,
+        }
+    else:
+        raise ValueError("unknown tf_type_name %s" % tf_type_name)
+
+    return _run_em_sharded(
+        src, target_sh, mask_sh, tf0, sigma2, q0, aux,
+        kind=tf_type_name, w=float(w), maxiter=int(maxiter), tol=float(tol),
+        n=n, mesh=mesh, axis=axis,
+    )

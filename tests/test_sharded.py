@@ -1,0 +1,67 @@
+"""Distributed tier (SURVEY.md §4): 8-virtual-device CPU mesh.
+
+Asserts the sharded E-step psum equals the single-device result and that the
+sharded EM recovers a known rigid transform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probreg_tpu import cpd
+from probreg_tpu.ops import estep as estep_ops
+from probreg_tpu.parallel import sharded
+from probreg_tpu.utils import se3_op
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    return sharded.make_mesh()
+
+
+def test_sharded_estep_matches_single_device(mesh, rng):
+    m, n, d = 120, 203, 3  # n deliberately not divisible by 8
+    src = rng.normal(size=(m, d)).astype(np.float32)
+    tgt = rng.normal(size=(n, d)).astype(np.float32)
+    sigma2 = jnp.asarray(0.5, jnp.float32)
+
+    ref = estep_ops.estep_xla(src, tgt, sigma2, w=0.1)
+    tgt_sh, mask_sh, n_true = sharded.shard_points(tgt, mesh)
+    assert n_true == n
+    mom = sharded.estep_sharded(jnp.asarray(src), tgt_sh, mask_sh, sigma2, 0.1, n, mesh)
+
+    np.testing.assert_allclose(np.asarray(mom.pt1)[:n], np.asarray(ref.pt1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mom.p1), np.asarray(ref.p1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mom.px), np.asarray(ref.px), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(mom.n_p), float(ref.n_p), rtol=1e-5)
+    np.testing.assert_allclose(float(mom.xx), float(ref.xx), rtol=1e-5)
+
+
+def test_sharded_rigid_registration_recovers_transform(mesh, horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([10.0, -5.0, 8.0])
+    rot = se3_op.euler2mat(*ang)
+    tgt = src @ np.asarray(rot).T
+
+    res = sharded.registration_cpd_sharded(src, tgt, "rigid", maxiter=50, tol=1e-4)
+    rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0, atol=1e-3)
+
+    # Matches the unsharded path.
+    ref = cpd.registration_cpd(src, tgt, "rigid", maxiter=50, tol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.transformation.rot), np.asarray(ref.transformation.rot), atol=1e-4
+    )
+
+
+def test_sharded_nonrigid_runs(mesh, rng):
+    src = rng.normal(size=(60, 2)).astype(np.float32) * 0.3
+    tgt = src + 0.05 * np.sin(src[:, :1] * 3.0)
+    res = sharded.registration_cpd_sharded(src, tgt, "nonrigid", maxiter=20, tol=1e-6)
+    moved = np.asarray(res.transformation._transform(jnp.asarray(src)))
+    before = np.linalg.norm(src - tgt)
+    after = np.linalg.norm(moved - tgt)
+    assert after < 0.5 * before
