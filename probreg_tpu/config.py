@@ -24,7 +24,13 @@ class Config:
     # Default target-chunk size for the streaming (non-Pallas) E-step.
     estep_chunk: int = 4096
     # Use the fused Pallas E-step kernel on TPU when shapes are large enough.
-    use_pallas: bool = True
+    # Default False: measured on v5e, the XLA scan path sustains ~63 Gpair/s
+    # vs ~49 for the Pallas kernel — the Pallas two-pass design pays the
+    # per-pair exp twice (the column normalizer forces it), and the E-step is
+    # transcendental-bound, not HBM-bound, at these shapes. Per-pass the
+    # Pallas kernel is actually faster (~98G exp/s vs ~63G); it will win if a
+    # one-pass variant (cached g column, small M) is used.
+    use_pallas: bool = False
     # Minimum M*N above which the Pallas kernel is preferred over plain XLA.
     pallas_min_pairs: int = 1 << 22
 

@@ -1,0 +1,210 @@
+"""Fused Pallas TPU kernel for the CPD E-step.
+
+The XLA path (ops/estep.py) writes the exp'd M x block Gaussian matrix to HBM
+at least once per scan step (the MXU matmul output cannot fuse into three
+different reductions). At large M*N that HBM round-trip dominates: the E-step
+is ~1 transcendental + ~10 flops per point pair but 4 bytes/pair of traffic.
+This kernel keeps every (TM, TN) tile of exp(-d^2/2s2) in VMEM and never
+materializes it, so traffic drops to O((M+N) * gridsteps) tile refetches.
+
+Layout: points are stored transposed (D, M) with D zero-padded to the 8
+sublanes — a (M, 3) array would waste 128/3 of every VMEM lane. Padded
+points (to tile multiples) carry squared-norm 1e30 so exp underflows to
+exactly 0 and they drop out of every moment.
+
+Two passes (the posterior normalizer den_j is a column sum over ALL source
+tiles, so single-pass online rescaling a la flash-attention cannot work: p1
+mixes *columns* whose normalizers finalize at different times):
+
+  Kernel A  grid (nN, nM):  den_j  = sum_i exp(.)  -> safe den, pt1, xx
+  Kernel B  grid (nM, nN):  p1_i  += rowsum(exp(.) / den_j)
+                            px_i  += X_tile @ (exp(.)/den_j)^T    (MXU, K=TN)
+
+Each kernel's accumulator output block is revisited on *consecutive* grid
+steps (reduction axis innermost), the standard Pallas TPU reduction pattern.
+
+Reference semantics: probreg/cpd.py:71-88.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import config
+from .estep import EstepMoments, outlier_constant
+
+_BIG = 1e30  # squared-norm marker for padding points: exp(-BIG/2s2) == 0
+_SUBLANES = 8
+
+
+def _dist_tile(ys_t, y2, xs_t, x2, inv2s2):
+    """exp(-|y_i - x_j|^2 / 2s2) for one (TM, TN) tile, MXU cross term."""
+    xy = jax.lax.dot_general(
+        ys_t, xs_t,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TM, TN)
+    d2 = jnp.maximum(y2.reshape(-1, 1) + x2.reshape(1, -1) - 2.0 * xy, 0.0)
+    return jnp.exp(-d2 * inv2s2)
+
+
+def _den_kernel(scal_ref, ys_ref, y2_ref, xs_ref, x2_ref,
+                den_ref, pt1_ref, xx_ref):
+    i = pl.program_id(1)  # source tile (reduction, innermost)
+    j = pl.program_id(0)
+    n_i = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        xx_ref[:] = jnp.zeros_like(xx_ref)
+
+    g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:], scal_ref[0])
+    den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        den_raw = den_ref[:]
+        eps = jnp.asarray(jnp.finfo(jnp.float32).eps, den_raw.dtype)
+        den = jnp.where(den_raw == 0.0, eps, den_raw) + scal_ref[1]
+        pt1 = den_raw / den
+        pt1_ref[:] = pt1
+        den_ref[:] = den
+        x2 = x2_ref[:]
+        xx_ref[:] += jnp.sum(
+            jnp.where(x2 < _BIG * 0.5, pt1 * x2, 0.0), keepdims=True
+        )
+
+
+def _moment_kernel(scal_ref, ys_ref, y2_ref, xs_ref, x2_ref, den_ref,
+                   p1_ref, px_ref):
+    j = pl.program_id(1)  # target tile (reduction, innermost)
+
+    @pl.when(j == 0)
+    def _():
+        p1_ref[:] = jnp.zeros_like(p1_ref)
+        px_ref[:] = jnp.zeros_like(px_ref)
+
+    g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:], scal_ref[0])
+    p = g / den_ref[:]  # (TM, TN) / (1, TN)
+    p1_ref[:] += jnp.sum(p, axis=1, keepdims=True).reshape(1, -1)
+    px_ref[:] += jax.lax.dot_general(
+        xs_ref[:], p,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (8, TM)
+
+
+def _pad_transpose(pts, tile):
+    """(N, D) -> (8, Np) zero-padded transpose + (1, Np) squared norms
+    with padding rows marked _BIG."""
+    n, dim = pts.shape
+    np_ = ((n + tile - 1) // tile) * tile
+    pts_t = jnp.zeros((_SUBLANES, np_), pts.dtype)
+    pts_t = pts_t.at[:dim, :n].set(pts.T)
+    sq = jnp.full((1, np_), _BIG, pts.dtype)
+    sq = sq.at[0, :n].set(jnp.sum(pts * pts, axis=1))
+    return pts_t, sq
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "tile_m", "tile_n", "interpret")
+)
+def estep_fused(
+    t_source: jax.Array,
+    target: jax.Array,
+    sigma2,
+    w: float = 0.0,
+    tile_m: int = 1024,
+    tile_n: int = 1024,
+    interpret: bool = False,
+) -> EstepMoments:
+    """Fused-tile E-step. Exact (not an approximation)."""
+    t_source = jnp.asarray(t_source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    m, dim = t_source.shape
+    n = target.shape[0]
+    tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    tile_n = min(tile_n, ((n + 127) // 128) * 128)
+
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    c = outlier_constant(sigma2, w, m, n, dim)
+    scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
+
+    ys_t, y2 = _pad_transpose(t_source, tile_m)
+    xs_t, x2 = _pad_transpose(target, tile_n)
+    mp, np_ = ys_t.shape[1], xs_t.shape[1]
+    n_i, n_j = mp // tile_m, np_ // tile_n
+
+    kwargs = dict(interpret=interpret)
+
+    den, pt1p, xx = pl.pallas_call(
+        _den_kernel,
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SUBLANES, tile_m), lambda j, i: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda j, i: (0, i)),
+            pl.BlockSpec((_SUBLANES, tile_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * (_SUBLANES + 3),
+            bytes_accessed=4 * (mp + np_) * _SUBLANES * (n_i + n_j),
+            transcendentals=mp * np_,
+        ),
+        **kwargs,
+    )(scal, ys_t, y2, xs_t, x2)
+
+    p1p, pxp = pl.pallas_call(
+        _moment_kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SUBLANES, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((_SUBLANES, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((_SUBLANES, tile_m), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * (_SUBLANES + 3) + 2 * mp * np_ * _SUBLANES,
+            bytes_accessed=4 * (mp + np_) * _SUBLANES * (n_i + n_j),
+            transcendentals=mp * np_,
+        ),
+        **kwargs,
+    )(scal, ys_t, y2, xs_t, x2, den)
+
+    pt1 = pt1p[0, :n]
+    p1 = p1p[0, :m]
+    px = pxp[:dim, :m].T
+    n_p = jnp.sum(p1)
+    return EstepMoments(pt1, p1, px, n_p, xx[0, 0].astype(t_source.dtype))
