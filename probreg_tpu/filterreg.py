@@ -1,0 +1,516 @@
+"""FilterReg: EM registration with Gaussian-filter E-step.
+
+Parity with reference probreg/filterreg.py, redesigned TPU-first:
+
+* E-step: the reference approximates the per-source moments
+  M0/M1/M2/NX with a permutohedral lattice (filterreg.py:78-108). Here the
+  DEFAULT is the *exact* dense Gauss transform, fused and streaming on the
+  MXU (:func:`probreg_tpu.ops.gausstransform.filterreg_moments`) — on TPU the
+  exact evaluation is both faster at probreg's point counts and removes the
+  lattice's systematic ~0.7x magnitude bias. ``estep_method='lattice'``
+  selects the JAX permutohedral lattice for behavioral parity
+  (:mod:`probreg_tpu.ops.permutohedral`), including the reference's
+  sparse-cloud no-blur switch (filterreg.py:90-91).
+* M-steps: weighted Kabsch (2D/3D) and point-to-plane Gauss-Newton as pure
+  jnp reductions (:mod:`probreg_tpu.ops.rigid_solvers`), branch-free so the
+  whole EM runs in one ``lax.while_loop`` XLA program when no callbacks /
+  feature functions force host round-trips.
+* Deformable-kinematic variant uses the JAX dual-quaternion module instead
+  of the optional ``dq3d`` package (reference filterreg.py:199-266).
+"""
+
+from __future__ import annotations
+
+import abc
+from collections import namedtuple
+from functools import partial
+from typing import Any, Callable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as _config
+from .log import log
+from .models import transformation as tf
+from .ops import gausstransform as gto
+from .ops import permutohedral as phops
+from .ops import rigid_solvers
+from .utils import dualquat as dq
+from .utils import interop
+from .utils import math_utils as mu
+from .utils import se3_op as so
+
+EstepResult = namedtuple("EstepResult", ["m0", "m1", "m2", "nx"])
+MstepResult = namedtuple("MstepResult", ["transformation", "sigma2", "q"])
+MstepResult.__doc__ = """Result of Maximization step.
+
+    Attributes:
+        transformation (tf.Transformation): Transformation from source to target.
+        sigma2 (float): Variance of Gaussian distribution.
+        q (float): Result of likelihood.
+"""
+
+_EPS = float(np.finfo(np.float32).eps)
+
+
+def _as_jnp(x):
+    return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
+
+
+# --------------------------------------------------------------------------
+# M-step math (pure jnp; reference filterreg.py:158-195)
+# --------------------------------------------------------------------------
+
+def rigid_mstep_pt2pt(t_source, m0, m1, m2, rot_p, t_p, sigma2, c):
+    dim = t_source.shape[1]
+    mask = (m0 > 0.0).astype(t_source.dtype)
+    m0_safe = jnp.maximum(m0, _EPS)
+    m1m0 = m1 / m0_safe[:, None]
+    m0m0 = m0 / (m0 + c)
+    drxdx = mask * jnp.sqrt(m0m0 / sigma2)
+    dr, dt = rigid_solvers.weighted_kabsch(t_source, m1m0, drxdx)
+    rx = drxdx[:, None] * (t_source - m1m0)
+    q = jnp.sum(jnp.linalg.norm(rx, axis=1))
+    rot = dr @ rot_p
+    t = t_p @ dr.T + dt
+    sigma2_new = _sigma2_update(t_source, m0, m1, m2, m0m0, c, mask, sigma2)
+    return rot, t, sigma2_new, q
+
+
+def rigid_mstep_pt2pl(t_source, m0, m1, m2, nx, rot_p, t_p, sigma2, c):
+    mask = (m0 > 0.0).astype(t_source.dtype)
+    m0_safe = jnp.maximum(m0, _EPS)
+    m1m0 = m1 / m0_safe[:, None]
+    nxm0 = nx / m0_safe[:, None]
+    m0m0 = m0 / (m0 + c)
+    drxdx = mask * jnp.sqrt(m0m0 / sigma2)
+    tw, q = rigid_solvers.twist_for_pt2pl(t_source, m1m0, nxm0, drxdx)
+    rot, t = so.twist_mul(tw, rot_p, t_p)
+    sigma2_new = _sigma2_update(t_source, m0, m1, m2, m0m0, c, mask, sigma2)
+    return rot, t, sigma2_new, q
+
+
+def _sigma2_update(t_source, m0, m1, m2, m0m0, c, mask, sigma2_old):
+    """Reference filterreg.py:190-195; no-op when m2 is None."""
+    if m2 is None:
+        return sigma2_old
+    num = m0 * jnp.sum(t_source * t_source, axis=1) \
+        - 2.0 * jnp.sum(t_source * m1, axis=1) + m2
+    s2 = jnp.sum(mask * num / (m0 + c))
+    s2 = s2 / (3.0 * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
+    return s2
+
+
+def _outlier_c(sigma2, w, m, n, dim):
+    """FilterReg outlier constant (filterreg.py:163)."""
+    return w / (1.0 - w) * n / m * (2.0 * sigma2 * jnp.pi) ** (dim / 2.0)
+
+
+# --------------------------------------------------------------------------
+# Whole-EM jitted runner (dense E-step, identity features)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("objective_type", "update_sigma2", "w",
+                                   "maxiter", "tol", "min_sigma2",
+                                   "sigma2_decay"))
+def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
+                  objective_type, update_sigma2, w, maxiter, tol, min_sigma2,
+                  sigma2_decay=1.0):
+    m, dim = source.shape
+    n = target.shape[0]
+
+    def step(rot, t, sigma2):
+        t_source = source @ rot.T + t
+        sigma = jnp.sqrt(sigma2)
+        m0, m1, m2, nx = gto.filterreg_moments(
+            t_source / sigma, target / sigma, target,
+            normals, need_m2=update_sigma2,
+        )
+        c = _outlier_c(sigma2, w, m, n, dim)
+        if objective_type == "pt2pt":
+            return rigid_mstep_pt2pt(t_source, m0, m1, m2, rot, t, sigma2, c)
+        return rigid_mstep_pt2pl(t_source, m0, m1, m2, nx, rot, t, sigma2, c)
+
+    def cond(state):
+        _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol),
+        )
+
+    def body(state):
+        rot, t, sigma2, q, _, i = state
+        rot, t, s2, q_new = step(rot, t, sigma2)
+        if not update_sigma2:
+            s2 = sigma2 * sigma2_decay
+        s2 = jnp.maximum(s2, min_sigma2)
+        return (rot, t, s2, q_new, q, i + 1)
+
+    state = (rot0, t0, sigma2_0,
+             jnp.asarray(jnp.inf, sigma2_0.dtype),
+             jnp.asarray(jnp.inf, sigma2_0.dtype), jnp.asarray(0))
+    rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return MstepResult(tf.RigidTransformation(rot, t), sigma2, q)
+
+
+# --------------------------------------------------------------------------
+# OO surface (drop-in for the reference classes)
+# --------------------------------------------------------------------------
+
+class FilterReg(abc.ABC):
+    """Abstract FilterReg (reference filterreg.py:46-147).
+
+    Args:
+        source: Source point cloud.
+        target_normals: Normals of target points (pt2pl objective).
+        sigma2: Fixed variance; None = estimated and optionally updated.
+        update_sigma2: Update sigma2 in the M-step.
+        estep_method: 'dense' (exact, default) or 'lattice' (permutohedral).
+    """
+
+    def __init__(self, source=None, target_normals=None, sigma2=None,
+                 update_sigma2: bool = False, estep_method: str = "dense"):
+        self._source = None if source is None else _as_jnp(source)
+        self._target_normals = (
+            None if target_normals is None
+            else jnp.asarray(interop.as_normals(target_normals, _config.config.dtype))
+        )
+        self._sigma2 = sigma2
+        self._update_sigma2 = update_sigma2
+        self._estep_method = estep_method
+        self._tf_type = None
+        self._tf_result = None
+        self._callbacks: List[Callable] = []
+
+    def set_source(self, source):
+        self._source = _as_jnp(source)
+
+    def set_target_normals(self, target_normals):
+        self._target_normals = jnp.asarray(
+            interop.as_normals(target_normals, _config.config.dtype))
+
+    def set_callbacks(self, callbacks):
+        self._callbacks = callbacks
+
+    def expectation_step(self, t_source, target, y, sigma2,
+                         update_sigma2=False, objective_type: str = "pt2pt",
+                         alpha: float = 0.015) -> EstepResult:
+        """E-step moments (reference filterreg.py:78-108).
+
+        ``t_source`` / ``target`` are (already feature-mapped) positions; the
+        filtering happens in that feature space scaled by 1/sigma. ``y`` are
+        the raw target points whose moments are accumulated.
+        """
+        t_source = jnp.asarray(t_source)
+        target = jnp.asarray(target)
+        y = jnp.asarray(y)
+        m = t_source.shape[0]
+        n = target.shape[0]
+        sigma = jnp.sqrt(jnp.asarray(sigma2))
+        need_nx = objective_type == "pt2pl"
+        if need_nx and self._target_normals is None:
+            raise ValueError("pt2pl requires target_normals.")
+
+        if self._estep_method == "dense":
+            m0, m1, m2, nx = gto.filterreg_moments(
+                t_source / sigma, target / sigma, y,
+                self._target_normals if need_nx else None,
+                need_m2=bool(update_sigma2),
+            )
+            return EstepResult(m0, m1, m2, nx)
+
+        # Lattice path (reference-shaped): splat target rows, slice source.
+        fin = jnp.concatenate([t_source / sigma, target / sigma], axis=0)
+        lat = phops.build(fin, with_blur=True)
+        with_blur = True
+        if int(lat.size) > n * alpha:
+            lat = phops.build(fin, with_blur=False)
+            with_blur = False
+        chans = [jnp.ones((n, 1), y.dtype), y]
+        if update_sigma2:
+            chans.append(jnp.sum(y * y, axis=1, keepdims=True))
+        if need_nx:
+            chans.append(self._target_normals)
+        vin = jnp.concatenate(
+            [jnp.zeros((m, sum(c.shape[1] for c in chans)), y.dtype),
+             jnp.concatenate(chans, axis=1)], axis=0)
+        out = phops.filter(lat, vin, start=m, with_blur=with_blur)[:m]
+        dim = y.shape[1]
+        m0 = out[:, 0]
+        m1 = out[:, 1:1 + dim]
+        col = 1 + dim
+        m2 = None
+        if update_sigma2:
+            m2 = out[:, col]
+            col += 1
+        nx = out[:, col:col + dim] if need_nx else None
+        return EstepResult(m0, m1, m2, nx)
+
+    def maximization_step(self, t_source, target, estep_res, w=0.0,
+                          objective_type: str = "pt2pt") -> MstepResult:
+        return self._maximization_step(
+            t_source, target, estep_res, self._tf_result, self._sigma2, w,
+            objective_type=objective_type)
+
+    @staticmethod
+    @abc.abstractmethod
+    def _maximization_step(t_source, target, estep_res, trans_p, sigma2,
+                           w=0.0, objective_type="pt2pt"):
+        ...
+
+    def registration(self, target, w: float = 0.0,
+                     objective_type: str = "pt2pt", maxiter: int = 50,
+                     tol: float = 0.001, min_sigma2: float = 1.0e-4,
+                     feature_fn: Callable = lambda x: x,
+                     sigma2_decay: float = 1.0) -> MstepResult:
+        assert self._tf_type is not None, "transformation type is None."
+        target = _as_jnp(target)
+        ftarget = feature_fn(target)
+        if self._sigma2 is None:
+            if objective_type == "pt2pl":
+                # The reference initializes sigma2 at cloud-size scale
+                # (squared_kernel_sum), which makes pt2pl diverge: the
+                # heavily smoothed virtual targets sit inward of the surface
+                # and the along-normal bias swamps the alignment signal (its
+                # own pt2pl test is skipped; its example hand-tunes
+                # sigma2=0.01). Point-spacing scale converges robustly.
+                from .ops import pairwise as _pw
+
+                self._sigma2 = float(jnp.maximum(
+                    _pw.point_spacing_sq(target), min_sigma2 * 0.01))
+            else:
+                fsource = feature_fn(self._source)
+                self._sigma2 = float(jnp.maximum(
+                    mu.squared_kernel_sum(fsource, ftarget), min_sigma2))
+
+        fast = (
+            isinstance(self, RigidFilterReg)
+            and not self._callbacks
+            and self._estep_method == "dense"
+            and _is_identity_feature(feature_fn)
+        )
+        if fast:
+            normals = self._target_normals if objective_type == "pt2pl" else None
+            if objective_type == "pt2pl" and normals is None:
+                raise ValueError("pt2pl requires target_normals.")
+            res = _run_em_rigid(
+                self._source, target, normals,
+                self._tf_result.rot, self._tf_result.t,
+                jnp.asarray(self._sigma2, _config.config.dtype),
+                objective_type=objective_type,
+                update_sigma2=self._update_sigma2,
+                w=float(w), maxiter=int(maxiter), tol=float(tol),
+                min_sigma2=float(min_sigma2),
+                sigma2_decay=float(sigma2_decay),
+            )
+            self._tf_result = res.transformation
+            self._sigma2 = float(res.sigma2)
+            return res
+
+        # Host loop (callbacks / feature functions / lattice parity).
+        q = None
+        res = MstepResult(self._tf_result, self._sigma2, None)
+        for i in range(maxiter):
+            t_source = self._tf_result.transform(self._source)
+            fsource = feature_fn(t_source)
+            estep_res = self.expectation_step(
+                fsource, ftarget, target, self._sigma2,
+                self._update_sigma2, objective_type)
+            res = self.maximization_step(
+                t_source, target, estep_res, w=w,
+                objective_type=objective_type)
+            if res.q is None:
+                res = res._replace(q=q)
+                break
+            self._tf_result = res.transformation
+            s2_next = float(res.sigma2) if self._update_sigma2 \
+                else float(self._sigma2) * sigma2_decay
+            self._sigma2 = max(s2_next, min_sigma2)
+            for c in self._callbacks:
+                c(self._tf_result)
+            log.debug("Iteration: {}, Criteria: {}".format(i, res.q))
+            if q is not None and abs(float(res.q) - float(q)) < tol:
+                break
+            q = float(res.q)
+        return res
+
+
+def _is_identity_feature(fn: Callable) -> bool:
+    """True for the default ``lambda x: x`` feature function."""
+    try:
+        probe = object()
+        return fn(probe) is probe
+    except Exception:
+        return False
+
+
+class RigidFilterReg(FilterReg):
+    """Rigid FilterReg (reference filterreg.py:150-196)."""
+
+    def __init__(self, source=None, target_normals=None, sigma2=None,
+                 update_sigma2=False, tf_init_params={}, **kwargs):
+        super().__init__(source=source, target_normals=target_normals,
+                         sigma2=sigma2, update_sigma2=update_sigma2, **kwargs)
+        self._tf_type = tf.RigidTransformation
+        self._tf_result = self._tf_type(**tf_init_params)
+
+    @staticmethod
+    def _maximization_step(t_source, target, estep_res, trans_p, sigma2,
+                           w=0.0, objective_type="pt2pt"):
+        m, dim = t_source.shape
+        n = target.shape[0]
+        m0, m1, m2, nx = estep_res
+        if not bool(jnp.any(m0 > 0.0)):
+            return MstepResult(trans_p, sigma2, None)
+        c = _outlier_c(jnp.asarray(sigma2), w, m, n, dim)
+        if objective_type == "pt2pt":
+            rot, t, s2, q = rigid_mstep_pt2pt(
+                t_source, m0, m1, m2, trans_p.rot, trans_p.t, sigma2, c)
+        elif objective_type == "pt2pl":
+            rot, t, s2, q = rigid_mstep_pt2pl(
+                t_source, m0, m1, m2, nx, trans_p.rot, trans_p.t, sigma2, c)
+        else:
+            raise ValueError("Unknown objective_type: %s." % objective_type)
+        return MstepResult(tf.RigidTransformation(rot, t), s2, q)
+
+
+class DeformableKinematicFilterReg(FilterReg):
+    """Deformable-kinematic FilterReg (reference filterreg.py:199-266).
+
+    Per-point dual-quaternion blended skinning over node pairs; M-step is an
+    inner Gauss-Newton loop over all node twists. Uses the JAX dual-quaternion
+    module (no dq3d dependency).
+    """
+
+    def __init__(self, source=None, skinning_weight=None, sigma2=None, **kwargs):
+        super().__init__(source, sigma2=sigma2, **kwargs)
+        self._tf_type = tf.DeformableKinematicModel
+        self._skinning_weight = skinning_weight
+        n_nodes = skinning_weight.n_nodes
+        idq = jnp.tile(jnp.asarray(dq.identity()), (n_nodes, 1))
+        self._tf_result = self._tf_type(idq, self._skinning_weight)
+
+    @staticmethod
+    def _maximization_step(t_source, target, estep_res, trans_p, sigma2,
+                           w=0.0, objective_type="", maxiter=50, tol=1.0e-4):
+        m, dim = t_source.shape
+        n = target.shape[0]
+        n6d = dim * 2
+        n_nodes = trans_p.weights.n_nodes
+        m0, m1, m2, _ = estep_res
+        m0 = jnp.maximum(m0, _EPS)
+        c = w / (1.0 - w) * n / m
+        m1m0 = m1 / m0[:, None]
+        m0m0 = m0 / (m0 + c)
+        drxdx = jnp.sqrt(m0m0 / sigma2)
+
+        pair = jnp.asarray(trans_p.weights.pair)        # (P, 2)
+        val = jnp.asarray(trans_p.weights.val, t_source.dtype)  # (P, 2)
+        dxdz = so.diff_x_from_twist(t_source)           # (M, 3, 6)
+        drxdz = drxdx[:, None, None] * dxdz             # (M, 3, 6)
+
+        # A = sum over points of blockwise (pair0, pair1) J^T J contributions
+        # (reference assembles per ordered pair; symmetric by construction).
+        jtj = jnp.einsum("mik,mil,m->mkl", drxdz, drxdz, val[:, 0] * val[:, 1])
+        a = jnp.zeros((n_nodes * n6d, n_nodes * n6d), t_source.dtype)
+        rows = (pair[:, 0] * n6d)[:, None, None] + jnp.arange(n6d)[None, :, None]
+        cols = (pair[:, 1] * n6d)[:, None, None] + jnp.arange(n6d)[None, None, :]
+        a = a.at[rows, cols].add(jtj)
+        a = a.at[cols.transpose(0, 2, 1), rows.transpose(0, 2, 1)].add(
+            jtj.transpose(0, 2, 1))
+
+        def blend_apply(tw_all):
+            tws = tw_all.reshape(n_nodes, n6d)
+            qs = jax.vmap(dq.from_twist)(tws)           # (n_nodes, 8)
+            q0 = qs[pair[:, 0]]
+            q1 = qs[pair[:, 1]]
+            blended = dq.dlb2(val[:, 0], q0, val[:, 1], q1)
+            return dq.transform_point(blended, t_source)
+
+        def gn_body(state):
+            tw, _, it = state
+            x = blend_apply(tw)
+            rx = drxdx[:, None] * (x - m1m0)
+            b = jnp.zeros((n_nodes * n6d,), t_source.dtype)
+            contrib = jnp.einsum("mik,mi,m->mk", drxdz, rx, val[:, 0])
+            brows = (pair[:, 0] * n6d)[:, None] + jnp.arange(n6d)[None, :]
+            b = b.at[brows].add(contrib)
+            dtw = jnp.linalg.lstsq(a, b, rcond=None)[0]
+            return tw - dtw, jnp.linalg.norm(dtw), it + 1
+
+        def gn_cond(state):
+            _, dn, it = state
+            return jnp.logical_and(it < maxiter,
+                                   jnp.logical_or(it == 0, dn >= tol))
+
+        tw0 = jnp.zeros((n_nodes * n6d,), t_source.dtype)
+        tw, _, _ = jax.lax.while_loop(
+            gn_cond, gn_body, (tw0, jnp.asarray(jnp.inf, t_source.dtype),
+                               jnp.asarray(0)))
+
+        tws = tw.reshape(n_nodes, n6d)
+        deltas = jax.vmap(dq.from_twist)(tws)
+        new_dq = jax.vmap(dq.mul)(deltas, trans_p.dualquats)
+        x = blend_apply(tw)
+        rx = drxdx[:, None] * (x - m1m0)
+        q = jnp.sum(rx * rx)
+        s2 = sigma2
+        if m2 is not None:
+            num = m0 * jnp.sum(t_source * t_source, axis=1) \
+                - 2.0 * jnp.sum(t_source * m1, axis=1) + m2
+            s2 = jnp.sum(num / (m0 + c)) / (3.0 * jnp.sum(m0m0))
+        return MstepResult(
+            tf.DeformableKinematicModel(new_dq, trans_p.weights), s2, q)
+
+
+def registration_filterreg(
+    source,
+    target,
+    target_normals=None,
+    sigma2: Optional[float] = None,
+    update_sigma2: bool = False,
+    w: float = 0,
+    objective_type: str = "pt2pt",
+    maxiter: int = 50,
+    tol: float = 0.001,
+    min_sigma2: float = 1.0e-4,
+    feature_fn: Callable = lambda x: x,
+    callbacks: List[Callable] = [],
+    sigma2_decay: float = 1.0,
+    **kwargs: Any,
+) -> MstepResult:
+    """FilterReg registration — drop-in for reference filterreg.py:269-317.
+
+    Args:
+        source: Source point cloud (ndarray or open3d PointCloud).
+        target: Target point cloud.
+        target_normals: Target normals (pt2pl objective).
+        sigma2: Fixed variance; None = estimated.
+        update_sigma2: Update sigma2 each M-step.
+        w: Weight of the uniform outlier distribution.
+        objective_type: 'pt2pt' or 'pt2pl'.
+        maxiter / tol / min_sigma2: EM controls.
+        feature_fn: Optional feature map (e.g. features.FPFH()).
+        callbacks: Called with the current Transformation each iteration.
+        sigma2_decay: Per-iteration multiplicative sigma2 annealing (applied
+            when ``update_sigma2`` is False; floored at ``min_sigma2``). The
+            reference keeps sigma2 fixed, which makes pt2pl diverge unless
+            sigma2 is hand-tuned small (its pt2pl test is skipped); a decay
+            of ~0.85 makes pt2pl converge from the default initialization.
+
+    Keyword Args:
+        tf_init_params (dict): Initializer for the rigid transformation.
+        estep_method (str): 'dense' (default, exact) or 'lattice'.
+
+    Returns:
+        MstepResult: (transformation, sigma2, q).
+    """
+    frg = RigidFilterReg(
+        interop.as_points(source), target_normals, sigma2, update_sigma2,
+        **kwargs)
+    frg.set_callbacks(callbacks)
+    return frg.registration(
+        interop.as_points(target), w=w, objective_type=objective_type,
+        maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+        feature_fn=feature_fn, sigma2_decay=sigma2_decay)

@@ -100,13 +100,15 @@ def _pad_rows(x: jax.Array, block: int) -> tuple[jax.Array, int]:
     return x, m
 
 
-@partial(jax.jit, static_argnames=("block",))
-def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096) -> jax.Array:
+@partial(jax.jit, static_argnames=("block", "exclude_zero"))
+def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096,
+                   exclude_zero: bool = False) -> jax.Array:
     """For each source point, squared distance to its nearest target point.
 
     Streaming replacement for the reference's scipy cKDTree queries
     (math_utils.py:32-33, bcpd.py:86). Brute force is MXU-shaped and wins on
-    TPU for the point counts involved.
+    TPU for the point counts involved. ``exclude_zero`` skips exact matches
+    (self-neighbors) — used for point-spacing estimation.
     """
     source = jnp.asarray(source)
     target = jnp.asarray(target)
@@ -120,9 +122,18 @@ def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096) -> j
         d2 = sqdist(source, blk)
         valid = (idx0 + base) < n
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        if exclude_zero:
+            d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
         return jnp.minimum(best, jnp.min(d2, axis=1)), None
 
     init = jnp.full((source.shape[0],), jnp.inf, source.dtype)
     offs = jnp.arange(n_blocks) * block
     best, _ = jax.lax.scan(body, init, (blocks, offs))
     return best
+
+
+def point_spacing_sq(points: jax.Array) -> jax.Array:
+    """Mean squared nearest-neighbor spacing of a cloud (self excluded)."""
+    d2 = nearest_sqdist(points, points, exclude_zero=True)
+    d2 = jnp.where(jnp.isfinite(d2), d2, 0.0)
+    return jnp.mean(d2)
