@@ -1,0 +1,156 @@
+"""L2-distance cost functions for GMMReg / SVR (parity with cost_functions.py).
+
+TPU-first redesign: the reference hand-derives the analytic gradient through
+two GaussTransform passes and a 36-partial dR/dq table
+(cost_functions.py:33-65, se3_op.py:62-120). Here the scalar objective is
+written once in jnp and ``jax.value_and_grad`` differentiates through the
+whole pipeline (quaternion -> rotation -> transform -> mixture L2) — exact
+gradients, one fused XLA program per evaluation, no hand chain rule.
+
+The reference-shaped ``compute_l2_dist`` (value + gradient w.r.t. the moved
+means) is kept for API parity.
+"""
+
+from __future__ import annotations
+
+import abc
+from functools import partial
+from typing import Tuple, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import transformation as tf
+from .ops import gausstransform as gto
+from .ops.pairwise import sqdist
+from .utils import se3_op as so
+
+
+def _l2_overlap(mu_source, phi_source, mu_target, phi_target, sigma):
+    """-sum_ij phi_s_i phi_t_j N(mu_s_i - mu_t_j; 2 sigma^2) / z.
+
+    Matches compute_l2_dist's f (cost_functions.py:33-41): the Gaussian has
+    bandwidth sqrt(2) sigma and the z = (2 pi sigma^2)^(d/2) normalizer.
+    """
+    d = mu_source.shape[1]
+    z = (2.0 * jnp.pi * sigma ** 2) ** (d * 0.5)
+    k = jnp.exp(-sqdist(mu_source, mu_target) / (2.0 * sigma ** 2))
+    return -(phi_source @ k @ phi_target) / z
+
+
+def compute_l2_dist(mu_source, phi_source, mu_target, phi_target, sigma):
+    """Reference-shaped (f, df/d mu_source) pair (cost_functions.py:33-41)."""
+    f, g = jax.value_and_grad(_l2_overlap)(
+        jnp.asarray(mu_source), jnp.asarray(phi_source),
+        jnp.asarray(mu_target), jnp.asarray(phi_target),
+        jnp.asarray(sigma))
+    return f, g
+
+
+class CostFunction(abc.ABC):
+    def __init__(self, tf_type: Type[tf.Transformation]):
+        self._tf_type = tf_type
+
+    @abc.abstractmethod
+    def to_transformation(self, theta):
+        ...
+
+    @abc.abstractmethod
+    def initial(self):
+        ...
+
+    @abc.abstractmethod
+    def __call__(self, theta, *args) -> Tuple[float, np.ndarray]:
+        ...
+
+
+@jax.jit
+def _rigid_obj(theta, mu_source, phi_source, mu_target, phi_target, sigma):
+    rot = so.quat2mat(theta[:4])
+    t_mu = mu_source @ rot.T + theta[4:7]
+    return _l2_overlap(t_mu, phi_source, mu_target, phi_target, sigma)
+
+
+_rigid_vg = jax.jit(jax.value_and_grad(_rigid_obj))
+
+
+class RigidCostFunction(CostFunction):
+    """Quaternion+translation 7-vector rigid cost (cost_functions.py:44-65)."""
+
+    def __init__(self):
+        self._tf_type = tf.RigidTransformation
+
+    def to_transformation(self, theta):
+        rot = so.quat2mat(jnp.asarray(theta[:4], jnp.float32))
+        return self._tf_type(rot, jnp.asarray(theta[4:7], jnp.float32))
+
+    def initial(self):
+        x0 = np.zeros(7)
+        x0[0] = 1.0
+        return x0
+
+    def __call__(self, theta, *args):
+        mu_source, phi_source, mu_target, phi_target, sigma = args
+        f, g = _rigid_vg(
+            jnp.asarray(theta, jnp.float32), jnp.asarray(mu_source),
+            jnp.asarray(phi_source), jnp.asarray(mu_target),
+            jnp.asarray(phi_target), jnp.asarray(sigma, jnp.float32))
+        return float(f), np.asarray(g, np.float64)
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def _tps_obj(theta, control_pts, mu_source, phi_source, mu_target, phi_target,
+             sigma, alpha, beta, *, dim):
+    n_a = dim * (dim + 1)
+    a = theta[:n_a].reshape(dim + 1, dim)
+    v = theta[n_a:].reshape(-1, dim)
+    tps = tf.TPSTransformation(a, v, control_pts)
+    basis, kernel = tps.prepare(mu_source)
+    t_mu = tps.transform_basis(basis)
+    bending = jnp.trace(v.T @ kernel @ v)
+    f1 = _l2_overlap(t_mu, phi_source, t_mu, phi_source, sigma)
+    f2 = _l2_overlap(t_mu, phi_source, mu_target, phi_target, sigma)
+    # L2 dist up to a constant: s.s - 2 s.t  (= -f1 + 2 f2 with f = -overlap)
+    return alpha * (-f1 + 2.0 * f2) + beta * bending
+
+
+_tps_vg = jax.jit(jax.value_and_grad(_tps_obj), static_argnames=("dim",))
+
+
+class TPSCostFunction(CostFunction):
+    """TPS (A, V) cost with bending energy (cost_functions.py:68-102)."""
+
+    def __init__(self, control_pts, alpha: float = 1.0, beta: float = 0.1):
+        self._tf_type = tf.TPSTransformation
+        self._alpha = alpha
+        self._beta = beta
+        self._control_pts = control_pts
+
+    def to_transformation(self, theta):
+        control_pts = jnp.asarray(self._control_pts, jnp.float32)
+        dim = control_pts.shape[1]
+        n_a = dim * (dim + 1)
+        theta = jnp.asarray(theta, jnp.float32)
+        a = theta[:n_a].reshape(dim + 1, dim)
+        v = theta[n_a:].reshape(-1, dim)
+        return self._tf_type(a, v, control_pts)
+
+    def initial(self):
+        dim = np.asarray(self._control_pts).shape[1]
+        a = np.r_[np.zeros((1, dim)), np.identity(dim)]
+        v = np.zeros((np.asarray(self._control_pts).shape[0] - dim - 1, dim))
+        return np.r_[a, v].flatten()
+
+    def __call__(self, theta, *args):
+        mu_source, phi_source, mu_target, phi_target, sigma = args
+        control_pts = jnp.asarray(self._control_pts, jnp.float32)
+        dim = int(control_pts.shape[1])
+        f, g = _tps_vg(
+            jnp.asarray(theta, jnp.float32), control_pts,
+            jnp.asarray(mu_source), jnp.asarray(phi_source),
+            jnp.asarray(mu_target), jnp.asarray(phi_target),
+            jnp.asarray(sigma, jnp.float32),
+            jnp.asarray(self._alpha, jnp.float32),
+            jnp.asarray(self._beta, jnp.float32), dim=dim)
+        return float(f), np.asarray(g, np.float64)

@@ -1,0 +1,209 @@
+"""L2-distance registrations: GMMReg and SVR (parity with l2dist_regs.py).
+
+Both clouds are summarized as Gaussian mixtures by a Feature generator
+(JAX-native GMM / one-class SVM, :mod:`probreg_tpu.features`); the L2
+distance between the mixtures is minimized with BFGS over the transform
+parameters. The cost+gradient evaluations are fused XLA programs
+(:mod:`probreg_tpu.cost_functions`); scipy's BFGS drives them from the host
+(an outer annealing loop scales sigma by delta each round,
+reference l2dist_regs.py:63-64,91-92).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, List, Union
+
+import numpy as np
+from scipy.optimize import minimize
+
+from . import cost_functions as cf
+from . import features as ft
+from . import transformation as tf
+from .log import log
+from .utils import interop
+
+
+class L2DistRegistration:
+    """L2 distance registration (reference l2dist_regs.py:16-97).
+
+    Args:
+        source: Source point cloud data.
+        feature_gen: Mixture generator (features.Feature).
+        cost_fn: Cost function (cost_functions.CostFunction).
+        sigma: Scaling parameter for the L2 distance.
+        delta: Annealing factor applied to sigma per outer round.
+        use_estimated_sigma: Estimate sigma from the source covariance.
+    """
+
+    def __init__(self, source, feature_gen: ft.Feature,
+                 cost_fn: cf.CostFunction, sigma: float = 1.0,
+                 delta: float = 0.9, use_estimated_sigma: bool = True):
+        self._source = source
+        self._feature_gen = feature_gen
+        self._cost_fn = cost_fn
+        self._sigma = sigma
+        self._delta = delta
+        self._use_estimated_sigma = use_estimated_sigma
+        self._callbacks: List[Callable] = []
+        if self._source is not None and self._use_estimated_sigma:
+            self._estimate_sigma(self._source)
+
+    def set_source(self, source):
+        self._source = source
+        if self._use_estimated_sigma:
+            self._estimate_sigma(self._source)
+
+    def set_callbacks(self, callbacks):
+        self._callbacks.extend(callbacks)
+
+    def _estimate_sigma(self, data):
+        """sigma = det(cov)^(1/2d) (reference l2dist_regs.py:58-61)."""
+        data = np.asarray(data)
+        ndata, dim = data.shape
+        data_hat = data - np.mean(data, axis=0)
+        self._sigma = np.power(
+            np.linalg.det(data_hat.T @ data_hat / (ndata - 1)),
+            1.0 / (2.0 * dim))
+
+    def _annealing(self):
+        self._sigma *= self._delta
+
+    def optimization_cb(self, x):
+        tf_result = self._cost_fn.to_transformation(x)
+        for c in self._callbacks:
+            c(tf_result)
+
+    def registration(self, target, maxiter: int = 1, tol: float = 1.0e-3,
+                     opt_maxiter: int = 50, opt_tol: float = 1.0e-3
+                     ) -> tf.Transformation:
+        f = None
+        x_ini = self._cost_fn.initial()
+        for _ in range(maxiter):
+            self._feature_gen.init()
+            mu_source, phi_source = self._feature_gen.compute(self._source)
+            mu_target, phi_target = self._feature_gen.compute(target)
+            args = (mu_source, phi_source, mu_target, phi_target, self._sigma)
+            res = minimize(
+                self._cost_fn, x_ini, args=args, method="BFGS", jac=True,
+                tol=opt_tol,
+                options={"maxiter": opt_maxiter,
+                         "disp": log.level == logging.DEBUG},
+                callback=self.optimization_cb)
+            self._annealing()
+            self._feature_gen.annealing()
+            if f is not None and abs(res.fun - f) < tol:
+                break
+            f = res.fun
+            x_ini = res.x
+        return self._cost_fn.to_transformation(res.x)
+
+
+class RigidGMMReg(L2DistRegistration):
+    def __init__(self, source, sigma=1.0, delta=0.9, n_gmm_components=800,
+                 use_estimated_sigma=True, **kwargs):
+        n_gmm_components = min(n_gmm_components, int(source.shape[0] * 0.8))
+        super().__init__(source, ft.GMM(n_gmm_components),
+                         cf.RigidCostFunction(), sigma, delta,
+                         use_estimated_sigma)
+
+
+class TPSGMMReg(L2DistRegistration):
+    def __init__(self, source, sigma=1.0, delta=0.9, n_gmm_components=800,
+                 alpha=1.0, beta=0.1, use_estimated_sigma=True, **kwargs):
+        n_gmm_components = min(n_gmm_components, int(source.shape[0] * 0.8))
+        super().__init__(source, ft.GMM(n_gmm_components),
+                         cf.TPSCostFunction([], alpha, beta), sigma, delta,
+                         use_estimated_sigma)
+        self._feature_gen.init()
+        control_pts, _ = self._feature_gen.compute(source)
+        self._cost_fn._control_pts = control_pts
+
+
+class RigidSVR(L2DistRegistration):
+    def __init__(self, source, sigma=1.0, delta=0.9, gamma=0.5, nu=0.1,
+                 use_estimated_sigma=True, **kwargs):
+        super().__init__(
+            source, ft.OneClassSVM(source.shape[1], sigma, gamma, nu),
+            cf.RigidCostFunction(), sigma, delta, use_estimated_sigma)
+
+    def _estimate_sigma(self, data):
+        super()._estimate_sigma(data)
+        self._feature_gen._sigma = self._sigma
+        self._feature_gen._gamma = 1.0 / (2.0 * np.square(self._sigma))
+
+
+class TPSSVR(L2DistRegistration):
+    def __init__(self, source, sigma=1.0, delta=0.9, gamma=0.5, nu=0.1,
+                 alpha=1.0, beta=0.1, use_estimated_sigma=True, **kwargs):
+        super().__init__(
+            source, ft.OneClassSVM(source.shape[1], sigma, gamma, nu),
+            cf.TPSCostFunction([], alpha, beta), sigma, delta,
+            use_estimated_sigma)
+        self._feature_gen.init()
+        control_pts, _ = self._feature_gen.compute(source)
+        self._cost_fn._control_pts = control_pts
+
+    def _estimate_sigma(self, data):
+        super()._estimate_sigma(data)
+        self._feature_gen._sigma = self._sigma
+        self._feature_gen._gamma = 1.0 / (2.0 * np.square(self._sigma))
+
+
+def registration_gmmreg(source, target, tf_type_name: str = "rigid",
+                        callbacks: List = [], **kargs):
+    """GMMReg (reference l2dist_regs.py:158-181).
+
+    Args:
+        source: Source point cloud data.
+        target: Target point cloud data.
+        tf_type_name: 'rigid' or 'nonrigid'.
+        callbacks: Called with the current Transformation per BFGS iteration.
+
+    Returns:
+        Transformation from source to target.
+    """
+    cv = lambda x: np.asarray(interop.as_points(x))
+    if tf_type_name == "rigid":
+        gmmreg = RigidGMMReg(cv(source), **kargs)
+    elif tf_type_name == "nonrigid":
+        gmmreg = TPSGMMReg(cv(source), **kargs)
+    else:
+        raise ValueError("Unknown transform type %s" % tf_type_name)
+    gmmreg.set_callbacks(callbacks)
+    return gmmreg.registration(cv(target))
+
+
+def registration_svr(
+    source,
+    target,
+    tf_type_name: str = "rigid",
+    maxiter: int = 1,
+    tol: float = 1.0e-3,
+    opt_maxiter: int = 50,
+    opt_tol: float = 1.0e-3,
+    callbacks: List[Callable] = [],
+    **kwargs: Any,
+):
+    """Support Vector Registration (reference l2dist_regs.py:184-219).
+
+    Args:
+        source: Source point cloud data.
+        target: Target point cloud data.
+        tf_type_name: 'rigid' or 'nonrigid'.
+        maxiter / tol: Outer annealing loop controls.
+        opt_maxiter / opt_tol: Inner BFGS controls.
+        callbacks: Called with the current Transformation per BFGS iteration.
+
+    Returns:
+        Transformation from source to target.
+    """
+    cv = lambda x: np.asarray(interop.as_points(x))
+    if tf_type_name == "rigid":
+        svr = RigidSVR(cv(source), **kwargs)
+    elif tf_type_name == "nonrigid":
+        svr = TPSSVR(cv(source), **kwargs)
+    else:
+        raise ValueError("Unknown transform type %s" % tf_type_name)
+    svr.set_callbacks(callbacks)
+    return svr.registration(cv(target), maxiter, tol, opt_maxiter, opt_tol)

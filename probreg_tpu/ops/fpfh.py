@@ -1,0 +1,114 @@
+"""Fast Point Feature Histograms (33-D), native JAX.
+
+The reference's FPFH feature delegates to Open3D's C++ pipeline
+(features.py:28-51: estimate_normals + compute_fpfh_feature). This is a
+TPU-native implementation of the same descriptor (Rusu et al., ICRA 2009):
+
+1. normals by PCA over radius-limited k-nearest neighborhoods,
+2. per-pair Darboux-frame angles (alpha, phi, theta),
+3. 3 x 11-bin SPFH histograms,
+4. FPFH_i = SPFH_i + mean_j SPFH_j / ||p_i - p_j||.
+
+Neighborhoods are brute-force top-k over the pairwise distance matrix —
+MXU-shaped and exact; fine for probreg-scale clouds (the reference caps
+neighborhoods at max_nn=30/100 anyway).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pairwise import sqdist
+
+_NBINS = 11
+
+
+def _knn(points, k, radius):
+    """(idx (N,k), valid (N,k)) nearest neighbors within radius, self excluded."""
+    d2 = sqdist(points, points)
+    n = points.shape[0]
+    d2 = d2 + jnp.eye(n, dtype=d2.dtype) * 1e30  # exclude self
+    k = min(k, n - 1)
+    neg, idx = jax.lax.top_k(-d2, k)
+    dist2 = -neg
+    valid = dist2 <= radius * radius
+    return idx, valid, jnp.sqrt(jnp.maximum(dist2, 1e-20))
+
+
+def _normals(points, idx, valid):
+    """PCA normals over (masked) neighborhoods, consistently oriented."""
+    nbrs = points[idx]                                   # (N, k, D)
+    w = valid[..., None].astype(points.dtype)
+    cnt = jnp.maximum(w.sum(1), 1.0)
+    ctr = (nbrs * w).sum(1) / cnt
+    diff = (nbrs - ctr[:, None, :]) * w
+    cov = jnp.einsum("nki,nkj->nij", diff, diff)
+    # Include the point itself in the covariance (Open3D does).
+    self_diff = points - ctr
+    cov = cov + jnp.einsum("ni,nj->nij", self_diff, self_diff)
+    _, vecs = jnp.linalg.eigh(cov)
+    normals = vecs[:, :, 0]
+    # Orient outward from the centroid (deterministic; Open3D orients
+    # toward a direction/viewpoint).
+    out = points - jnp.mean(points, axis=0)
+    sign = jnp.sign(jnp.sum(normals * out, axis=1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return normals * sign
+
+
+def _pair_angles(p, n_p, q, n_q):
+    """Darboux-frame angle triplet for point pairs, batched over (..., 3)."""
+    d = q - p
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dn = d / jnp.maximum(dist, 1e-12)
+    u = n_p
+    v = jnp.cross(dn, u)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    w = jnp.cross(u, v)
+    f1 = jnp.sum(v * n_q, axis=-1)                       # alpha in [-1, 1]
+    f2 = jnp.sum(u * dn, axis=-1)                        # phi   in [-1, 1]
+    f3 = jnp.arctan2(jnp.sum(w * n_q, axis=-1), jnp.sum(u * n_q, axis=-1))
+    return f1, f2, f3
+
+
+def _spfh(points, normals, idx, valid):
+    """(N, 33) simplified histograms; each valid neighbor votes its 3 bins."""
+    p = points[:, None, :]
+    q = points[idx]
+    f1, f2, f3 = _pair_angles(p, normals[:, None, :], q, normals[idx])
+    b1 = jnp.clip(((f1 + 1.0) * 0.5 * _NBINS).astype(jnp.int32), 0, _NBINS - 1)
+    b2 = jnp.clip(((f2 + 1.0) * 0.5 * _NBINS).astype(jnp.int32), 0, _NBINS - 1)
+    b3 = jnp.clip(((f3 + jnp.pi) / (2.0 * jnp.pi) * _NBINS).astype(jnp.int32),
+                  0, _NBINS - 1)
+    vmask = valid.astype(points.dtype)
+    h1 = (jax.nn.one_hot(b1, _NBINS, dtype=points.dtype) * vmask[..., None]).sum(1)
+    h2 = (jax.nn.one_hot(b2, _NBINS, dtype=points.dtype) * vmask[..., None]).sum(1)
+    h3 = (jax.nn.one_hot(b3, _NBINS, dtype=points.dtype) * vmask[..., None]).sum(1)
+    cnt = jnp.maximum(vmask.sum(1, keepdims=True), 1.0)
+    return jnp.concatenate([h1, h2, h3], axis=1) * (100.0 / cnt)
+
+
+@partial(jax.jit, static_argnames=("max_nn_normal", "max_nn_feature"))
+def _fpfh_impl(points, radius_normal, radius_feature, max_nn_normal,
+               max_nn_feature):
+    idx_n, valid_n, _ = _knn(points, max_nn_normal, radius_normal)
+    normals = _normals(points, idx_n, valid_n)
+    idx_f, valid_f, dist_f = _knn(points, max_nn_feature, radius_feature)
+    spfh = _spfh(points, normals, idx_f, valid_f)
+    # FPFH_i = SPFH_i + mean over valid neighbors of SPFH_j / dist_ij.
+    wgt = valid_f.astype(points.dtype) / jnp.maximum(dist_f, 1e-12)
+    nbr_hist = jnp.einsum("nk,nkb->nb", wgt, spfh[idx_f])
+    cnt = jnp.maximum(valid_f.sum(1, keepdims=True).astype(points.dtype), 1.0)
+    return spfh + nbr_hist / cnt
+
+
+def fpfh(points, radius_normal: float = 0.1, radius_feature: float = 0.5,
+         max_nn_normal: int = 30, max_nn_feature: int = 100):
+    """33-D FPFH descriptors for an (N, 3) cloud."""
+    points = jnp.asarray(points, jnp.float32)
+    return _fpfh_impl(points, jnp.asarray(radius_normal, jnp.float32),
+                      jnp.asarray(radius_feature, jnp.float32),
+                      int(max_nn_normal), int(max_nn_feature))

@@ -1,0 +1,76 @@
+"""Feature generators: JAX GMM vs sklearn, OCSVM dual sanity, FPFH invariance."""
+
+import numpy as np
+import pytest
+
+from probreg_tpu import features as ft
+
+
+def test_gmm_matches_sklearn_moments(rng):
+    pts = np.concatenate([
+        rng.normal(size=(150, 3)) * 0.2,
+        rng.normal(size=(150, 3)) * 0.2 + np.array([3.0, 0, 0]),
+    ]).astype(np.float32)
+    g = ft.GMM(n_gmm_components=8)
+    g.init()
+    mu, pi = g.compute(pts)
+    mu, pi = np.asarray(mu), np.asarray(pi)
+    np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-5)
+    # Mixture mean reproduces the data mean.
+    np.testing.assert_allclose(pi @ mu, pts.mean(0), atol=0.05)
+    # Two well-separated blobs: component means land near one of them.
+    d_blob = np.minimum(
+        np.linalg.norm(mu - pts[:150].mean(0), axis=1),
+        np.linalg.norm(mu - pts[150:].mean(0), axis=1))
+    assert np.all(d_blob < 1.0)
+
+
+def test_ocsvm_dual_constraints(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    f = ft.OneClassSVM(3, sigma=1.0, gamma=0.5, nu=0.1)
+    f.init()
+    sv, w = f.compute(pts)
+    w = np.asarray(w)
+    z = (2.0 * np.pi) ** 1.5
+    alpha = w / z
+    nu_n = 0.1 * 100
+    # libsvm convention: 0 <= alpha_i <= 1, sum = nu * n.
+    np.testing.assert_allclose(alpha.sum(), nu_n, rtol=1e-3)
+    assert alpha.min() >= -1e-6
+    assert alpha.max() <= 1.0 + 1e-4
+    # nu lower-bounds the fraction of support vectors.
+    assert (alpha > 1e-6).sum() >= nu_n - 1
+
+
+def test_fpfh_rotation_invariance(rng):
+    from probreg_tpu.utils import se3_op
+
+    theta = rng.uniform(0, np.pi, 200)
+    phi = rng.uniform(0, 2 * np.pi, 200)
+    r = 0.5 * (1.0 + 0.2 * np.sin(3 * theta))
+    pts = np.stack([
+        r * np.sin(theta) * np.cos(phi), r * np.sin(theta) * np.sin(phi),
+        r * np.cos(theta)], 1).astype(np.float32)
+    rot = np.asarray(se3_op.euler2mat(0.3, -0.2, 0.5), np.float32)
+    f = ft.FPFH(radius_normal=0.3, radius_feature=0.6)
+    h1 = np.asarray(f.compute(pts))
+    h2 = np.asarray(f.compute(pts @ rot.T))
+    assert h1.shape == (200, 33)
+    # FPFH is rotation invariant (up to binning edges + normal sign flips).
+    rel = np.abs(h1 - h2).sum(1) / np.maximum(np.abs(h1).sum(1), 1e-9)
+    assert np.median(rel) < 0.35, np.median(rel)
+
+
+def test_fpfh_separates_geometry(rng):
+    # Plane vs sphere patches should have different histograms.
+    xs, ys = np.meshgrid(np.linspace(0, 1, 10), np.linspace(0, 1, 10))
+    plane = np.stack([xs.ravel(), ys.ravel(), np.zeros(100)], 1).astype(np.float32)
+    theta = rng.uniform(0, np.pi, 100)
+    phi = rng.uniform(0, 2 * np.pi, 100)
+    sphere = np.stack([
+        np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi),
+        np.cos(theta)], 1).astype(np.float32) * 0.5
+    f = ft.FPFH(radius_normal=0.3, radius_feature=0.6)
+    hp = np.asarray(f.compute(plane)).mean(0)
+    hs = np.asarray(f.compute(sphere)).mean(0)
+    assert np.abs(hp - hs).sum() / np.abs(hp).sum() > 0.1
