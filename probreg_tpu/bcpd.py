@@ -1,0 +1,331 @@
+"""Bayesian Coherent Point Drift (variational inference, combined transform).
+
+Parity with reference probreg/bcpd.py, redesigned TPU-first:
+
+* The reference's ``kron``-expanded products (bcpd.py:70, 133-135) are
+  algebraic identities for plain matmuls — ``kron(P, I_D) x.ravel()`` is just
+  ``P @ X`` — so the O(M N D^2) memory blowup disappears.
+* The E-step streams over target blocks like the CPD E-step and returns only
+  psum-able moments (nu_d is reduced to the s1 scalar it feeds), never
+  holding the M x N posterior.
+* The whole VI loop runs as one jitted ``lax.while_loop`` (M x M inverse,
+  D x D SVD, digamma are all jnp ops); convergence is the nearest-neighbor
+  RMSE criterion of the reference (bcpd.py:95-99) via the brute-force MXU
+  nearest-neighbor instead of a cKDTree.
+"""
+
+from __future__ import annotations
+
+import abc
+from collections import namedtuple
+from functools import partial
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as _config
+from .log import log
+from .models import transformation as tf
+from .ops import pairwise
+from .utils import interop
+from .utils import math_utils as mu
+
+EstepResult = namedtuple("EstepResult", ["nu_d", "nu", "n_p", "px", "x_hat"])
+MstepResult = namedtuple(
+    "MstepResult", ["transformation", "u_hat", "sigma_mat", "alpha", "sigma2"])
+MstepResult.__doc__ = """Result of Maximization step.
+
+    Attributes:
+        transformation (tf.Transformation): Transformation from source to target.
+        u_hat (numpy.ndarray): A parameter used in next Estep.
+        sigma_mat (numpy.ndarray): A parameter used in next Estep.
+        alpha (float): A parameter used in next Estep.
+        sigma2 (float): Variance of Gaussian distribution.
+"""
+
+_EPS = float(np.finfo(np.float32).eps)
+
+
+def _as_jnp(x):
+    return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
+
+
+def bcpd_estep(t_source, target, scale, alpha, sigma_mat_diag, sigma2, w=0.0):
+    """BCPD E-step moments (reference bcpd.py:53-72), dense-block version.
+
+    pmat_mj = (1-w) alpha_m exp(-|x_j - y_m|^2 / 2s2) / (2 pi s2)^(D/2)
+              * exp(-scale^2/(2 s2) * Sigma_mm * D)
+    den_j   = w / N + sum_m pmat_mj
+    """
+    dim = t_source.shape[1]
+    n = target.shape[0]
+    d2 = pairwise.sqdist(t_source, target)                 # (M, N)
+    row = (1.0 - w) * alpha * jnp.exp(
+        -(scale ** 2) / (2.0 * sigma2) * sigma_mat_diag * dim)
+    g = jnp.exp(-d2 / (2.0 * sigma2)) / (2.0 * jnp.pi * sigma2) ** (dim * 0.5)
+    pmat = g * row[:, None]
+    den = w / n + jnp.sum(pmat, axis=0)
+    den = jnp.where(den == 0.0, _EPS, den)
+    pmat = pmat / den[None, :]
+
+    nu_d = jnp.sum(pmat, axis=0)                           # (N,)
+    nu = jnp.sum(pmat, axis=1)                             # (M,)
+    px = pmat @ target                                     # (M, D)
+    x_hat = px / jnp.maximum(nu, _EPS)[:, None]
+    return EstepResult(nu_d, nu, jnp.maximum(jnp.sum(nu), _EPS), px, x_hat)
+
+
+def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
+                   sigma2_p):
+    """CombinedBCPD M-step (reference bcpd.py:125-155), kron-free.
+
+    The reference computes Sigma = inv(lmd G^-1 + s2s2 diag(nu)) with an
+    explicit G^-1 (bcpd.py:114,130-131). The IMQ Gram matrix has condition
+    number ~5e10 on real clouds, so in float32 that inverse is garbage;
+    the algebraically identical Sigma = inv(lmd I + s2s2 G diag(nu)) G
+    only inverts the well-conditioned shifted matrix.
+    """
+    nu_d, nu, n_p, px, x_hat = estep_res
+    dim = source.shape[1]
+    m = source.shape[0]
+    # Matches reference bcpd.py:130 (sigma2_p**2). This is only
+    # well-behaved on O(1)-scale clouds — which is why registration_bcpd
+    # normalizes by default; see its docstring.
+    s2s2 = scale ** 2 / (sigma2_p ** 2)
+    shifted = lmd * jnp.eye(m, dtype=source.dtype) + s2s2 * gmat * nu[None, :]
+    sigma_mat = jnp.linalg.solve(shifted, gmat)
+    sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
+    # inverse rigid: (x - t) / scale @ rot
+    residual = ((x_hat - t) / scale) @ rot - source
+    v_hat = s2s2 * (sigma_mat @ (nu[:, None] * residual))
+    u_hat = source + v_hat
+    alpha = jnp.exp(jax.scipy.special.digamma(k + nu)
+                    - jax.scipy.special.digamma(k * m + n_p))
+    x_m = nu @ x_hat / n_p
+    sigma2_m = jnp.sum(nu * jnp.diag(sigma_mat)) / n_p
+    u_m = nu @ u_hat / n_p
+    u_hm = u_hat - u_m
+    s_xu = ((x_hat - x_m) * nu[:, None]).T @ u_hm / n_p
+    s_uu = (u_hm * nu[:, None]).T @ u_hm / n_p \
+        + sigma2_m * jnp.eye(dim, dtype=source.dtype)
+    phi, _, psih = jnp.linalg.svd(s_xu, full_matrices=True)
+    c = jnp.ones(dim, source.dtype).at[-1].set(jnp.linalg.det(phi @ psih))
+    rot_new = (phi * c) @ psih
+    tr_rsxu = jnp.trace(rot_new @ s_xu)
+    scale_new = tr_rsxu / jnp.trace(s_uu)
+    t_new = x_m - scale_new * rot_new @ u_m
+    y_hat = scale_new * (source + v_hat) @ rot_new.T + t_new
+    s1 = jnp.sum(nu_d * jnp.sum(target * target, axis=1))
+    s2 = jnp.sum(px * y_hat)
+    s3 = jnp.sum(nu * jnp.sum(y_hat * y_hat, axis=1))
+    sigma2 = (s1 - 2.0 * s2 + s3) / (n_p * dim) + scale_new ** 2 * sigma2_m
+    return (tf.CombinedTransformation(rot_new, t_new, scale_new, v_hat),
+            u_hat, sigma_mat, alpha, sigma2)
+
+
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol"))
+def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
+    m, dim = source.shape
+
+    def body(state):
+        rot, t, scale, v_hat, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
+        t_source = scale * (source + v_hat) @ rot.T + t
+        est = bcpd_estep(t_source, target, scale, alpha, sigma_diag, sigma2, w)
+        transf, u_hat, sigma_mat, alpha_new, sigma2_new = combined_mstep(
+            source, target, rot, t, scale, est, gmat, lmd, k, sigma2)
+        rmse = jnp.mean(jnp.sqrt(pairwise.nearest_sqdist(t_source, target)))
+        rt = transf.rigid_trans
+        return (rt.rot, rt.t, rt.scale, transf.v, jnp.diag(sigma_mat),
+                alpha_new, sigma2_new, rmse, state[7], i + 1)
+
+    def cond(state):
+        _, _, _, _, _, _, _, rmse, rmse_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i < 2, jnp.abs(rmse - rmse_prev) >= tol),
+        )
+
+    alpha0 = jnp.full((m,), 1.0 / m, source.dtype)
+    state = (
+        jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
+        jnp.asarray(1.0, source.dtype), jnp.zeros_like(source),
+        jnp.ones((m,), source.dtype), alpha0, sigma2_0,
+        jnp.asarray(jnp.inf, source.dtype), jnp.asarray(jnp.inf, source.dtype),
+        jnp.asarray(0),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    rot, t, scale, v_hat, sigma_diag, alpha, sigma2 = state[:7]
+    return (tf.CombinedTransformation(rot, t, scale, v_hat),
+            sigma_diag, alpha, sigma2)
+
+
+class BayesianCoherentPointDrift(abc.ABC):
+    """Abstract BCPD (reference bcpd.py:31-100)."""
+
+    def __init__(self, source=None):
+        self._source = None if source is None else _as_jnp(source)
+        self._tf_type = None
+        self._callbacks: List[Callable] = []
+
+    def set_source(self, source):
+        self._source = _as_jnp(source)
+
+    def set_callbacks(self, callbacks):
+        self._callbacks.extend(callbacks)
+
+    @abc.abstractmethod
+    def _initialize(self, target) -> MstepResult:
+        ...
+
+    def expectation_step(self, t_source, target, scale, alpha, sigma_mat,
+                         sigma2, w=0.0) -> EstepResult:
+        """Reference-shaped E-step (bcpd.py:53-72)."""
+        sigma_mat = jnp.asarray(sigma_mat)
+        diag = jnp.diag(sigma_mat) if sigma_mat.ndim == 2 else sigma_mat
+        return bcpd_estep(
+            _as_jnp(t_source), _as_jnp(target), jnp.asarray(scale),
+            jnp.asarray(alpha), diag, jnp.asarray(sigma2), float(w))
+
+    def registration(self, target, w: float = 0.0, maxiter: int = 50,
+                     tol: float = 0.001) -> tf.Transformation:
+        assert self._tf_type is not None, "transformation type is None."
+        target = _as_jnp(target)
+        if not self._callbacks:
+            return self._registration_jit(target, w, maxiter, tol)
+        return self._registration_loop(target, w, maxiter, tol)
+
+    @abc.abstractmethod
+    def _registration_jit(self, target, w, maxiter, tol):
+        ...
+
+    @abc.abstractmethod
+    def _registration_loop(self, target, w, maxiter, tol):
+        ...
+
+
+class CombinedBCPD(BayesianCoherentPointDrift):
+    """BCPD with the combined rigid+scale+nonrigid transform (bcpd.py:103-156).
+
+    Args:
+        source: Source point cloud.
+        lmd: Motion-coherence regularization weight.
+        k: Dirichlet concentration (large k = uniform mixing weights).
+        gamma: Initial sigma2 scaling.
+    """
+
+    def __init__(self, source=None, lmd=2.0, k=1.0e20, gamma=1.0):
+        super().__init__(source)
+        self._tf_type = tf.CombinedTransformation
+        self.lmd = lmd
+        self.k = k
+        self.gamma = gamma
+
+    def _initialize(self, target) -> MstepResult:
+        m, dim = self._source.shape
+        self.gmat = mu.inverse_multiquadric_kernel(self._source, self._source)
+        sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
+        return MstepResult(
+            self._tf_type(jnp.eye(dim), jnp.zeros(dim)), None,
+            jnp.eye(m, dtype=self._source.dtype), 1.0 / m, sigma2)
+
+    def maximization_step(self, target, rigid_trans, estep_res,
+                          sigma2_p=None) -> MstepResult:
+        out = combined_mstep(
+            self._source, _as_jnp(target), rigid_trans.rot, rigid_trans.t,
+            rigid_trans.scale, estep_res, self.gmat,
+            jnp.asarray(self.lmd, self._source.dtype),
+            jnp.asarray(self.k, self._source.dtype), jnp.asarray(sigma2_p))
+        return MstepResult(*out)
+
+    def _registration_jit(self, target, w, maxiter, tol):
+        self._initialize(target)
+        sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
+        transf, _, _, _ = _run_bcpd(
+            self._source, target, self.gmat,
+            jnp.asarray(self.lmd, self._source.dtype),
+            jnp.asarray(self.k, self._source.dtype),
+            jnp.asarray(sigma2, self._source.dtype),
+            w=float(w), maxiter=int(maxiter), tol=float(tol))
+        return transf
+
+    def _registration_loop(self, target, w, maxiter, tol):
+        res = self._initialize(target)
+        rmse = None
+        for i in range(maxiter):
+            t_source = res.transformation._transform(self._source)
+            est = self.expectation_step(
+                t_source, target, res.transformation.rigid_trans.scale,
+                res.alpha, res.sigma_mat, res.sigma2, w)
+            res = self.maximization_step(
+                target, res.transformation.rigid_trans, est, res.sigma2)
+            for c in self._callbacks:
+                c(res.transformation)
+            tmp_rmse = float(mu.compute_rmse(t_source, target))
+            log.debug("Iteration: {}, Criteria: {}".format(i, tmp_rmse))
+            if rmse is not None and abs(rmse - tmp_rmse) < tol:
+                break
+            rmse = tmp_rmse
+        return res.transformation
+
+
+def registration_bcpd(
+    source,
+    target,
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    callbacks: List[Callable] = [],
+    normalize: bool = True,
+    **kwargs: Any,
+) -> tf.Transformation:
+    """BCPD registration — drop-in for reference bcpd.py:159-185.
+
+    Args:
+        source: Source point cloud (ndarray or open3d PointCloud).
+        target: Target point cloud.
+        w: Weight of the uniform outlier distribution.
+        maxiter: Maximum VI iterations.
+        tol: Tolerance on the nearest-neighbor RMSE criterion.
+        callbacks: Called with the current Transformation each iteration
+            (receives the transform in normalized coordinates when
+            ``normalize`` is on).
+        normalize: Register in coordinates rescaled so the initial EM
+            temperature sigma2_0 = squared_kernel_sum is exactly 1, then
+            denormalize the result. The BCPD hyperparameters (IMQ kernel
+            c=1, lmd=2, the sigma2_p**2 in the Sigma update) are only
+            well-behaved near that regime — the reference works on its
+            fish example (sigma2_0 = 1.08) and collapses on the 0.1-scale
+            horse; this makes the algorithm scale-invariant. Set False for
+            raw reference behavior. For dense clouds a larger ``lmd``
+            (e.g. 10) strengthens the motion-coherence prior and speeds
+            convergence of the rigid component.
+
+    Returns:
+        tf.Transformation: Estimated CombinedTransformation.
+    """
+    src = np.asarray(interop.as_points(source), dtype=np.float64)
+    tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    if not normalize:
+        bc = CombinedBCPD(src, **kwargs)
+        bc.set_callbacks(callbacks)
+        return bc.registration(tgt, w, maxiter, tol)
+
+    centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
+    src_h, tgt_h = src - centroid, tgt - centroid
+    m, dim = src.shape
+    skc = float(
+        (src_h ** 2).sum() * tgt.shape[0] + (tgt_h ** 2).sum() * m
+        - 2.0 * float(src_h.sum(0) @ tgt_h.sum(0))
+    ) / (m * dim * tgt.shape[0])
+    scale = max(np.sqrt(skc), 1e-12)
+    bc = CombinedBCPD((src - centroid) / scale, **kwargs)
+    bc.set_callbacks(callbacks)
+    res = bc.registration((tgt - centroid) / scale, w, maxiter, tol)
+    # Denormalize: y -> s R (y + v_raw) + t_raw with
+    # v_raw = scale * v_hat - centroid, t_raw = scale * t_hat + centroid.
+    rt = res.rigid_trans
+    v_raw = scale * res.v - centroid
+    t_raw = scale * rt.t + centroid
+    return tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw)
