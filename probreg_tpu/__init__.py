@@ -15,5 +15,32 @@ import jax as _jax
 # effectively free. Override with jax.default_matmul_precision(...) if needed.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import cpd, log, math_utils, se3_op, transformation  # noqa: F401
+# Package surface mirroring the reference probreg/__init__.py:1-3
+# (bcpd, callbacks, cpd, filterreg, gmmtree, l2dist_regs, log, math_utils,
+# transformation) plus the framework-native modules.
+from . import (  # noqa: F401
+    bcpd,
+    cost_functions,
+    cpd,
+    features,
+    filterreg,
+    gauss_transform,
+    gaussian_filtering,
+    gmmtree,
+    l2dist_regs,
+    log,
+    math_utils,
+    parallel,
+    se3_op,
+    transformation,
+)
 from .version import __version__  # noqa: F401
+
+
+def __getattr__(name):
+    # callbacks pulls in matplotlib; import lazily to keep import light.
+    if name == "callbacks":
+        import importlib
+
+        return importlib.import_module(".callbacks", __name__)
+    raise AttributeError(name)
