@@ -410,15 +410,21 @@ class DeformableKinematicFilterReg(FilterReg):
         dxdz = so.diff_x_from_twist(t_source)           # (M, 3, 6)
         drxdz = drxdx[:, None, None] * dxdz             # (M, 3, 6)
 
-        # A = sum over points of blockwise (pair0, pair1) J^T J contributions
-        # (reference assembles per ordered pair; symmetric by construction).
-        jtj = jnp.einsum("mik,mil,m->mkl", drxdz, drxdz, val[:, 0] * val[:, 1])
+        # Full blended-skinning J^T J: d x_i / d tw_k = w_ik * dxdz_i, so
+        # each point contributes a 2x2 grid of 6x6 blocks (w0^2, w0 w1,
+        # w1 w0, w1^2) between its two nodes. (The reference assembles only
+        # the off-diagonal blocks and half the gradient,
+        # filterreg.py:231-238/246-253 — with dq3d absent it ships untested;
+        # that system is singular for shared-pair clouds.)
+        jtj = jnp.einsum("mik,mil->mkl", drxdz, drxdz)  # (M, 6, 6)
         a = jnp.zeros((n_nodes * n6d, n_nodes * n6d), t_source.dtype)
-        rows = (pair[:, 0] * n6d)[:, None, None] + jnp.arange(n6d)[None, :, None]
-        cols = (pair[:, 1] * n6d)[:, None, None] + jnp.arange(n6d)[None, None, :]
-        a = a.at[rows, cols].add(jtj)
-        a = a.at[cols.transpose(0, 2, 1), rows.transpose(0, 2, 1)].add(
-            jtj.transpose(0, 2, 1))
+        off = jnp.arange(n6d)
+        for pi in range(2):
+            for pj in range(2):
+                rows = (pair[:, pi] * n6d)[:, None, None] + off[None, :, None]
+                cols = (pair[:, pj] * n6d)[:, None, None] + off[None, None, :]
+                a = a.at[rows, cols].add(
+                    jtj * (val[:, pi] * val[:, pj])[:, None, None])
 
         def blend_apply(tw_all):
             tws = tw_all.reshape(n_nodes, n6d)
@@ -433,9 +439,10 @@ class DeformableKinematicFilterReg(FilterReg):
             x = blend_apply(tw)
             rx = drxdx[:, None] * (x - m1m0)
             b = jnp.zeros((n_nodes * n6d,), t_source.dtype)
-            contrib = jnp.einsum("mik,mi,m->mk", drxdz, rx, val[:, 0])
-            brows = (pair[:, 0] * n6d)[:, None] + jnp.arange(n6d)[None, :]
-            b = b.at[brows].add(contrib)
+            jr = jnp.einsum("mik,mi->mk", drxdz, rx)    # (M, 6)
+            for pi in range(2):
+                brows = (pair[:, pi] * n6d)[:, None] + jnp.arange(n6d)[None, :]
+                b = b.at[brows].add(jr * val[:, pi:pi + 1])
             dtw = jnp.linalg.lstsq(a, b, rcond=None)[0]
             return tw - dtw, jnp.linalg.norm(dtw), it + 1
 

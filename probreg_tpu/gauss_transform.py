@@ -45,13 +45,26 @@ class GaussTransform:
     Args:
         source: Source data.
         h: Bandwidth parameter of the Gaussian.
-        eps: Accepted for compatibility (the TPU path is exact).
-        sw_h: Accepted for compatibility.
+        eps: IFGT target error (only used with method='ifgt').
+        sw_h: Accepted for compatibility (the reference switches Direct/IFGT
+            on h < sw_h; here 'exact' is the default — it is the fast path
+            on TPU — and 'ifgt' is opt-in).
+        method: 'exact' (default) or 'ifgt'
+            (:class:`probreg_tpu.ops.ifgt.Ifgt`).
     """
 
-    def __init__(self, source, h: float, eps: float = 1.0e-4, sw_h: float = 0.01):
-        del eps, sw_h
-        self._impl = Direct(source, h)
+    def __init__(self, source, h: float, eps: float = 1.0e-4,
+                 sw_h: float = 0.01, method: str = "exact"):
+        del sw_h
+        if method == "ifgt":
+            from .ops.ifgt import Ifgt
+
+            self._impl = Ifgt(np.asarray(source), h, eps)
+            self._impl._h = float(h)
+            # Ifgt exposes .compute(target, weights) like Direct.
+            self._impl._source = jnp.asarray(source, jnp.float32)
+        else:
+            self._impl = Direct(source, h)
         self._m = np.asarray(source).shape[0]
 
     def compute(self, target, weights: Optional[np.ndarray] = None):
@@ -61,10 +74,13 @@ class GaussTransform:
         if weights.ndim == 1:
             return self._impl.compute(target, weights)
         if weights.ndim == 2:
-            # (C, M) row-wise transforms, like the reference loop
-            # (gauss_transform.py:57-58) but batched in one call.
-            out = gto.gauss_transform(
-                self._impl._source, jnp.asarray(target, jnp.float32),
-                jnp.asarray(weights.T, jnp.float32), self._impl._h)
-            return np.asarray(out).T
+            if isinstance(self._impl, Direct):
+                # (C, M) row-wise transforms, like the reference loop
+                # (gauss_transform.py:57-58) but batched in one call.
+                out = gto.gauss_transform(
+                    self._impl._source, jnp.asarray(target, jnp.float32),
+                    jnp.asarray(weights.T, jnp.float32), self._impl._h)
+                return np.asarray(out).T
+            return np.stack(
+                [np.asarray(self._impl.compute(target, w)) for w in weights])
         raise ValueError("weights.ndim must be 1 or 2.")

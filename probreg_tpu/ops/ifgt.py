@@ -1,0 +1,227 @@
+"""Improved Fast Gauss Transform (IFGT), native JAX.
+
+TPU-native equivalent of the reference's C++ IFGT + k-center clustering
+(probreg/cc/ifgt.{h,cc}, probreg/cc/kcenter_clustering.{h,cc}): an
+eps-approximate Gauss transform
+
+    G(y_i) = sum_j w_j exp(-|y_i - x_j|^2 / h^2)
+
+via multivariate-Taylor expansions around k-center cluster centers. The
+per-point scalar loops of the C++ become:
+
+* cluster coefficient accumulation = one monomial-feature matrix and a
+  ``segment_sum`` over cluster labels;
+* evaluation = a ``lax.scan`` over clusters, each step one (T, p_max_total)
+  monomial matmul against the cluster's coefficient vector, masked by the
+  cutoff radius (ifgt.cc:121-148).
+
+The graded monomial bookkeeping (computeMonomials' heads/tails walk,
+ifgt.cc:64-97) is replaced by a host-precomputed exponent matrix E with
+monomials(d) = prod_i d_i^E[k, i] and constant series 2^|a| / a! — order
+is irrelevant as long as accumulation and evaluation agree.
+
+On TPU the exact tiled transform (ops/gausstransform.py) is usually faster
+at probreg's sizes; IFGT wins when N is large and h is moderate, cutting
+the per-pair transcendental count to O((N + T) * K).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pairwise import sqdist
+
+
+def nchoosek(n: int, k: int) -> int:
+    return math.comb(n, k)
+
+
+def multi_indices(dims: int, p: int) -> np.ndarray:
+    """All multi-indices with total degree < p, shape (nchoosek(p-1+d, d), d)."""
+    levels = [[tuple([0] * dims)]]
+    for _ in range(1, p):
+        new = set()
+        for a in levels[-1]:
+            for i in range(dims):
+                b = list(a)
+                b[i] += 1
+                new.add(tuple(b))
+        levels.append(sorted(new))
+    out = np.array([a for lvl in levels for a in lvl], np.int32)
+    assert out.shape[0] == nchoosek(p - 1 + dims, dims)
+    return out
+
+
+def choose_truncation_number(dims: int, h: float, r: float, eps: float,
+                             rx: float, p_limit: int = 200) -> int:
+    """ifgt.cc:25-41."""
+    h2 = h * h
+    rx2 = rx * rx
+    error = np.inf
+    temp = 1.0
+    p = 0
+    while error > eps and p <= p_limit:
+        p += 1
+        b = min(rx + np.sqrt(rx2 + 2.0 * p * h2) * 0.5, rx + r)
+        c = rx - b
+        temp *= 2.0 * rx * b / h2 / p
+        error = temp * np.exp(-(c * c) / h2)
+    return p
+
+
+def choose_parameters(dims: int, h: float, eps: float, max_range: float,
+                      num_max_clusters: int, p_limit: int = 200):
+    """ifgt.cc:43-62: (num_clusters, cutoff_radius r, p_max)."""
+    r = min(max_range * np.sqrt(dims), h * np.sqrt(np.log(1.0 / eps)))
+    complexity_min = np.inf
+    num_clusters = 0
+    p_max = p_limit
+    for i in range(num_max_clusters):
+        rx = max_range * (i + 1.0) ** (-1.0 / dims)
+        n = min(i + 1.0, (r / rx) ** dims)
+        p = choose_truncation_number(dims, h, r, eps, rx, p_limit)
+        complexity = i + 1 + np.log(i + 1.0) + (n + 1) * nchoosek(p - 1 + dims, dims)
+        if complexity < complexity_min:
+            complexity_min = complexity
+            num_clusters = i + 1
+            p_max = p
+    return num_clusters, float(r), int(p_max)
+
+
+class ClusteringResult(NamedTuple):
+    """Mirrors the C++ struct (kcenter_clustering.h:8-13)."""
+
+    max_cluster_radius: float
+    labels: jax.Array          # (N,) int32
+    centers: jax.Array         # (K, D)
+    radii: jax.Array           # (K,)
+
+
+@partial(jax.jit, static_argnames=("k", "max_iter"))
+def _kcenter(data, k, max_iter=100):
+    n, d = data.shape
+    # Deterministic spread init over the whole cloud (the C++ draws random
+    # indices in [0, k) — i.e. only ever from the first k points,
+    # kcenter_clustering.cc:10; a spread init strictly dominates).
+    idx0 = (jnp.arange(k) * n) // k
+    centers = data[idx0]
+
+    def body(carry, _):
+        centers, _ = carry
+        d2 = sqdist(data, centers)
+        labels = jnp.argmin(d2, axis=1)
+        err = jnp.sum(jnp.min(d2, axis=1))
+        sums = jax.ops.segment_sum(data, labels, num_segments=k)
+        cnt = jax.ops.segment_sum(jnp.ones((n,), data.dtype), labels,
+                                  num_segments=k)
+        centers = sums / jnp.maximum(cnt, 1.0)[:, None]
+        return (centers, err), None
+
+    (centers, _), _ = jax.lax.scan(body, (centers, jnp.asarray(0.0, data.dtype)),
+                                   None, length=max_iter)
+    d2 = sqdist(data, centers)
+    labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    dist = jnp.sqrt(jnp.min(d2, axis=1))
+    radii = jax.ops.segment_max(dist, labels, num_segments=k)
+    radii = jnp.where(jnp.isfinite(radii), radii, 0.0)
+    return labels, centers, radii
+
+
+def kcenter_clustering(data, num_clusters: int, eps: float = 1e-4,
+                       max_iter: int = 100) -> ClusteringResult:
+    """K-center clustering (kcenter_clustering.cc:6-29)."""
+    labels, centers, radii = _kcenter(
+        jnp.asarray(data, jnp.float32), int(num_clusters), max_iter=max_iter)
+    return ClusteringResult(float(jnp.max(radii)), labels, centers, radii)
+
+
+def _monomials(d_scaled, expo):
+    """(P, pmax) monomials: prod_i d_i^E[k, i]. d_scaled (P, dims)."""
+    p_max_deg = int(expo.max()) + 1
+    pows = jnp.ones(d_scaled.shape + (p_max_deg,), d_scaled.dtype)
+    if p_max_deg > 1:
+        pows = jnp.cumprod(
+            jnp.concatenate([jnp.ones_like(d_scaled)[..., None],
+                             jnp.repeat(d_scaled[..., None], p_max_deg - 1, -1)],
+                            axis=-1), axis=-1)
+    out = jnp.ones((d_scaled.shape[0], expo.shape[0]), d_scaled.dtype)
+    for i in range(expo.shape[1]):
+        out = out * pows[:, i, :][:, expo[:, i]]
+    return out
+
+
+class Ifgt:
+    """eps-approximate Gauss transform (drop-in for the C++ Ifgt class).
+
+    Args:
+        source: (N, D) source points.
+        h: Gaussian bandwidth (exp(-d^2 / h^2) convention).
+        eps: Target relative error.
+    """
+
+    def __init__(self, source, h: float, eps: float = 1.0e-4):
+        self._source = jnp.asarray(source, jnp.float32)
+        self._h = float(h)
+        n, dims = self._source.shape
+        src_np = np.asarray(self._source)
+        max_range = float((src_np.max(0) - src_np.min(0)).max())
+        max_range = max(max_range, 1e-6)
+        num_clusters, self._cutoff, p_max = choose_parameters(
+            dims, self._h, eps, max_range, n)
+        if num_clusters == 0:
+            raise RuntimeError("Result of K center clustering is 0.")
+        self._cluster = kcenter_clustering(self._source, num_clusters, eps)
+        r = min(max_range * np.sqrt(dims),
+                self._h * np.sqrt(np.log(1.0 / eps)))
+        self._p = choose_truncation_number(
+            dims, self._h, r, eps, self._cluster.max_cluster_radius, p_max)
+        expo_np = multi_indices(dims, self._p)
+        const = (2.0 ** expo_np.sum(1)) / np.array(
+            [np.prod([math.factorial(int(a)) for a in row]) for row in expo_np])
+        const_np = const.astype(np.float32)
+        self._ry2 = (self._cutoff + self._cluster.radii) ** 2
+        # expo/const are baked into the trace as constants (the monomial
+        # structure is static per instance).
+        self._compute = jax.jit(
+            lambda source, target, weights, h, labels, centers, ry2:
+            _ifgt_compute(source, target, weights, h, labels, centers, ry2,
+                          expo_np, const_np))
+
+    def compute(self, target, weights) -> jax.Array:
+        return self._compute(
+            self._source, jnp.asarray(target, jnp.float32),
+            jnp.asarray(weights, jnp.float32), self._h,
+            self._cluster.labels, self._cluster.centers, self._ry2)
+
+
+def _ifgt_compute(source, target, weights, h, labels, centers, ry2, expo,
+                  const):
+    h2 = h * h
+    k = centers.shape[0]
+    # Accumulate cluster Taylor coefficients (ifgt.cc:124-134).
+    dx = (source - centers[labels]) / h
+    dist2 = jnp.sum((source - centers[labels]) ** 2, axis=1)
+    mon = _monomials(dx, expo)                       # (N, pmax)
+    f = weights * jnp.exp(-dist2 / h2)               # (N,)
+    cmat = jax.ops.segment_sum(f[:, None] * mon, labels,
+                               num_segments=k)       # (K, pmax)
+    cmat = cmat * const[None, :]
+
+    # Evaluate per cluster with cutoff (ifgt.cc:136-147).
+    def body(acc, inp):
+        c_j, coef_j, ry2_j = inp
+        dy = target - c_j
+        dist2 = jnp.sum(dy * dy, axis=1)
+        mon_t = _monomials(dy / h, expo)             # (T, pmax)
+        g = jnp.exp(-dist2 / h2) * (mon_t @ coef_j)
+        return acc + jnp.where(dist2 <= ry2_j, g, 0.0), None
+
+    init = jnp.zeros((target.shape[0],), target.dtype)
+    out, _ = jax.lax.scan(body, init, (centers, cmat, ry2))
+    return out

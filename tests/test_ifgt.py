@@ -1,0 +1,44 @@
+"""IFGT vs direct Gauss transform (reference tests/test_gauss_transform.py)."""
+
+import numpy as np
+import pytest
+
+from probreg_tpu.ops import ifgt as ifgt_ops
+
+
+def direct(source, target, weights, h):
+    d2 = ((target[:, None] - source[None]) ** 2).sum(-1)
+    return np.exp(-d2 / (h * h)) @ weights
+
+
+def test_kcenter_separates_blobs(rng):
+    """Reference tests/test_gauss_transform.py:7-15."""
+    a = rng.normal(size=(50, 3)) * 0.1
+    b = rng.normal(size=(50, 3)) * 0.1 + np.array([5.0, 0, 0])
+    data = np.concatenate([a, b]).astype(np.float32)
+    res = ifgt_ops.kcenter_clustering(data, 2)
+    labels = np.asarray(res.labels)
+    assert len(np.unique(labels[:50])) == 1
+    assert len(np.unique(labels[50:])) == 1
+    assert labels[0] != labels[50]
+
+
+@pytest.mark.parametrize("h", [0.5, 1.0])
+def test_ifgt_matches_direct(rng, h):
+    """Reference tests/test_gauss_transform.py:17-28 (atol/rtol 1e-4)."""
+    src = rng.random((120, 3)).astype(np.float32)
+    tgt = rng.random((80, 3)).astype(np.float32)
+    w = rng.random(120).astype(np.float32)
+    gt = ifgt_ops.Ifgt(src, h, eps=1.0e-4)
+    out = np.asarray(gt.compute(tgt, w))
+    ref = direct(src, tgt, w, h)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_ifgt_2d(rng):
+    src = rng.random((100, 2)).astype(np.float32)
+    w = rng.random(100).astype(np.float32)
+    gt = ifgt_ops.Ifgt(src, 0.4, eps=1.0e-4)
+    out = np.asarray(gt.compute(src, w))
+    ref = direct(src, src, w, 0.4)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
