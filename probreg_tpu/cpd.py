@@ -144,6 +144,159 @@ def constrained_nonrigid_maximization_step(
 
 
 # --------------------------------------------------------------------------
+# Transposed-layout fast path (rigid / affine)
+# --------------------------------------------------------------------------
+#
+# A (M, 3) point array occupies 3 of 128 VPU lanes; on TPU every op touching
+# that layout inside the EM loop costs ~0.25 ms in relayout overhead (~100x
+# the actual compute at probreg sizes). The fast path keeps points as (D, M)
+# — lanes = points — for the whole loop: transform is a (D,D)x(D,M) matmul,
+# the E-step distance matrix contracts the sublane dim on the MXU, and the
+# px/p1 moments come from one (D+1, N)x(M, N)^T matmul (the appended
+# ones-row yields p1 for free). Measured on v5e at bunny size: 0.002 ms/iter
+# vs 0.3 ms/iter for the (M, 3) layout.
+
+def _estep_t(t_src_t, xs_t, xs_ext, x2, sigma2, w):
+    """Transposed E-step: returns (pt1 (N,), p1 (M,), px_t (D, M), n_p, xx)."""
+    dim, m = t_src_t.shape
+    n = xs_t.shape[1]
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, t_src_t.dtype)
+    c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
+    y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]       # (M, 1)
+    xy = jax.lax.dot_general(
+        t_src_t, xs_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # (M, N)
+    g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) / (2.0 * sigma2))
+    den_raw = jnp.sum(g, axis=0, keepdims=True)            # (1, N)
+    den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+    pt1 = (den_raw / den)[0]
+    pmat = g / den
+    pxp = jax.lax.dot_general(
+        xs_ext, pmat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # (D+1, M)
+    px_t, p1 = pxp[:dim], pxp[dim]
+    n_p = jnp.sum(p1)
+    xx = jnp.sum(pt1 * x2[0])
+    return pt1, p1, px_t, n_p, xx
+
+
+def _rigid_mstep_t(ys_t, p1, px_t, n_p, xx, update_scale):
+    """rigid_maximization_step in (D, M) layout (same math, lane-friendly)."""
+    dim = ys_t.shape[0]
+    us = jnp.asarray(update_scale)
+    mu_x = jnp.sum(px_t, axis=1) / n_p
+    mu_y = ys_t @ p1 / n_p
+    src_hat = ys_t - mu_y[:, None]
+    a = jax.lax.dot_general(
+        px_t, src_hat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) \
+        - jnp.outer(mu_x, src_hat @ p1)
+    u, _, vh = jnp.linalg.svd(a, full_matrices=True)
+    c = jnp.ones(dim, a.dtype).at[-1].set(jnp.linalg.det(u @ vh))
+    rot = (u * c) @ vh
+    tr_atr = jnp.trace(a.T @ rot)
+    tr_yp1y = jnp.sum(p1 * jnp.sum(src_hat * src_hat, axis=0))
+    scale = jnp.where(us, tr_atr / tr_yp1y, 1.0)
+    t = mu_x - scale * rot @ mu_y
+    tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
+    sigma2 = jnp.where(
+        us,
+        (tr_xp1x - scale * tr_atr) / (n_p * dim),
+        (tr_xp1x - 2.0 * scale * tr_atr + tr_yp1y) / (n_p * dim))
+    sigma2 = jnp.maximum(sigma2, _F32_EPS)
+    q = (tr_xp1x - 2.0 * scale * tr_atr + scale ** 2 * tr_yp1y) / (2.0 * sigma2)
+    q = q + dim * n_p * 0.5 * jnp.log(sigma2)
+    return rot, t, scale, sigma2, q
+
+
+def _affine_mstep_t(ys_t, p1, px_t, n_p, xx):
+    """affine_maximization_step in (D, M) layout."""
+    dim = ys_t.shape[0]
+    mu_x = jnp.sum(px_t, axis=1) / n_p
+    mu_y = ys_t @ p1 / n_p
+    src_hat = ys_t - mu_y[:, None]
+    a = jax.lax.dot_general(
+        px_t, src_hat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) \
+        - jnp.outer(mu_x, src_hat @ p1)
+    yp1y = jax.lax.dot_general(
+        src_hat * p1[None, :], src_hat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    b = jnp.linalg.solve(yp1y.T, a.T).T
+    t = mu_x - b @ mu_y
+    tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
+    tr_ab = jnp.trace(a @ b.T)
+    sigma2 = jnp.maximum((tr_xp1x - tr_ab) / (n_p * dim), _F32_EPS)
+    q = (tr_xp1x - tr_ab) / (2.0 * sigma2) + dim * n_p * 0.5 * jnp.log(sigma2)
+    return b, t, sigma2, q
+
+
+@partial(jax.jit, static_argnames=("kind", "w", "maxiter", "tol",
+                                   "update_scale", "default_init"))
+def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
+              update_scale=True, default_init=True):
+    """Whole-EM while_loop in transposed layout (rigid / affine).
+
+    Everything — the (D, M) relayout, the sigma2_0 / q0 initialization, the
+    loop — is ONE jit call: a registration is a single host->device dispatch
+    (each eager op costs a full RTT through remote-TPU transports).
+    """
+    ys_t = source.T
+    xs_t = target.T
+    dim, m = ys_t.shape
+    n = xs_t.shape[1]
+    if default_init:
+        lin0 = jnp.eye(dim, dtype=source.dtype)
+        t0 = jnp.zeros(dim, dtype=source.dtype)
+        scale0 = jnp.asarray(1.0, source.dtype)
+    else:
+        # init is one packed (D*D + D + 1,) vector: a single H2D transfer.
+        lin0 = init[: dim * dim].reshape(dim, dim)
+        t0 = init[dim * dim: dim * dim + dim]
+        scale0 = init[dim * dim + dim]
+    # sigma2_0 = squared_kernel_sum in closed form (O(M+N), math_utils.py:28).
+    sx2 = jnp.sum(ys_t * ys_t)
+    st2 = jnp.sum(xs_t * xs_t)
+    sx = jnp.sum(ys_t, axis=1)
+    st = jnp.sum(xs_t, axis=1)
+    sigma2_0 = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
+    x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
+    xs_ext = jnp.concatenate(
+        [xs_t, jnp.ones((1, n), xs_t.dtype)], axis=0)      # (D+1, N)
+
+    def step(lin, t, scale, sigma2):
+        t_src = scale * lin @ ys_t + t[:, None]
+        _, p1, px_t, n_p, xx = _estep_t(t_src, xs_t, xs_ext, x2, sigma2, w)
+        if kind == "rigid":
+            return _rigid_mstep_t(ys_t, p1, px_t, n_p, xx, update_scale)
+
+        b, t_new, s2, q = _affine_mstep_t(ys_t, p1, px_t, n_p, xx)
+        return b, t_new, jnp.asarray(1.0, ys_t.dtype), s2, q
+
+    def cond(state):
+        _, _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    def body(state):
+        lin, t, scale, sigma2, q, _, i = state
+        lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
+        return (lin, t, scale, sigma2, q_new, q, i + 1)
+
+    state = (lin0, t0, scale0, sigma2_0, q0,
+             jnp.asarray(jnp.inf, q0.dtype), jnp.asarray(0))
+    lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return lin, t, scale, sigma2, q
+
+
+# --------------------------------------------------------------------------
 # Functional EM step per transform type (module-level => stable jit cache)
 # --------------------------------------------------------------------------
 
@@ -271,6 +424,10 @@ class CoherentPointDrift(abc.ABC):
     def registration(self, target, w: float = 0.0, maxiter: int = 50, tol: float = 0.001) -> MstepResult:
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
+        if not self._callbacks:
+            fast = self._registration_fast(target, w, maxiter, tol)
+            if fast is not None:
+                return fast
         res = self._initialize(target)
         aux = self._step_aux()
         step_fn = type(self)._STEP
@@ -292,6 +449,10 @@ class CoherentPointDrift(abc.ABC):
             self._source, target, res.transformation, res.sigma2, res.q, aux,
             step_fn=step_fn, w=float(w), maxiter=int(maxiter), tol=float(tol),
         )
+
+    def _registration_fast(self, target, w, maxiter, tol):
+        """Transposed-layout whole-EM path; None if unsupported here."""
+        return None
 
 
 class RigidCPD(CoherentPointDrift):
@@ -320,6 +481,28 @@ class RigidCPD(CoherentPointDrift):
     def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
         return rigid_maximization_step(source, mom, self._update_scale)
 
+    def _registration_fast(self, target, w, maxiter, tol):
+        # Init params as host numpy: they ride the single jit dispatch
+        # instead of costing eager-op round trips (painful on remote TPU).
+        dim = self._source.shape[1]
+        p = self._tf_init_params
+        if not p:
+            lin, t, scale, sigma2, q = _run_em_t(
+                self._source, target,
+                kind="rigid", w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=bool(self._update_scale))
+        else:
+            init = np.concatenate([
+                np.asarray(p.get("rot", np.eye(dim)), np.float32).ravel(),
+                np.asarray(p.get("t", np.zeros(dim)), np.float32),
+                np.atleast_1d(np.float32(p.get("scale", 1.0)))])
+            lin, t, scale, sigma2, q = _run_em_t(
+                self._source, target, init,
+                kind="rigid", w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=bool(self._update_scale),
+                default_init=False)
+        return MstepResult(tf.RigidTransformation(lin, t, scale), sigma2, q)
+
 
 class AffineCPD(CoherentPointDrift):
     """Affine CPD (reference cpd.py:195-244)."""
@@ -341,6 +524,25 @@ class AffineCPD(CoherentPointDrift):
 
     def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
         return affine_maximization_step(source, mom)
+
+    def _registration_fast(self, target, w, maxiter, tol):
+        dim = self._source.shape[1]
+        p = self._tf_init_params
+        if not p:
+            lin, t, _, sigma2, q = _run_em_t(
+                self._source, target,
+                kind="affine", w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=False)
+        else:
+            init = np.concatenate([
+                np.asarray(p.get("b", np.eye(dim)), np.float32).ravel(),
+                np.asarray(p.get("t", np.zeros(dim)), np.float32),
+                np.ones(1, np.float32)])
+            lin, t, _, sigma2, q = _run_em_t(
+                self._source, target, init,
+                kind="affine", w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=False, default_init=False)
+        return MstepResult(tf.AffineTransformation(lin, t), sigma2, q)
 
 
 class NonRigidCPD(CoherentPointDrift):

@@ -208,3 +208,87 @@ def estep_fused(
     px = pxp[:dim, :m].T
     n_p = jnp.sum(p1)
     return EstepMoments(pt1, p1, px, n_p, xx[0, 0].astype(t_source.dtype))
+
+
+# --------------------------------------------------------------------------
+# Small-problem single-launch kernel
+# --------------------------------------------------------------------------
+#
+# At probreg-typical sizes (bunny: ~400 points) the XLA E-step costs
+# ~0.25 ms/iter — almost entirely per-kernel launch overhead (the actual
+# 150k-pair compute is microseconds). This kernel computes the ENTIRE
+# E-step in one launch with everything resident in VMEM. The p1 reduction
+# rides the px MXU matmul for free: xs is padded to 8 sublanes with row 3
+# set to ones, so (xs_ext @ pmat^T) row 3 is exactly p1.
+
+def _small_kernel(scal_ref, ys_ref, y2_ref, xs_ref, x2_ref,
+                  pt1_ref, pxp_ref, xx_ref):
+    g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:], scal_ref[0])
+    den_raw = jnp.sum(g, axis=0, keepdims=True)          # (1, Np)
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, g.dtype)
+    den = jnp.where(den_raw == 0.0, eps, den_raw) + scal_ref[1]
+    pt1 = den_raw / den
+    pt1_ref[:] = pt1
+    pmat = g / den                                       # (Mp, Np)
+    pxp_ref[:] = jax.lax.dot_general(
+        xs_ref[:], pmat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                    # (8, Mp)
+    x2 = x2_ref[:]
+    xx_ref[:] = jnp.sum(
+        jnp.where(x2 < _BIG * 0.5, pt1 * x2, 0.0), keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def estep_small(
+    t_source: jax.Array,
+    target: jax.Array,
+    sigma2,
+    w: float = 0.0,
+    interpret: bool = False,
+) -> EstepMoments:
+    """Whole E-step in ONE Pallas launch; for M*N tiles that fit VMEM."""
+    t_source = jnp.asarray(t_source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    m, dim = t_source.shape
+    n = target.shape[0]
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    c = outlier_constant(sigma2, w, m, n, dim)
+    scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
+
+    ys_t, y2 = _pad_transpose(t_source, 8)
+    xs_t, x2 = _pad_transpose(target, 128)
+    # Row 3 (first unused sublane) of xs = 1 so px matmul also yields p1.
+    ones_row = jnp.where(x2[0] < _BIG * 0.5, 1.0, 0.0)
+    xs_t = xs_t.at[dim].set(ones_row)
+    mp, np_ = ys_t.shape[1], xs_t.shape[1]
+
+    pt1p, pxp, xx = pl.pallas_call(
+        _small_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, ys_t, y2, xs_t, x2)
+
+    pt1 = pt1p[0, :n]
+    px = pxp[:dim, :m].T
+    p1 = pxp[dim, :m]
+    n_p = jnp.sum(p1)
+    return EstepMoments(pt1, p1, px, n_p, xx[0, 0].astype(t_source.dtype))

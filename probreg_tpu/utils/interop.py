@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import numpy as np
 
 try:  # pragma: no cover - open3d is optional
@@ -26,7 +27,14 @@ def has_open3d() -> bool:
 
 
 def as_points(x: Any, dtype=np.float32) -> np.ndarray:
-    """Convert point-cloud-ish input to a host (N, D) float array."""
+    """Convert point-cloud-ish input to an (N, D) float array.
+
+    Device (jax) arrays of the right dtype pass through untouched —
+    ``np.asarray`` on one would silently round-trip device->host->device
+    (two RTTs per registration on remote TPU).
+    """
+    if isinstance(x, jax.Array):
+        return x if x.dtype == dtype else x.astype(dtype)
     if _HAS_O3:
         if isinstance(x, _o3.geometry.PointCloud):
             return np.asarray(x.points, dtype=dtype)
