@@ -110,27 +110,148 @@ def _outlier_c(sigma2, w, m, n, dim):
 # --------------------------------------------------------------------------
 # Whole-EM jitted runner (dense E-step, identity features)
 # --------------------------------------------------------------------------
+#
+# Transposed (D, M) layout throughout — see the layout note in cpd.py: any
+# op touching an (M, 3) array inside the loop costs ~0.25 ms of relayout on
+# TPU. All E-step moments come from ONE (C, N) x (M, N)^T matmul where the
+# channel matrix stacks [ones; x; |x|^2; normals].
+
+def _kabsch_t(model_t, target_t, w):
+    """weighted_kabsch in (D, M) layout (kabsch.cc:6-56 semantics)."""
+    dim = model_t.shape[0]
+    total = jnp.sum(w)
+    safe = jnp.where(total == 0.0, 1.0, total)
+    mc = model_t @ w / safe
+    tc = target_t @ w / safe
+    w2 = w * w
+    hh = jax.lax.dot_general(
+        (model_t - mc[:, None]) * w2[None, :], target_t - tc[:, None],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    h_weight = jnp.sum(w2)
+    hh = hh / jnp.where(h_weight == 0.0, 1.0, h_weight)
+    if dim == 2:
+        angle = jnp.arctan2(hh[0, 1] - hh[1, 0], hh[0, 0] + hh[1, 1])
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        r = jnp.array([[ca, -sa], [sa, ca]])
+    else:
+        u, _, vh = jnp.linalg.svd(hh)
+        s = jnp.ones(dim, hh.dtype).at[-1].set(jnp.linalg.det(u @ vh.T))
+        r = (vh.T * s) @ u.T
+    t = tc - r @ mc
+    eye = jnp.eye(dim, dtype=model_t.dtype)
+    r = jnp.where(total == 0.0, eye, r)
+    t = jnp.where(total == 0.0, jnp.zeros_like(t), t)
+    return r, t
+
+
+def _pt2pl_t(model_t, target_t, normal_t, w):
+    """twist_for_pt2pl in (D, M) layout (point_to_plane.cc:6-32)."""
+    resid = jnp.sum(normal_t * (target_t - model_t), axis=0)   # (M,)
+    # cross(model, normal) column-wise
+    cx = model_t[1] * normal_t[2] - model_t[2] * normal_t[1]
+    cy = model_t[2] * normal_t[0] - model_t[0] * normal_t[2]
+    cz = model_t[0] * normal_t[1] - model_t[1] * normal_t[0]
+    jac = jnp.stack([cx, cy, cz, normal_t[0], normal_t[1], normal_t[2]])
+    ata = jax.lax.dot_general(
+        jac * w[None, :], jac, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                   # (6, 6)
+    atb = jac @ (w * resid)
+    r_sum = jnp.sum(w * w * resid * resid)
+    degenerate = jnp.max(jnp.abs(ata)) == 0.0
+    safe_ata = jnp.where(degenerate, jnp.eye(6, dtype=ata.dtype), ata)
+    tw = jnp.linalg.lstsq(safe_ata, atb, rcond=1e-6)[0]
+    tw = jnp.where(degenerate, jnp.zeros_like(tw), tw)
+    wn = jnp.linalg.norm(tw[:3])
+    tw = tw * jnp.minimum(1.0, 0.5 / jnp.maximum(wn, 1e-12))
+    return tw, r_sum
+
 
 @partial(jax.jit, static_argnames=("objective_type", "update_sigma2", "w",
                                    "maxiter", "tol", "min_sigma2",
-                                   "sigma2_decay"))
+                                   "sigma2_decay", "auto_sigma2"))
 def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
                   objective_type, update_sigma2, w, maxiter, tol, min_sigma2,
-                  sigma2_decay=1.0):
+                  sigma2_decay=1.0, auto_sigma2=False):
     m, dim = source.shape
     n = target.shape[0]
+    ys_t = source.T                                            # (D, M)
+    xs_t = target.T                                            # (D, N)
+    x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)           # (1, N)
+    nrm_t = None if normals is None else normals.T
+
+    chans = [jnp.ones((1, n), xs_t.dtype), xs_t]
+    if update_sigma2:
+        chans.append(x2)
+    if objective_type == "pt2pl":
+        chans.append(nrm_t)
+    v_t = jnp.concatenate(chans, axis=0)                       # (C, N)
+
+    if auto_sigma2:
+        if objective_type == "pt2pl":
+            # Point-spacing scale (see registration()): mean nonzero-NN d^2.
+            d2x = jnp.maximum(
+                x2.T + x2 - 2.0 * jax.lax.dot_general(
+                    xs_t, xs_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0)
+            d2x = jnp.where(d2x <= 1e-12, jnp.inf, d2x)
+            nn2 = jnp.min(d2x, axis=1)
+            nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
+            sigma2_0 = jnp.maximum(jnp.mean(nn2), min_sigma2 * 0.01)
+        else:
+            sx2 = jnp.sum(ys_t * ys_t)
+            st2 = jnp.sum(x2)
+            sx = jnp.sum(ys_t, axis=1)
+            st = jnp.sum(xs_t, axis=1)
+            skc = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+            sigma2_0 = jnp.maximum(skc, min_sigma2)
 
     def step(rot, t, sigma2):
-        t_source = source @ rot.T + t
-        sigma = jnp.sqrt(sigma2)
-        m0, m1, m2, nx = gto.filterreg_moments(
-            t_source / sigma, target / sigma, target,
-            normals, need_m2=update_sigma2,
-        )
+        t_src = rot @ ys_t + t[:, None]                        # (D, M)
+        inv2s2 = 0.5 / sigma2
+        y2 = jnp.sum(t_src * t_src, axis=0)[:, None]           # (M, 1)
+        xy = jax.lax.dot_general(
+            t_src, xs_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (M, N)
+        k = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) * inv2s2)
+        mom = jax.lax.dot_general(
+            v_t, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (C, M)
+        m0 = mom[0]
+        m1_t = mom[1:1 + dim]
+        col = 1 + dim
+        m2 = None
+        if update_sigma2:
+            m2 = mom[col]
+            col += 1
+        nx_t = mom[col:col + dim] if objective_type == "pt2pl" else None
+
         c = _outlier_c(sigma2, w, m, n, dim)
+        mask = (m0 > 0.0).astype(t_src.dtype)
+        m0_safe = jnp.maximum(m0, _EPS)
+        m1m0_t = m1_t / m0_safe[None, :]
+        m0m0 = m0 / (m0 + c)
+        drxdx = mask * jnp.sqrt(m0m0 / sigma2)
         if objective_type == "pt2pt":
-            return rigid_mstep_pt2pt(t_source, m0, m1, m2, rot, t, sigma2, c)
-        return rigid_mstep_pt2pl(t_source, m0, m1, m2, nx, rot, t, sigma2, c)
+            dr, dt = _kabsch_t(t_src, m1m0_t, drxdx)
+            rx2 = jnp.sum((drxdx[None, :] * (t_src - m1m0_t)) ** 2, axis=0)
+            q = jnp.sum(jnp.sqrt(rx2))
+            rot_n, t_n = dr @ rot, dr @ t + dt
+        else:
+            nxm0_t = nx_t / m0_safe[None, :]
+            tw, q = _pt2pl_t(t_src, m1m0_t, nxm0_t, drxdx)
+            rot_n, t_n = so.twist_mul(tw, rot, t)
+        if m2 is None:
+            return rot_n, t_n, sigma2, q
+        num = m0 * jnp.sum(t_src * t_src, axis=0) \
+            - 2.0 * jnp.sum(t_src * m1_t, axis=0) + m2
+        s2 = jnp.sum(mask * num / (m0 + c))
+        s2 = s2 / (dim * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
+        return rot_n, t_n, s2, q
 
     def cond(state):
         _, _, _, q, q_prev, i = state
@@ -148,8 +269,8 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
         return (rot, t, s2, q_new, q, i + 1)
 
     state = (rot0, t0, sigma2_0,
-             jnp.asarray(jnp.inf, sigma2_0.dtype),
-             jnp.asarray(jnp.inf, sigma2_0.dtype), jnp.asarray(0))
+             jnp.asarray(jnp.inf, source.dtype),
+             jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
     rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
     return MstepResult(tf.RigidTransformation(rot, t), sigma2, q)
 
@@ -266,6 +387,34 @@ class FilterReg(abc.ABC):
                      sigma2_decay: float = 1.0) -> MstepResult:
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
+
+        fast = (
+            isinstance(self, RigidFilterReg)
+            and not self._callbacks
+            and self._estep_method == "dense"
+            and _is_identity_feature(feature_fn)
+        )
+        if fast:
+            normals = self._target_normals if objective_type == "pt2pl" else None
+            if objective_type == "pt2pl" and normals is None:
+                raise ValueError("pt2pl requires target_normals.")
+            auto = self._sigma2 is None
+            res = _run_em_rigid(
+                self._source, target, normals,
+                np.asarray(self._tf_result.rot, np.float32),
+                np.asarray(self._tf_result.t, np.float32),
+                np.float32(0.0 if auto else self._sigma2),
+                objective_type=objective_type,
+                update_sigma2=self._update_sigma2,
+                w=float(w), maxiter=int(maxiter), tol=float(tol),
+                min_sigma2=float(min_sigma2),
+                sigma2_decay=float(sigma2_decay),
+                auto_sigma2=auto,
+            )
+            self._tf_result = res.transformation
+            self._sigma2 = float(res.sigma2)
+            return res
+
         ftarget = feature_fn(target)
         if self._sigma2 is None:
             if objective_type == "pt2pl":
@@ -283,30 +432,6 @@ class FilterReg(abc.ABC):
                 fsource = feature_fn(self._source)
                 self._sigma2 = float(jnp.maximum(
                     mu.squared_kernel_sum(fsource, ftarget), min_sigma2))
-
-        fast = (
-            isinstance(self, RigidFilterReg)
-            and not self._callbacks
-            and self._estep_method == "dense"
-            and _is_identity_feature(feature_fn)
-        )
-        if fast:
-            normals = self._target_normals if objective_type == "pt2pl" else None
-            if objective_type == "pt2pl" and normals is None:
-                raise ValueError("pt2pl requires target_normals.")
-            res = _run_em_rigid(
-                self._source, target, normals,
-                self._tf_result.rot, self._tf_result.t,
-                jnp.asarray(self._sigma2, _config.config.dtype),
-                objective_type=objective_type,
-                update_sigma2=self._update_sigma2,
-                w=float(w), maxiter=int(maxiter), tol=float(tol),
-                min_sigma2=float(min_sigma2),
-                sigma2_decay=float(sigma2_decay),
-            )
-            self._tf_result = res.transformation
-            self._sigma2 = float(res.sigma2)
-            return res
 
         # Host loop (callbacks / feature functions / lattice parity).
         q = None
