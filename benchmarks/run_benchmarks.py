@@ -1,0 +1,186 @@
+"""Benchmark suite for probreg_tpu (north-star metrics from BASELINE.md).
+
+Usage:
+  python benchmarks/run_benchmarks.py bunny      # per-algorithm, current device
+  python benchmarks/run_benchmarks.py estep      # large-N E-step pair throughput
+  python benchmarks/run_benchmarks.py scaling    # sharded scaling (virtual mesh OK)
+  python benchmarks/run_benchmarks.py all
+
+Remote-TPU note: one dispatch+sync through the harness tunnel costs ~33 ms
+RTT; jit-able paths are measured amortized over an on-device batch (see
+bench.py), host-loop paths (SVR BFGS) single-shot.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _sync_mode():
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones(8)))  # force the transport out of pipelined mode
+
+
+def bench_bunny():
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from probreg_tpu import cpd, filterreg, gmmtree, l2dist_regs
+
+    src, tgt = B.prepare_clouds()
+    src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
+    jax.block_until_ready((src_d, tgt_d))
+    _sync_mode()
+    K = 30
+
+    def timed_batch(tag, run_one, ref_ms):
+        @jax.jit
+        def batch(s, t):
+            def body(carry, _):
+                out = run_one(s, t)
+                return carry + out[0] * 1e-30, out[1]
+            acc, last = jax.lax.scan(body, jnp.asarray(0.0, s.dtype), None,
+                                     length=K)
+            return acc, last
+        jax.block_until_ready(batch(src_d, tgt_d))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(batch(src_d, tgt_d))
+            ts.append(time.perf_counter() - t0)
+        ms = min(ts) * 1e3 / K
+        print(f"{tag}: {ms:.2f} ms/registration (reference {ref_ms} ms CPU -> "
+              f"{ref_ms/ms:.1f}x)")
+
+    def cpd_one(s, t):
+        lin, tt, sc, s2, q = cpd._run_em_t(s, t, kind="rigid", w=0.0,
+                                           maxiter=100, tol=0.001)
+        return q, lin
+
+    def frg_one(s, t):
+        res = filterreg._run_em_rigid(
+            s, t, None, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            np.float32(0.0), objective_type="pt2pt", update_sigma2=False,
+            w=0.0, maxiter=50, tol=0.001, min_sigma2=1e-4, auto_sigma2=True)
+        return res.sigma2, res.transformation.rot
+
+    timed_batch("CPD rigid  ", cpd_one, 38.1)
+    timed_batch("FilterReg  ", frg_one, 5.1)
+
+    # GMMTree: tree build is one-time; time the jitted registration loop.
+    gt = gmmtree.GMMTree(src)
+    pi, mu, cov = gt._nodes
+    jax.block_until_ready(pi)
+
+    def gmm_one(s, t):
+        rot, tt, q = gmmtree._run_registration(
+            t, pi, mu, cov, jnp.eye(3, dtype=t.dtype),
+            jnp.zeros(3, dtype=t.dtype), max_level=2, lambda_c=0.01,
+            maxiter=20, tol=1e-4)
+        return q, rot
+
+    timed_batch("GMMTree    ", gmm_one, 105.4)
+
+    # SVR drives scipy BFGS from the host: single-shot (includes RTTs).
+    l2dist_regs.registration_svr(src, tgt)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        l2dist_regs.registration_svr(src, tgt)
+        ts.append(time.perf_counter() - t0)
+    ms = min(ts) * 1e3
+    print(f"SVR rigid  : {ms:.1f} ms/registration single-shot incl. host BFGS "
+          f"round-trips (reference 36.5 ms CPU)")
+
+
+def bench_estep():
+    import jax
+    import jax.numpy as jnp
+
+    from probreg_tpu.ops import estep as eo
+
+    _sync_mode()
+    rng = np.random.default_rng(0)
+    K = 10
+    for mn in (16384, 65536, 131072):
+        src = jax.device_put(rng.normal(size=(mn, 3)).astype(np.float32))
+        tgt = jax.device_put(rng.normal(size=(mn, 3)).astype(np.float32))
+
+        @jax.jit
+        def loop(s, t, s2):
+            def body(i, s2):
+                mom = eo.estep_xla(s, t, s2, w=0.0)
+                return s2 + mom.n_p * 1e-30
+            return jax.lax.fori_loop(0, K, body, s2)
+
+        s2 = jnp.asarray(0.7, jnp.float32)
+        jax.block_until_ready(loop(src, tgt, s2))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(src, tgt, s2))
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts) / K
+        print(f"E-step M=N={mn}: {dt*1e3:.1f} ms "
+              f"({mn*mn/dt/1e9:.1f} Gpair/s)")
+
+
+def bench_scaling():
+    import jax
+
+    if jax.default_backend() != "cpu" and len(jax.devices()) < 2:
+        print("scaling: single accelerator attached; run with "
+              "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+              "device_count=8 for the virtual-mesh measurement")
+        return
+    import jax.numpy as jnp
+
+    from probreg_tpu.parallel import sharded
+
+    rng = np.random.default_rng(0)
+    m = n = 20000
+    src = rng.normal(size=(m, 3)).astype(np.float32)
+    tgt = rng.normal(size=(n, 3)).astype(np.float32)
+
+    base = None
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            break
+        mesh = sharded.make_mesh(jax.devices()[:ndev])
+        tgt_sh, mask_sh, _ = sharded.shard_points(tgt, mesh)
+        s2 = jnp.asarray(0.7, jnp.float32)
+
+        def run():
+            mom = sharded.estep_sharded(
+                jnp.asarray(src), tgt_sh, mask_sh, s2, 0.0, n, mesh)
+            jax.block_until_ready(mom.p1)
+
+        run()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        if base is None:
+            base = dt
+        eff = base / (dt * ndev) * 100
+        print(f"sharded E-step {ndev} devices: {dt*1e3:.1f} ms "
+              f"(scaling efficiency {eff:.0f}%)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("bunny", "all"):
+        bench_bunny()
+    if which in ("estep", "all"):
+        bench_estep()
+    if which in ("scaling", "all"):
+        bench_scaling()

@@ -81,6 +81,20 @@ class RigidCostFunction(CostFunction):
     def __init__(self):
         self._tf_type = tf.RigidTransformation
 
+    def objective(self, theta, mu_source, phi_source, mu_target, phi_target,
+                  sigma):
+        """Pure-jnp scalar objective (for fully-jitted optimizers)."""
+        return _rigid_obj(theta, mu_source, phi_source, mu_target,
+                          phi_target, sigma)
+
+    # Stateless pure objective + per-instance extra args: lets optimizers
+    # cache one jitted program per cost-function CLASS (a bound method would
+    # defeat the jit cache on every new instance).
+    pure_objective = staticmethod(_rigid_obj)
+
+    def extra_args(self):
+        return ()
+
     def to_transformation(self, theta):
         rot = so.quat2mat(jnp.asarray(theta[:4], jnp.float32))
         return self._tf_type(rot, jnp.asarray(theta[4:7], jnp.float32))
@@ -126,6 +140,25 @@ class TPSCostFunction(CostFunction):
         self._alpha = alpha
         self._beta = beta
         self._control_pts = control_pts
+
+    def objective(self, theta, mu_source, phi_source, mu_target, phi_target,
+                  sigma):
+        """Pure-jnp scalar objective (for fully-jitted optimizers)."""
+        return self.pure_objective(
+            theta, mu_source, phi_source, mu_target, phi_target, sigma,
+            *self.extra_args())
+
+    @staticmethod
+    def pure_objective(theta, mu_source, phi_source, mu_target, phi_target,
+                       sigma, control_pts, alpha, beta):
+        return _tps_obj(theta, control_pts, mu_source, phi_source, mu_target,
+                        phi_target, sigma, alpha, beta,
+                        dim=int(control_pts.shape[1]))
+
+    def extra_args(self):
+        return (jnp.asarray(self._control_pts, jnp.float32),
+                jnp.asarray(self._alpha, jnp.float32),
+                jnp.asarray(self._beta, jnp.float32))
 
     def to_transformation(self, theta):
         control_pts = jnp.asarray(self._control_pts, jnp.float32)

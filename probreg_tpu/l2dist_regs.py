@@ -24,6 +24,9 @@ from .log import log
 from .utils import interop
 
 
+_JAX_OPT_CACHE = {}
+
+
 class L2DistRegistration:
     """L2 distance registration (reference l2dist_regs.py:16-97).
 
@@ -38,13 +41,20 @@ class L2DistRegistration:
 
     def __init__(self, source, feature_gen: ft.Feature,
                  cost_fn: cf.CostFunction, sigma: float = 1.0,
-                 delta: float = 0.9, use_estimated_sigma: bool = True):
+                 delta: float = 0.9, use_estimated_sigma: bool = True,
+                 optimizer: str = "jax"):
         self._source = source
         self._feature_gen = feature_gen
         self._cost_fn = cost_fn
         self._sigma = sigma
         self._delta = delta
         self._use_estimated_sigma = use_estimated_sigma
+        # 'jax': whole-BFGS-in-one-XLA-program (jax.scipy.optimize) — one
+        # device dispatch per annealing round instead of one per BFGS
+        # iteration (which costs a full RTT on remote TPU). 'scipy': host
+        # BFGS like the reference (needed when callbacks want per-iteration
+        # transforms).
+        self._optimizer = optimizer
         self._callbacks: List[Callable] = []
         if self._source is not None and self._use_estimated_sigma:
             self._estimate_sigma(self._source)
@@ -74,29 +84,72 @@ class L2DistRegistration:
         for c in self._callbacks:
             c(tf_result)
 
+    def _jax_optimizer(self, opt_maxiter: int, opt_tol: float):
+        """Jitted whole-BFGS program, cached per cost-function CLASS.
+
+        jax.scipy.optimize.minimize retraces on every bare call (~1 s of
+        tracing per round); a jitted wrapper keyed on the class-level pure
+        objective makes repeat registrations (even with fresh instances)
+        compile-free and turns the inner optimization into ONE dispatch.
+        """
+        key = (type(self._cost_fn), opt_maxiter, opt_tol)
+        opt = _JAX_OPT_CACHE.get(key)
+        if opt is None:
+            import jax
+            from jax.scipy.optimize import minimize as jax_minimize
+
+            obj = type(self._cost_fn).pure_objective
+
+            @jax.jit
+            def opt(x0, mu_s, phi_s, mu_t, phi_t, sigma, *extra):
+                r = jax_minimize(
+                    obj, x0, args=(mu_s, phi_s, mu_t, phi_t, sigma) + extra,
+                    method="BFGS",
+                    options={"maxiter": opt_maxiter, "gtol": opt_tol})
+                return r.x, r.fun
+
+            _JAX_OPT_CACHE[key] = opt
+        return opt
+
     def registration(self, target, maxiter: int = 1, tol: float = 1.0e-3,
                      opt_maxiter: int = 50, opt_tol: float = 1.0e-3
                      ) -> tf.Transformation:
         f = None
         x_ini = self._cost_fn.initial()
+        use_jax_opt = (self._optimizer == "jax" and not self._callbacks
+                       and hasattr(self._cost_fn, "pure_objective"))
         for _ in range(maxiter):
             self._feature_gen.init()
             mu_source, phi_source = self._feature_gen.compute(self._source)
             mu_target, phi_target = self._feature_gen.compute(target)
-            args = (mu_source, phi_source, mu_target, phi_target, self._sigma)
-            res = minimize(
-                self._cost_fn, x_ini, args=args, method="BFGS", jac=True,
-                tol=opt_tol,
-                options={"maxiter": opt_maxiter,
-                         "disp": log.level == logging.DEBUG},
-                callback=self.optimization_cb)
+            if use_jax_opt:
+                import jax.numpy as jnp
+
+                opt = self._jax_optimizer(opt_maxiter, opt_tol)
+                rx, rf = opt(
+                    jnp.asarray(x_ini, jnp.float32), jnp.asarray(mu_source),
+                    jnp.asarray(phi_source), jnp.asarray(mu_target),
+                    jnp.asarray(phi_target),
+                    jnp.asarray(self._sigma, jnp.float32),
+                    *self._cost_fn.extra_args())
+                res_fun, res_x = float(rf), np.asarray(rx, np.float64)
+            else:
+                args = (mu_source, phi_source, mu_target, phi_target,
+                        self._sigma)
+                res = minimize(
+                    self._cost_fn, x_ini, args=args, method="BFGS", jac=True,
+                    tol=opt_tol,
+                    options={"maxiter": opt_maxiter,
+                             "disp": log.level == logging.DEBUG},
+                    callback=self.optimization_cb)
+                res_fun, res_x = res.fun, res.x
             self._annealing()
             self._feature_gen.annealing()
-            if f is not None and abs(res.fun - f) < tol:
+            if f is not None and abs(res_fun - f) < tol:
                 break
-            f = res.fun
-            x_ini = res.x
-        return self._cost_fn.to_transformation(res.x)
+            f = res_fun
+            x_ini = res_x
+        return self._cost_fn.to_transformation(res_x)
 
 
 class RigidGMMReg(L2DistRegistration):
@@ -105,7 +158,8 @@ class RigidGMMReg(L2DistRegistration):
         n_gmm_components = min(n_gmm_components, int(source.shape[0] * 0.8))
         super().__init__(source, ft.GMM(n_gmm_components),
                          cf.RigidCostFunction(), sigma, delta,
-                         use_estimated_sigma)
+                         use_estimated_sigma,
+                         optimizer=kwargs.get("optimizer", "jax"))
 
 
 class TPSGMMReg(L2DistRegistration):
@@ -114,7 +168,8 @@ class TPSGMMReg(L2DistRegistration):
         n_gmm_components = min(n_gmm_components, int(source.shape[0] * 0.8))
         super().__init__(source, ft.GMM(n_gmm_components),
                          cf.TPSCostFunction([], alpha, beta), sigma, delta,
-                         use_estimated_sigma)
+                         use_estimated_sigma,
+                         optimizer=kwargs.get("optimizer", "jax"))
         self._feature_gen.init()
         control_pts, _ = self._feature_gen.compute(source)
         self._cost_fn._control_pts = control_pts
@@ -125,7 +180,8 @@ class RigidSVR(L2DistRegistration):
                  use_estimated_sigma=True, **kwargs):
         super().__init__(
             source, ft.OneClassSVM(source.shape[1], sigma, gamma, nu),
-            cf.RigidCostFunction(), sigma, delta, use_estimated_sigma)
+            cf.RigidCostFunction(), sigma, delta, use_estimated_sigma,
+            optimizer=kwargs.get("optimizer", "jax"))
 
     def _estimate_sigma(self, data):
         super()._estimate_sigma(data)
@@ -139,7 +195,7 @@ class TPSSVR(L2DistRegistration):
         super().__init__(
             source, ft.OneClassSVM(source.shape[1], sigma, gamma, nu),
             cf.TPSCostFunction([], alpha, beta), sigma, delta,
-            use_estimated_sigma)
+            use_estimated_sigma, optimizer=kwargs.get("optimizer", "jax"))
         self._feature_gen.init()
         control_pts, _ = self._feature_gen.compute(source)
         self._cost_fn._control_pts = control_pts
