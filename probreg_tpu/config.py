@@ -33,6 +33,10 @@ class Config:
     use_pallas: bool = False
     # Minimum M*N above which the Pallas kernel is preferred over plain XLA.
     pallas_min_pairs: int = 1 << 22
+    # Maximum M*N routed to the single-launch VMEM-resident E-step kernel
+    # (ops/estep_pallas.estep_small): the (M, N) posterior tile + operands
+    # must fit comfortably in v5e's 16 MB VMEM.
+    small_estep_max_pairs: int = 1024 * 1024
 
 
 config = Config()

@@ -136,13 +136,21 @@ def estep(
     w: float = 0.0,
     use_pallas: Optional[bool] = None,
 ) -> EstepMoments:
-    """Dispatch to the Pallas kernel on TPU for large problems, else XLA."""
+    """Dispatch: single-launch Pallas kernel for small problems on TPU
+    (one kernel instead of ~10 -> launch-overhead-bound regime), XLA scan
+    otherwise; the two-pass tiled Pallas kernel stays opt-in
+    (config.use_pallas)."""
     m, n = t_source.shape[0], target.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None and on_tpu and m * n <= config.small_estep_max_pairs:
+        from . import estep_pallas
+
+        return estep_pallas.estep_small(t_source, target, sigma2, w)
     if use_pallas is None:
         use_pallas = (
             config.use_pallas
             and m * n >= config.pallas_min_pairs
-            and jax.default_backend() == "tpu"
+            and on_tpu
         )
     if use_pallas:
         from . import estep_pallas
