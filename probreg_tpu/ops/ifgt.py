@@ -60,18 +60,19 @@ def multi_indices(dims: int, p: int) -> np.ndarray:
 
 def choose_truncation_number(dims: int, h: float, r: float, eps: float,
                              rx: float, p_limit: int = 200) -> int:
-    """ifgt.cc:25-41."""
+    """ifgt.cc:25-41 (log-domain: the C++ accumulates temp multiplicatively
+    and overflows float for small h)."""
     h2 = h * h
     rx2 = rx * rx
     error = np.inf
-    temp = 1.0
+    log_temp = 0.0
     p = 0
     while error > eps and p <= p_limit:
         p += 1
         b = min(rx + np.sqrt(rx2 + 2.0 * p * h2) * 0.5, rx + r)
         c = rx - b
-        temp *= 2.0 * rx * b / h2 / p
-        error = temp * np.exp(-(c * c) / h2)
+        log_temp += np.log(max(2.0 * rx * b / h2 / p, 1e-300))
+        error = np.exp(min(log_temp - (c * c) / h2, 700.0))
     return p
 
 
@@ -165,17 +166,25 @@ class Ifgt:
         eps: Target relative error.
     """
 
-    def __init__(self, source, h: float, eps: float = 1.0e-4):
+    def __init__(self, source, h: float, eps: float = 1.0e-4,
+                 max_clusters: int = 2048, p_limit: int = 10):
         self._source = jnp.asarray(source, jnp.float32)
         self._h = float(h)
         n, dims = self._source.shape
         src_np = np.asarray(self._source)
         max_range = float((src_np.max(0) - src_np.min(0)).max())
         max_range = max(max_range, 1e-6)
-        num_clusters, self._cutoff, p_max = choose_parameters(
-            dims, self._h, eps, max_range, n)
-        if num_clusters == 0:
-            raise RuntimeError("Result of K center clustering is 0.")
+        # Deviation from the C++ selection (ifgt.cc:43-62): with the
+        # truncation order capped (p drives C(p-1+D, D) monomial features
+        # per point — unbounded p explodes the (N, p_max_total) matrices,
+        # and the C++'s N-iteration complexity scan is O(N) host work), we
+        # target cluster radius ~ h directly: K ~ (range/h)^D keeps the
+        # Taylor argument 2|dx||dy|/h^2 = O(1) so p ~ 8 suffices.
+        self._cutoff = min(max_range * np.sqrt(dims),
+                           self._h * np.sqrt(np.log(1.0 / eps)))
+        num_clusters = int(np.clip((max_range / self._h) ** dims,
+                                   1, min(max_clusters, max(n // 2, 1))))
+        p_max = p_limit
         self._cluster = kcenter_clustering(self._source, num_clusters, eps)
         r = min(max_range * np.sqrt(dims),
                 self._h * np.sqrt(np.log(1.0 / eps)))
@@ -201,16 +210,34 @@ class Ifgt:
 
 
 def _ifgt_compute(source, target, weights, h, labels, centers, ry2, expo,
-                  const):
+                  const, chunk: int = 8192):
     h2 = h * h
     k = centers.shape[0]
-    # Accumulate cluster Taylor coefficients (ifgt.cc:124-134).
-    dx = (source - centers[labels]) / h
-    dist2 = jnp.sum((source - centers[labels]) ** 2, axis=1)
-    mon = _monomials(dx, expo)                       # (N, pmax)
-    f = weights * jnp.exp(-dist2 / h2)               # (N,)
-    cmat = jax.ops.segment_sum(f[:, None] * mon, labels,
-                               num_segments=k)       # (K, pmax)
+    n, dims = source.shape
+    # Accumulate cluster Taylor coefficients (ifgt.cc:124-134), chunked so
+    # the (chunk, p_max_total) monomial matrix never exceeds VMEM-friendly
+    # sizes at large N.
+    pad = (-n) % chunk
+    src_p = jnp.concatenate(
+        [source, jnp.zeros((pad, dims), source.dtype)], axis=0)
+    lab_p = jnp.concatenate([labels, jnp.zeros((pad,), labels.dtype)])
+    wgt_p = jnp.concatenate([weights, jnp.zeros((pad,), weights.dtype)])
+    nb = src_p.shape[0] // chunk
+
+    def acc(cmat, inp):
+        s_blk, l_blk, w_blk = inp
+        dx = (s_blk - centers[l_blk]) / h
+        dist2 = jnp.sum((s_blk - centers[l_blk]) ** 2, axis=1)
+        mon = _monomials(dx, expo)
+        f = w_blk * jnp.exp(-dist2 / h2)
+        return cmat + jax.ops.segment_sum(f[:, None] * mon, l_blk,
+                                          num_segments=k), None
+
+    cmat0 = jnp.zeros((k, expo.shape[0]), source.dtype)
+    cmat, _ = jax.lax.scan(
+        acc, cmat0,
+        (src_p.reshape(nb, chunk, dims), lab_p.reshape(nb, chunk),
+         wgt_p.reshape(nb, chunk)))
     cmat = cmat * const[None, :]
 
     # Evaluate per cluster with cutoff (ifgt.cc:136-147).

@@ -127,6 +127,114 @@ def estep_sharded(
 
 
 # --------------------------------------------------------------------------
+# Transposed-layout sharded EM (rigid / affine)
+# --------------------------------------------------------------------------
+#
+# Same lane-layout rule as the single-chip fast path (see cpd.py): points
+# stay (D, N) with the mesh axis sharding the LANE dimension. Each device
+# computes its shard's posterior columns (the normalizer is a column sum,
+# complete on-device) and one psum combines the O(M*D) moments.
+
+def shard_points_t(points, mesh: Mesh, axis: str = AXIS):
+    """(N, D) host points -> (D, Np) sharded over lanes + (1, Np) mask."""
+    pts = np.asarray(interop.as_points(points, dtype=config.dtype))
+    n, dim = pts.shape
+    n_dev = mesh.shape[axis]
+    pad = (-n) % n_dev
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, dim), pts.dtype)], axis=0)
+    mask = np.zeros((1, pts.shape[0]), pts.dtype)
+    mask[0, :n] = 1.0
+    sh = NamedSharding(mesh, P(None, axis))
+    return (jax.device_put(pts.T.copy(), sh), jax.device_put(mask, sh), n)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "w", "maxiter", "tol", "update_scale",
+                     "n", "mesh", "axis"),
+)
+def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
+                      update_scale, n, mesh, axis):
+    """Sharded whole-EM in transposed layout; source (M, D) replicated."""
+    ys_t = source.T
+    dim, m = ys_t.shape
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
+
+    sig0_spec = (P(), P(None, axis), P(None, axis))
+
+    @partial(shard_map, mesh=mesh, in_specs=sig0_spec, out_specs=P())
+    def init_sigma2(ys_t, xs_sh, msk):
+        # squared_kernel_sum closed form with masked target shard + psum.
+        sx2 = jnp.sum(ys_t * ys_t)
+        st2 = jax.lax.psum(jnp.sum(xs_sh * xs_sh * msk), axis)
+        sx = jnp.sum(ys_t, axis=1)
+        st = jax.lax.psum(jnp.sum(xs_sh * msk, axis=1), axis)
+        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+
+    sigma2_0 = init_sigma2(ys_t, xs_t_sh, mask_sh)
+    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def estep_t(t_src_t, xs_sh, msk, sigma2):
+        c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
+        y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+        x2 = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)
+        xy = jax.lax.dot_general(
+            t_src_t, xs_sh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) / (2.0 * sigma2))
+        g = g * msk
+        den_raw = jnp.sum(g, axis=0, keepdims=True)
+        den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+        pt1 = msk * den_raw / den
+        pmat = g / den
+        xs_ext = jnp.concatenate([xs_sh, jnp.ones_like(msk)], axis=0)
+        pxp = jax.lax.dot_general(
+            xs_ext, pmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        pxp = jax.lax.psum(pxp, axis)
+        xx = jax.lax.psum(jnp.sum(pt1 * x2), axis)
+        px_t, p1 = pxp[:dim], pxp[dim]
+        return px_t, p1, jnp.sum(p1), xx
+
+    from .. import cpd as cpd_mod
+
+    def step(lin, t, scale, sigma2):
+        t_src = scale * lin @ ys_t + t[:, None]
+        px_t, p1, n_p, xx = estep_t(t_src, xs_t_sh, mask_sh, sigma2)
+        if kind == "rigid":
+            return cpd_mod._rigid_mstep_t(ys_t, p1, px_t, n_p, xx,
+                                          update_scale)
+        b, t_new, s2, q = cpd_mod._affine_mstep_t(ys_t, p1, px_t, n_p, xx)
+        return b, t_new, jnp.asarray(1.0, source.dtype), s2, q
+
+    def cond(state):
+        _, _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    def body(state):
+        lin, t, scale, sigma2, q, _, i = state
+        lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
+        return (lin, t, scale, sigma2, q_new, q, i + 1)
+
+    state = (jnp.eye(dim, dtype=source.dtype),
+             jnp.zeros(dim, source.dtype),
+             jnp.asarray(1.0, source.dtype), sigma2_0, q0,
+             jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
+    lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return lin, t, scale, sigma2, q
+
+
+# --------------------------------------------------------------------------
 # Sharded EM: one jitted while_loop per registration
 # --------------------------------------------------------------------------
 
@@ -198,19 +306,26 @@ def registration_cpd_sharded(
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     src = jnp.asarray(interop.as_points(source, dtype=config.dtype))
-    target_sh, mask_sh, n = shard_points(target, mesh, axis)
-
     dim = src.shape[1]
+
+    if tf_type_name in ("rigid", "affine"):
+        # Transposed fast path: lane-sharded target, single jit dispatch.
+        xs_t_sh, mask_sh, n = shard_points_t(target, mesh, axis)
+        lin, t, scale, sigma2, q = _run_em_sharded_t(
+            src, xs_t_sh, mask_sh, kind=tf_type_name, w=float(w),
+            maxiter=int(maxiter), tol=float(tol),
+            update_scale=bool(update_scale), n=n, mesh=mesh, axis=axis)
+        if tf_type_name == "rigid":
+            transf = tf.RigidTransformation(lin, t, scale)
+        else:
+            transf = tf.AffineTransformation(lin, t)
+        return cpd_mod.MstepResult(transf, sigma2, q)
+
+    target_sh, mask_sh, n = shard_points(target, mesh, axis)
     sigma2 = mu.squared_kernel_sum(src, np.asarray(interop.as_points(target, dtype=config.dtype)))
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2)
 
-    if tf_type_name == "rigid":
-        tf0 = tf.RigidTransformation(dim=dim)
-        aux: Dict = {"update_scale": jnp.asarray(update_scale)}
-    elif tf_type_name == "affine":
-        tf0 = tf.AffineTransformation(dim=dim)
-        aux = {}
-    elif tf_type_name == "nonrigid":
+    if tf_type_name == "nonrigid":
         tf0 = tf.NonRigidTransformation(jnp.zeros_like(src), src, beta)
         aux = {
             "g": tf0.g,
