@@ -643,6 +643,51 @@ class ConstrainedNonRigidCPD(CoherentPointDrift):
         )
 
 
+@partial(jax.jit, static_argnames=("kind", "w", "maxiter", "tol",
+                                   "update_scale"))
+def _run_em_t_batch(sources, targets, *, kind, w, maxiter, tol,
+                    update_scale=True):
+    run = partial(_run_em_t, kind=kind, w=w, maxiter=maxiter, tol=tol,
+                  update_scale=update_scale)
+    return jax.vmap(run)(sources, targets)
+
+
+def registration_cpd_batch(
+    sources,
+    targets,
+    tf_type_name: str = "rigid",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    update_scale: bool = True,
+):
+    """Register B cloud pairs in one compiled program (vmap over the batch).
+
+    New capability vs the reference (single-pair only): ``sources`` (B, M, D)
+    and ``targets`` (B, N, D) are registered simultaneously — the batched EM
+    runs until every pair converges (per-pair tolerance masking via vmap of
+    the while_loop). Ideal for TPU serving: one dispatch, B results.
+
+    Returns a list of ``MstepResult`` (rigid or affine transformations).
+    """
+    if tf_type_name not in ("rigid", "affine"):
+        raise ValueError("batch registration supports 'rigid' and 'affine'")
+    sources = jnp.asarray(interop.as_points(sources, dtype=_config.config.dtype))
+    targets = jnp.asarray(interop.as_points(targets, dtype=_config.config.dtype))
+    lin, t, scale, sigma2, q = _run_em_t_batch(
+        sources, targets, kind=tf_type_name, w=float(w),
+        maxiter=int(maxiter), tol=float(tol),
+        update_scale=bool(update_scale))
+    out = []
+    for b in range(sources.shape[0]):
+        if tf_type_name == "rigid":
+            transf = tf.RigidTransformation(lin[b], t[b], scale[b])
+        else:
+            transf = tf.AffineTransformation(lin[b], t[b])
+        out.append(MstepResult(transf, sigma2[b], q[b]))
+    return out
+
+
 def registration_cpd(
     source,
     target,

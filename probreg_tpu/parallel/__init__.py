@@ -12,4 +12,26 @@ from .sharded import (  # noqa: F401
     make_mesh,
     registration_cpd_sharded,
     shard_points,
+    shard_points_t,
 )
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, **kwargs):
+    """Multi-host bring-up: jax.distributed.initialize + sanity logging.
+
+    Call once per host before building meshes; afterwards ``make_mesh()``
+    spans every chip in the slice and the sharded registrations psum over
+    ICI within a host and DCN across hosts with no code changes.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id, **kwargs)
+    from ..log import log
+
+    log.info(
+        "distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count())

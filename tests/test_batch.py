@@ -1,0 +1,49 @@
+"""Batch registration (new capability vs the reference: B pairs, one program)."""
+
+import numpy as np
+
+from probreg_tpu import cpd, l2dist_regs
+from probreg_tpu.utils import se3_op
+
+
+def test_batch_rigid_registration(horse_cloud, rng):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([-6.0, 2.0, -8.0]),
+            np.deg2rad([0.0, 0.0, 12.0])]
+    sources = np.stack([src] * 3)
+    targets = np.stack([src @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+                        for a in angs])
+    results = cpd.registration_cpd_batch(sources, targets, maxiter=60,
+                                         tol=1e-5)
+    assert len(results) == 3
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                                   atol=1e-3)
+
+
+def test_batch_matches_single(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::3]
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    batch = cpd.registration_cpd_batch(src[None], tgt[None], maxiter=40,
+                                       tol=1e-6)[0]
+    single = cpd.registration_cpd(src, tgt, maxiter=40, tol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(batch.transformation.rot),
+        np.asarray(single.transformation.rot), atol=1e-5)
+
+
+def test_gmmreg_nonrigid_fish():
+    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    res = l2dist_regs.registration_gmmreg(src, tgt, "nonrigid",
+                                          n_gmm_components=40)
+    moved = np.asarray(res.transform(src))
+
+    def nn(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(1).mean()))
+
+    assert nn(moved, tgt) < nn(src, tgt)
