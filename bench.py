@@ -89,11 +89,20 @@ def main():
           file=sys.stderr)
 
     # Batched: BATCH full registrations, sequential on device, one dispatch.
+    from probreg_tpu.ops import em_pallas
+
+    on_tpu = jax.default_backend() == "tpu"
+
     @jax.jit
     def batch(src, tgt):
         def body(carry, _):
-            lin, t, scale, sigma2, q = cpd._run_em_t(
-                src, tgt, kind="rigid", w=0.0, maxiter=100, tol=0.001)
+            if on_tpu:
+                # Whole registration as ONE Pallas kernel (ops/em_pallas.py).
+                lin, t, scale, sigma2, q = em_pallas.run_em_rigid_fused(
+                    src, tgt, w=0.0, maxiter=100, tol=0.001)
+            else:
+                lin, t, scale, sigma2, q = cpd._run_em_t(
+                    src, tgt, kind="rigid", w=0.0, maxiter=100, tol=0.001)
             # Thread a data dependence so runs cannot be collapsed.
             return carry + q * 1e-30, lin
         acc, lins = jax.lax.scan(body, jnp.asarray(0.0, src.dtype),

@@ -19,7 +19,7 @@ from __future__ import annotations
 import abc
 from collections import namedtuple
 from functools import partial
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, List
 
 import jax
 import jax.numpy as jnp

@@ -37,6 +37,11 @@ class Config:
     # (ops/estep_pallas.estep_small): the (M, N) posterior tile + operands
     # must fit comfortably in v5e's 16 MB VMEM.
     small_estep_max_pairs: int = 1024 * 1024
+    # Run small rigid 3-D CPD registrations as ONE Pallas kernel launch
+    # (ops/em_pallas.py): the whole EM loop in VMEM, ~3x over the
+    # transposed XLA path at bunny size.
+    use_fused_em: bool = True
+    fused_em_max_pairs: int = 1024 * 1024
 
 
 config = Config()

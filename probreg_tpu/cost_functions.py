@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import transformation as tf
-from .ops import gausstransform as gto
 from .ops.pairwise import sqdist
 from .utils import se3_op as so
 

@@ -486,6 +486,18 @@ class RigidCPD(CoherentPointDrift):
         # instead of costing eager-op round trips (painful on remote TPU).
         dim = self._source.shape[1]
         p = self._tf_init_params
+        m, n = self._source.shape[0], target.shape[0]
+        if (not p and dim == 3
+                and _config.config.use_fused_em
+                and m * n <= _config.config.fused_em_max_pairs
+                and jax.default_backend() == "tpu"):
+            from .ops import em_pallas
+
+            rot, t, scale, sigma2, q = em_pallas.run_em_rigid_fused(
+                self._source, target, w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=bool(self._update_scale))
+            return MstepResult(tf.RigidTransformation(rot, t, scale),
+                               sigma2, q)
         if not p:
             lin, t, scale, sigma2, q = _run_em_t(
                 self._source, target,

@@ -24,7 +24,7 @@ from __future__ import annotations
 import abc
 from collections import namedtuple
 from functools import partial
-from typing import Any, Callable, List, Optional, Union
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,11 +17,10 @@ from __future__ import annotations
 
 from collections import namedtuple
 from functools import partial
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import config as _config
 from .log import log

@@ -12,7 +12,7 @@ reference l2dist_regs.py:63-64,91-92).
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, List, Union
+from typing import Any, Callable, List
 
 import numpy as np
 from scipy.optimize import minimize

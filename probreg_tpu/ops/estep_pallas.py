@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import config
 from .estep import EstepMoments, outlier_constant
 
 _BIG = 1e30  # squared-norm marker for padding points: exp(-BIG/2s2) == 0

@@ -18,7 +18,7 @@ cupy kernel, probreg/cupy_utils.py:5-22); this module is new capability.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
