@@ -65,12 +65,26 @@ def bench_bunny():
         print(f"{tag}: {ms:.2f} ms/registration (reference {ref_ms} ms CPU -> "
               f"{ref_ms/ms:.1f}x)")
 
+    on_tpu = jax.default_backend() == "tpu"
+
     def cpd_one(s, t):
+        if on_tpu:
+            from probreg_tpu.ops import em_pallas
+
+            lin, tt, sc, s2, q = em_pallas.run_em_rigid_fused(
+                s, t, w=0.0, maxiter=100, tol=0.001)
+            return q, lin
         lin, tt, sc, s2, q = cpd._run_em_t(s, t, kind="rigid", w=0.0,
                                            maxiter=100, tol=0.001)
         return q, lin
 
     def frg_one(s, t):
+        if on_tpu:
+            from probreg_tpu.ops import em_pallas
+
+            r, tt, s2, q = em_pallas.run_em_filterreg_fused(
+                s, t, maxiter=50, tol=0.001)
+            return q, r
         res = filterreg._run_em_rigid(
             s, t, None, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
             np.float32(0.0), objective_type="pt2pt", update_sigma2=False,

@@ -399,6 +399,28 @@ class FilterReg(abc.ABC):
             if objective_type == "pt2pl" and normals is None:
                 raise ValueError("pt2pl requires target_normals.")
             auto = self._sigma2 is None
+            m, n = self._source.shape[0], target.shape[0]
+            identity_init = bool(
+                np.allclose(np.asarray(self._tf_result.rot), np.eye(3))
+                and np.allclose(np.asarray(self._tf_result.t), 0.0)
+            ) if self._source.shape[1] == 3 else False
+            if (objective_type == "pt2pt" and identity_init
+                    and _config.config.use_fused_em
+                    and m * n <= _config.config.fused_em_max_pairs
+                    and jax.default_backend() == "tpu"):
+                from .ops import em_pallas
+
+                rot, t, s2, q = em_pallas.run_em_filterreg_fused(
+                    self._source, target,
+                    sigma2_0=0.0 if auto else float(self._sigma2),
+                    w=float(w), maxiter=int(maxiter), tol=float(tol),
+                    update_sigma2=bool(self._update_sigma2),
+                    sigma2_decay=float(sigma2_decay),
+                    min_sigma2=float(min_sigma2), auto_sigma2=auto)
+                res = MstepResult(tf.RigidTransformation(rot, t), s2, q)
+                self._tf_result = res.transformation
+                self._sigma2 = float(res.sigma2)
+                return res
             res = _run_em_rigid(
                 self._source, target, normals,
                 np.asarray(self._tf_result.rot, np.float32),

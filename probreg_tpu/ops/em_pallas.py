@@ -335,3 +335,232 @@ def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
     rot = sr / scale
     t = tmat[:3, 3]
     return rot, t, scale, sigma2, q
+
+
+# --------------------------------------------------------------------------
+# FilterReg pt2pt whole-EM kernel
+# --------------------------------------------------------------------------
+#
+# Same machinery as the CPD kernel, simpler E-step: FilterReg's moments are
+# per-source row sums of the unnormalized Gaussian kernel (no posterior
+# column normalization), and the M-step is a weighted Kabsch — whose optimal
+# rotation is again the Horn solve with a = hh^T.
+# Reference semantics: filterreg.py:78-108 (E-step), :158-196 (M-step).
+
+def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
+                kt_ref, rt_ref, tmat_ref, out_ref):
+    """consts (SMEM, 8): [wratio (w/(1-w)*n/m), maxiter, tol, update_sigma2,
+    sigma2_decay, sigma2_0, min_sigma2, unused]."""
+    wratio = consts_ref[0]
+    maxiter = consts_ref[1]
+    tol = consts_ref[2]
+    update_sigma2 = consts_ref[3]
+    sigma2_decay = consts_ref[4]
+    min_sigma2 = consts_ref[6]
+    eps = jnp.float32(1.1920929e-07)
+    k_t = kt_ref[:]
+    r_t = rt_ref[:]
+
+    ys = ys_ref[:]                # (8, Mp)
+    bmat = bmat_ref[:]            # (8, Np)
+    xs_ext = xs_ext_ref[:]        # (8, Np): rows [x; 1; |x|^2; 0...]
+    bigy = bigy_ref[:]            # (1, Mp)
+    ones_m = jnp.ones_like(bigy)
+    zeros_m = jnp.zeros_like(bigy)
+
+    def body(carry):
+        tmat, sigma2, _, q_cur, it = carry
+        inv2s2 = 0.5 / sigma2
+        t_src = jax.lax.dot_general(
+            tmat, ys, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[:3]              # (3, Mp)
+        y2 = jnp.sum(t_src * t_src, axis=0, keepdims=True)
+        a_aug = jnp.concatenate(
+            [t_src, y2, ones_m, bigy, ones_m, zeros_m], axis=0)
+        d2 = jax.lax.dot_general(
+            a_aug, bmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                  # (Mp, Np)
+        k = jnp.exp(-jnp.maximum(d2, 0.0) * inv2s2)
+        mom = jax.lax.dot_general(
+            xs_ext, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                  # (8, Mp)
+        m1_t = mom[:3]
+        m0 = mom[3:4]                                             # (1, Mp)
+        m2 = mom[4:5]
+        c = wratio * jnp.exp(1.5 * jnp.log(2.0 * jnp.pi * sigma2))
+        mask = jnp.where(m0 > 0.0, 1.0, 0.0)
+        m0s = jnp.maximum(m0, eps)
+        m1m0 = m1_t / m0s
+        # max-guard: with w=0 and m0=0 (padding) m0/(m0+c) is 0/0 -> NaN,
+        # and mask * NaN is still NaN.
+        m0m0 = m0 / jnp.maximum(m0 + c, eps)
+        drxdx = mask * jnp.sqrt(m0m0 / sigma2)                    # (1, Mp)
+
+        # Weighted Kabsch (kabsch.cc:6-56) in-kernel.
+        total = jnp.sum(drxdx)
+        safe_total = jnp.where(total == 0.0, 1.0, total)
+        mc = jax.lax.dot_general(
+            t_src, drxdx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) / safe_total      # (3, 1)
+        tc = jax.lax.dot_general(
+            m1m0 * mask, drxdx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) / safe_total
+        w2 = drxdx * drxdx
+        hh = jax.lax.dot_general(
+            (t_src - mc) * w2, (m1m0 - tc) * mask,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                  # (3, 3)
+        # argmax_R tr(R hh) == Horn with a = hh^T.
+        a = hh.T
+        kmat = _unflatten_rows(
+            jnp.dot(_flatten_rows(a, 3, 3), k_t,
+                    preferred_element_type=jnp.float32), 4, 4)
+        shift = jnp.sum(jnp.abs(kmat))
+        ks = kmat + shift * jnp.eye(4, dtype=jnp.float32)
+        v = jnp.full((4, 1), 0.5, jnp.float32)
+
+        def piter(_, v):
+            v = jnp.dot(ks, v, preferred_element_type=jnp.float32)
+            return v / jnp.sqrt(jnp.sum(v * v))
+
+        v = jax.lax.fori_loop(0, _POWER_ITERS, piter, v)
+        qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
+        dr = _unflatten_rows(
+            jnp.dot(_flatten_rows(qq, 4, 4), r_t,
+                    preferred_element_type=jnp.float32), 3, 3)
+        degenerate = total == 0.0
+        dr = jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), dr)
+        dt = jnp.where(degenerate, jnp.zeros((3, 1), jnp.float32),
+                       tc - jnp.dot(dr, mc, preferred_element_type=jnp.float32))
+
+        rx2 = jnp.sum(
+            (drxdx * (t_src - m1m0) * mask) ** 2, axis=0, keepdims=True)
+        q_new = jnp.sum(jnp.sqrt(rx2))
+
+        num = m0 * y2 - 2.0 * jnp.sum(t_src * m1_t, axis=0, keepdims=True) + m2
+        s2_upd = jnp.sum(mask * num / jnp.maximum(m0 + c, eps)) \
+            / (3.0 * jnp.maximum(jnp.sum(mask * m0m0), eps))
+        sigma2_new = jnp.where(update_sigma2 > 0.5, s2_upd,
+                               sigma2 * sigma2_decay)
+        sigma2_new = jnp.maximum(sigma2_new, min_sigma2)
+
+        # Compose: rows 0-2 of new tmat = [dr @ R | dr @ t + dt].
+        old_rt = tmat[:3, :]                                      # (3, 8)
+        new_rt = jnp.dot(dr, old_rt, preferred_element_type=jnp.float32)
+        col3 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 3, 1.0, 0.0)
+        dt_pad = jnp.dot(dt, col3, preferred_element_type=jnp.float32)
+        top = new_rt + dt_pad
+        tmat_new = jnp.concatenate(
+            [top, jnp.eye(8, dtype=jnp.float32)[3:]], axis=0)
+        return (tmat_new, sigma2_new, q_cur, q_new, it + 1.0)
+
+    def cond(carry):
+        _, _, q_prev, q, it = carry
+        return jnp.logical_and(
+            it < maxiter,
+            jnp.logical_or(it < 0.5, jnp.abs(q - q_prev) >= tol))
+
+    carry0 = (jnp.eye(8, dtype=jnp.float32), consts_ref[5],
+              jnp.float32(3.4e38), jnp.float32(1e30), jnp.float32(0.0))
+    tmat, sigma2, _, q, it = jax.lax.while_loop(cond, body, carry0)
+    tmat_ref[:] = tmat
+    out_ref[0, 0] = sigma2
+    out_ref[0, 1] = q
+    out_ref[0, 2] = it
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "maxiter", "tol", "update_sigma2",
+                              "sigma2_decay", "min_sigma2", "auto_sigma2",
+                              "interpret"))
+def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
+                           tol=1e-3, update_sigma2=False, sigma2_decay=1.0,
+                           min_sigma2=1e-4, auto_sigma2=True,
+                           interpret=False):
+    """Rigid pt2pt FilterReg registration as ONE kernel launch.
+
+    Returns (rot (3,3), t (3,), sigma2, q). M, N <= ~1024.
+    """
+    source = jnp.asarray(source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    m, dim = source.shape
+    n = target.shape[0]
+    assert dim == 3, "fused FilterReg kernel is 3-D only"
+    mp = -(-m // 8) * 8
+    np_ = -(-n // 128) * 128
+
+    ys = jnp.zeros((8, mp), jnp.float32)
+    ys = ys.at[:3, :m].set(source.T)
+    ys = ys.at[3, :m].set(1.0)
+    xs = jnp.zeros((8, np_), jnp.float32)
+    xs = xs.at[:3, :n].set(target.T)
+    x2_real = jnp.sum(target * target, axis=1)
+    x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
+    x2z = jnp.where(x2 < _BIG * 0.5, x2, 0.0)
+    xs_ext = jnp.concatenate([
+        xs[:3],
+        jnp.zeros((1, np_), jnp.float32).at[0, :n].set(1.0),
+        x2z,
+        jnp.zeros((3, np_), jnp.float32),
+    ], axis=0)
+    bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
+    bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
+    ones_n = jnp.ones((1, np_), jnp.float32)
+    bmat = jnp.concatenate([
+        -2.0 * xs[:3], ones_n, x2z, ones_n, bigx_row,
+        jnp.zeros((1, np_), jnp.float32),
+    ], axis=0)
+
+    if auto_sigma2:
+        sx2 = jnp.sum(source * source)
+        st2 = jnp.sum(x2_real)
+        sx = jnp.sum(source, axis=0)
+        st = jnp.sum(target, axis=0)
+        s2_0 = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+        s2_0 = jnp.maximum(s2_0, min_sigma2)
+    else:
+        s2_0 = jnp.asarray(sigma2_0, jnp.float32)
+
+    wratio = w / (1.0 - w) * n / m if w > 0.0 else 0.0
+    consts = jnp.stack([
+        jnp.asarray(wratio, jnp.float32),
+        jnp.asarray(float(maxiter), jnp.float32),
+        jnp.asarray(float(tol), jnp.float32),
+        jnp.asarray(1.0 if update_sigma2 else 0.0, jnp.float32),
+        jnp.asarray(float(sigma2_decay), jnp.float32),
+        s2_0.astype(jnp.float32),
+        jnp.asarray(float(min_sigma2), jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+    ])
+
+    tmat, out = pl.pallas_call(
+        _frg_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(consts, ys, bmat, xs_ext, bigy, jnp.asarray(_K_T), jnp.asarray(_R_T))
+
+    sigma2, q = out[0, 0], out[0, 1]
+    rot = tmat[:3, :3]
+    t = tmat[:3, 3]
+    return rot, t, sigma2, q
