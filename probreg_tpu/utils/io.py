@@ -1,10 +1,16 @@
-"""Point-cloud IO: minimal PLY / PCD readers and voxel downsampling.
+"""Point-cloud IO: PLY / PCD readers and voxel downsampling.
 
-The reference leans on Open3D's C++ IO (examples/utils.py, tests). This module
-makes the framework self-contained: it reads the ASCII/binary PLY and PCD
-variants used by the probreg fixtures (data/horse.ply is binary_big_endian,
-examples/bunny.pcd is ASCII v.5) and reimplements
-``voxel_down_sample`` (average of points per voxel, like Open3D).
+The reference leans on Open3D's C++ IO (examples/utils.py, tests). This
+module makes the framework self-contained with two tiers:
+
+* the native C++ loader (probreg_tpu/cc/io_native.cpp, built with
+  ``make native``) — the framework's data-loader runtime;
+* a pure-python fallback with identical behavior, used when the extension
+  is not built.
+
+Both read the ASCII/binary PLY and PCD variants used by the probreg
+fixtures (data/horse.ply is binary_big_endian, examples/bunny.pcd is ASCII
+v.5) and implement ``voxel_down_sample`` (average per voxel, like Open3D).
 """
 
 from __future__ import annotations
@@ -13,6 +19,11 @@ import re
 from pathlib import Path
 
 import numpy as np
+
+try:  # native loader (make native); python fallback below.
+    from probreg_tpu import _io_native as _nat
+except ImportError:  # pragma: no cover
+    _nat = None
 
 _PLY_DTYPES = {
     "float": "f4", "float32": "f4", "float64": "f8", "double": "f8",
@@ -24,6 +35,8 @@ _PLY_DTYPES = {
 
 def read_ply(path) -> np.ndarray:
     """Read vertex x/y/z from a PLY file (ascii or binary, either endian)."""
+    if _nat is not None:
+        return _nat.read_ply(str(path))
     raw = Path(path).read_bytes()
     end = raw.find(b"end_header\n")
     if end < 0:
@@ -70,6 +83,8 @@ def read_ply(path) -> np.ndarray:
 
 def read_pcd(path) -> np.ndarray:
     """Read x/y/z from a PCD file (ascii or binary DATA)."""
+    if _nat is not None:
+        return _nat.read_pcd(str(path))
     raw = Path(path).read_bytes()
     m = re.search(rb"DATA\s+(\w+)\n", raw)
     if m is None:
@@ -121,6 +136,8 @@ def read_point_cloud(path) -> np.ndarray:
 def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """Average points falling in the same voxel (Open3D-compatible)."""
     points = np.asarray(points, dtype=np.float64)
+    if _nat is not None and points.ndim == 2 and points.shape[1] == 3:
+        return _nat.voxel_down_sample(points, float(voxel_size))
     vmin = points.min(axis=0)
     keys = np.floor((points - vmin) / voxel_size).astype(np.int64)
     # Lexicographic unique voxel ids.

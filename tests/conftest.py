@@ -8,16 +8,19 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_BACKEND = os.environ.get("PROBREG_TPU_TEST_BACKEND", "cpu")
+
+os.environ.setdefault("JAX_PLATFORMS", _BACKEND)
+os.environ.setdefault("JAX_PLATFORM_NAME", _BACKEND)
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if _BACKEND == "cpu" and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
-jax.config.update("jax_platforms", "cpu")
+if _BACKEND == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

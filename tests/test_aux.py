@@ -43,3 +43,41 @@ def test_time_fn():
     t = profiling.time_fn(lambda x: jnp.sum(x * x), jnp.ones(1000),
                           n_warmup=1, n_iter=3)
     assert t >= 0.0
+
+
+def test_native_io_matches_python():
+    """Native C++ loader (when built) agrees with the python fallback."""
+    import importlib
+
+    from probreg_tpu.utils import io as pio
+
+    try:
+        from probreg_tpu import _io_native as nat
+    except ImportError:
+        import pytest
+
+        pytest.skip("native IO extension not built (run `make native`)")
+    ply = "/root/reference/data/horse.ply"
+    pcd = "/root/reference/examples/bunny.pcd"
+    import os
+    if os.path.exists(ply):
+        a = nat.read_ply(ply)
+        # Force the python path for comparison.
+        pio_nat = pio._nat
+        try:
+            pio._nat = None
+            b = pio.read_ply(ply)
+        finally:
+            pio._nat = pio_nat
+        np.testing.assert_allclose(a, b, atol=1e-12)
+    rng = np.random.default_rng(1)
+    pts = rng.random((2000, 3))
+    va = nat.voxel_down_sample(pts, 0.07)
+    pio_nat = pio._nat
+    try:
+        pio._nat = None
+        vb = pio.voxel_down_sample(pts, 0.07)
+    finally:
+        pio._nat = pio_nat
+    assert va.shape == vb.shape
+    assert set(map(tuple, np.round(va, 9))) == set(map(tuple, np.round(vb, 9)))

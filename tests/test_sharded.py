@@ -17,7 +17,8 @@ from probreg_tpu.utils import se3_op
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh (8 virtual CPU devices)")
     return sharded.make_mesh()
 
 
