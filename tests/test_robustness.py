@@ -1,0 +1,105 @@
+"""Edge-case sweep across all registration families.
+
+The reference has no robustness tests; these guard the numerical-guard
+paths (eps floors, masks, degenerate geometry) listed in SURVEY.md §5.
+"""
+
+import numpy as np
+import pytest
+
+from probreg_tpu import bcpd, cpd, filterreg, gmmtree, l2dist_regs
+
+
+def tiny_cloud(rng, n=6, d=3):
+    return (rng.normal(size=(n, d)) * 0.3).astype(np.float32)
+
+
+def test_cpd_rigid_tiny_cloud(rng):
+    src = tiny_cloud(rng)
+    res = cpd.registration_cpd(src, src.copy(), maxiter=10)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_cpd_identical_clouds_is_identity(rng):
+    src = tiny_cloud(rng, n=50)
+    res = cpd.registration_cpd(src, src.copy(), maxiter=30, tol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.transformation.rot), np.eye(3), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                               atol=1e-4)
+
+
+def test_cpd_high_outlier_weight(rng):
+    src = tiny_cloud(rng, n=80)
+    tgt = np.concatenate([src, rng.uniform(-2, 2, (40, 3)).astype(np.float32)])
+    res = cpd.registration_cpd(src, tgt, w=0.8, maxiter=30)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+    assert np.isfinite(float(res.sigma2))
+
+
+def test_cpd_2d(rng):
+    src = tiny_cloud(rng, n=60, d=2)
+    ang = 0.15
+    rot = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]],
+                   np.float32)
+    res = cpd.registration_cpd(src, src @ rot.T, maxiter=50, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.transformation.rot), rot,
+                               atol=1e-2)
+
+
+def test_cpd_collinear_points(rng):
+    # Degenerate geometry: points on a line; must not NaN.
+    t = np.linspace(0, 1, 40, dtype=np.float32)
+    src = np.stack([t, 2 * t, -t], 1)
+    src += 1e-3 * rng.standard_normal(src.shape).astype(np.float32)
+    res = cpd.registration_cpd(src, src.copy(), maxiter=10)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_cpd_mismatched_sizes(rng):
+    src = tiny_cloud(rng, n=30)
+    tgt = tiny_cloud(rng, n=77)
+    res = cpd.registration_cpd(src, tgt, maxiter=10)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_filterreg_far_apart_clouds(rng):
+    # No overlap at all: m0 ~ 0 everywhere; must not NaN (kabsch guard).
+    src = tiny_cloud(rng, n=40)
+    tgt = tiny_cloud(rng, n=40) + 100.0
+    res = filterreg.registration_filterreg(src, tgt, sigma2=1e-4, maxiter=5)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_filterreg_w_outliers(rng):
+    src = tiny_cloud(rng, n=60)
+    tgt = np.concatenate([src, rng.uniform(-2, 2, (30, 3)).astype(np.float32)])
+    res = filterreg.registration_filterreg(src, tgt, w=0.5, maxiter=20)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_bcpd_tiny(rng):
+    src = tiny_cloud(rng, n=12)
+    res = bcpd.registration_bcpd(src, src.copy(), maxiter=5)
+    assert np.isfinite(np.asarray(res.rigid_trans.rot)).all()
+
+
+def test_gmmtree_small_cloud(rng):
+    # Fewer points than leaves (64): pruning must handle empty nodes.
+    src = tiny_cloud(rng, n=40)
+    res = gmmtree.registration_gmmtree(src, src.copy(), maxiter=5)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_svr_small_cloud(rng):
+    src = tiny_cloud(rng, n=25)
+    res = l2dist_regs.registration_svr(src, src.copy(), opt_maxiter=10)
+    assert np.isfinite(np.asarray(res.rot)).all()
+
+
+def test_gmmreg_components_clamp(rng):
+    # n_gmm_components > 0.8*n triggers the reference's clamp path.
+    src = tiny_cloud(rng, n=20)
+    res = l2dist_regs.registration_gmmreg(src, src.copy(),
+                                          n_gmm_components=800)
+    assert np.isfinite(np.asarray(res.rot)).all()
