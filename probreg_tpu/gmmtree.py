@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import config as _config
 from .log import log
@@ -208,20 +209,20 @@ def _reg_estep(points, pi, mu, cov, *, max_level, lambda_c):
     return _accumulate(points, gmax, search, n_total)
 
 
-@partial(jax.jit, static_argnames=())
-def _mstep(m0, m1, node_mu, node_cov, rot_p, t_p):
-    """Reference gmmtree.py:64-81: per-node eigendecomposition -> stacked
-    3-row blocks -> least-squares 6-dof twist, vectorized over nodes."""
+def _mstep_core(m0, m1, node_mu, lmd, nn, rot_p, t_p):
+    """Reference gmmtree.py:64-81 with the (constant) node-covariance
+    eigendecompositions hoisted out of the EM loop; the stacked twist
+    least-squares is solved via 6x6 normal equations (lstsq's SVD costs
+    more than the rest of the iteration combined on TPU)."""
     t_total = m0.shape[0]
     dim = node_mu.shape[1]
     eps = jnp.finfo(jnp.float32).eps
     keep = m0 >= eps
     m0s = jnp.maximum(m0, eps)
     s = m1 / m0s[:, None]                                   # (T, 3)
-    lmd, nn = jnp.linalg.eigh(node_cov)                     # (T,3), (T,3,3)
     scale = jnp.sqrt(m0s[:, None] / jnp.maximum(lmd, eps))  # (T, 3)
-    nn = nn * scale[:, None, :]                             # scaled eigvecs
-    nn_t = jnp.swapaxes(nn, 1, 2)                           # (T, 3, 3) rows=vecs
+    nns = nn * scale[:, None, :]                            # scaled eigvecs
+    nn_t = jnp.swapaxes(nns, 1, 2)                          # (T, 3, 3) rows=vecs
     b = jnp.einsum("tij,tj->ti", nn_t, node_mu - s)         # (T, 3)
     a_rot = jnp.cross(jnp.broadcast_to(s[:, None, :], nn_t.shape), nn_t)
     amat = jnp.concatenate([a_rot, nn_t], axis=2)           # (T, 3, 6)
@@ -229,21 +230,102 @@ def _mstep(m0, m1, node_mu, node_cov, rot_p, t_p):
     b = jnp.where(keep[:, None], b, 0.0)
     amat = amat.reshape(t_total * dim, 2 * dim)
     b = b.reshape(t_total * dim)
-    x, _, _, _ = jnp.linalg.lstsq(amat, b, rcond=-1.0)
+    ata = amat.T @ amat
+    atb = amat.T @ b
+    x = jnp.linalg.solve(ata + 1e-8 * jnp.eye(2 * dim, dtype=ata.dtype), atb)
     q = jnp.sum((amat @ x - b) ** 2)
     rot, t = so.twist_mul(x, rot_p, t_p)
     return rot, t, q
 
 
+@partial(jax.jit, static_argnames=())
+def _mstep(m0, m1, node_mu, node_cov, rot_p, t_p):
+    lmd, nn = jnp.linalg.eigh(node_cov)
+    return _mstep_core(m0, m1, node_mu, lmd, nn, rot_p, t_p)
+
+
 @partial(jax.jit, static_argnames=("max_level", "lambda_c", "maxiter", "tol"))
 def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
                       maxiter, tol):
+    """Whole registration loop in transposed (D, N) layout.
+
+    Per-iteration (N, 3)-layout ops cost ~0.25 ms each on TPU in lane
+    relayouts (see cpd.py). The descent is reformulated against the pdf
+    matrix of ALL T nodes at once: the Mahalanobis quadratic/linear terms
+    for every (node, point) pair come from three constant-matrix matmuls,
+    the per-level child restriction is a (T, N) parent-id mask, and the
+    final moments (m0, m1, the 6 unique m2 entries) are (T, N) x (N, *)
+    matmuls against a one-hot assignment matrix. Everything lane = points.
+    """
+    n, dim = target.shape
+    n_total = _n_total(max_level)
+
+    # Static per-registration node quantities (incl. the M-step eigh).
+    inv, norm, _ = _log_pdf_terms(cov)                      # (T,3,3), (T,)
+    cplx = _complexity(cov)                                 # (T,)
+    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    si_stack = inv.reshape(n_total * dim, dim)              # (3T, 3)
+    msi = jnp.einsum("tij,tj->ti", inv, mu)                 # (T, 3)
+    mcm = jnp.einsum("ti,ti->t", msi, mu)                   # (T,)
+    # Constant selection matrix: qf (T, N) = SSUM @ (B * Xrep), where
+    # row t sums the 3 rows of its node block.
+    ssum = jnp.repeat(jnp.eye(n_total, dtype=target.dtype), dim, axis=1)
+    parent_of = jnp.asarray(
+        np.arange(_n_total(max_level)) // N_NODE - 1, jnp.int32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_total, 1), 0)
+    xs_t0 = target.T                                        # (3, N)
+
+    def estep_t(x_t):
+        # pdf matrix for all nodes: (T, N).
+        b_all = jax.lax.dot_general(
+            si_stack, x_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (3T, N)
+        x_rep = jnp.tile(x_t, (n_total, 1))                 # (3T, N)
+        qf = jax.lax.dot_general(
+            ssum, b_all * x_rep, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (T, N)
+        lin = jax.lax.dot_general(
+            msi, x_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (T, N)
+        ep = -0.5 * (qf - 2.0 * lin + mcm[:, None])
+        pdf = norm[:, None] * jnp.exp(jnp.minimum(ep, 0.0))
+        wpdf = pi[:, None] * pdf                            # (T, N)
+
+        parent = jnp.full((1, n), -1, jnp.int32)
+        gmax = jnp.zeros((1, n), x_t.dtype)
+        stopped = jnp.zeros((1, n), bool)
+        search = jnp.zeros((1, n), jnp.int32)
+        for _ in range(max_level):
+            mask = (parent_of[:, None] == parent).astype(x_t.dtype)
+            g = wpdf * mask
+            den = jnp.sum(g, axis=0, keepdims=True)
+            g = jnp.where(den > _EPS, g / jnp.maximum(den, _EPS), 0.0)
+            new_search = jnp.argmax(g, axis=0)[None, :].astype(jnp.int32)
+            new_g = jnp.max(g, axis=0, keepdims=True)
+            search = jnp.where(stopped, search, new_search)
+            gmax = jnp.where(stopped, gmax, new_g)
+            # cplx gather via one-hot matmul (lane-friendly).
+            onehot = (row_iota == search).astype(x_t.dtype)  # (T, N)
+            cpts = jax.lax.dot_general(
+                cplx[None, :], onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (1, N)
+            stopped = stopped | (cpts <= lambda_c)
+            parent = jnp.where(stopped, parent, search)
+
+        onehot = (row_iota == search).astype(x_t.dtype)
+        w = onehot * gmax                                    # (T, N)
+        m0 = jnp.sum(w, axis=1)                              # (T,)
+        m1 = jax.lax.dot_general(
+            w, x_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (T, 3)
+        return m0, m1
+
     def body(state):
         rot, t, q, _, i = state
-        t_target = target @ rot.T + t
-        m0, m1, _ = _reg_estep(t_target, pi, mu, cov,
-                               max_level=max_level, lambda_c=lambda_c)
-        rot_new, t_new, q_new = _mstep(m0, m1, mu, cov, rot, t)
+        x_t = rot @ xs_t0 + t[:, None]                       # (3, N)
+        m0, m1 = estep_t(x_t)
+        rot_new, t_new, q_new = _mstep_core(
+            m0, m1, mu, lmd_nodes, nn_nodes, rot, t)
         return (rot_new, t_new, q_new, q, i + 1)
 
     def cond(state):
@@ -252,7 +334,6 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
             i < maxiter,
             jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
 
-    dim = target.shape[1]
     state = (rot0, t0, jnp.asarray(jnp.inf, target.dtype),
              jnp.asarray(jnp.inf, target.dtype), jnp.asarray(0))
     rot, t, q, _, _ = jax.lax.while_loop(cond, body, state)

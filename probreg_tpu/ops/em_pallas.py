@@ -37,7 +37,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
-_POWER_ITERS = 30
+_POWER_SQUARINGS = 7
+
+
+def _dominant_eigvec(kmat):
+    """Unit dominant eigenvector of a symmetric 4x4 via repeated squaring.
+
+    A plain shifted power iteration converges as ((l2+s)/(l1+s))^iters — the
+    PSD shift pushes the ratio toward 1, and 30 iterations leave ~1e-3
+    eigenvector error (enough to drift CPD rotations by degrees). Squaring
+    the shifted matrix k times amplifies the gap to ratio^(2^k): 7
+    squarings give ratio^128 suppression for a handful of 4x4 matmuls.
+    """
+    shift = jnp.sum(jnp.abs(kmat))
+    ks = kmat + shift * jnp.eye(4, dtype=jnp.float32)
+    ks = ks / jnp.sqrt(jnp.sum(ks * ks))
+
+    def sq(_, m):
+        m = jnp.dot(m, m, preferred_element_type=jnp.float32)
+        return m / jnp.sqrt(jnp.sum(m * m))
+
+    ks = jax.lax.fori_loop(0, _POWER_SQUARINGS, sq, ks)
+    v = jnp.dot(ks, jnp.full((4, 1), 0.5, jnp.float32),
+                preferred_element_type=jnp.float32)
+    # One Rayleigh polish step against the original matrix.
+    v = v / jnp.sqrt(jnp.sum(v * v))
+    v = jnp.dot(kmat + shift * jnp.eye(4, dtype=jnp.float32), v,
+                preferred_element_type=jnp.float32)
+    return v / jnp.sqrt(jnp.sum(v * v))
 
 
 def _flatten_rows(x, rows, cols):
@@ -192,15 +219,7 @@ def _em_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, x2_ref, bigy_ref,
         kmat = _unflatten_rows(
             jnp.dot(_flatten_rows(a, 3, 3), k_t,
                     preferred_element_type=jnp.float32), 4, 4)
-        shift = jnp.sum(jnp.abs(kmat))
-        ks = kmat + shift * jnp.eye(4, dtype=jnp.float32)
-        v = jnp.full((4, 1), 0.5, jnp.float32)
-
-        def piter(_, v):
-            v = jnp.dot(ks, v, preferred_element_type=jnp.float32)
-            return v / jnp.sqrt(jnp.sum(v * v))
-
-        v = jax.lax.fori_loop(0, _POWER_ITERS, piter, v)
+        v = _dominant_eigvec(kmat)
         qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)  # (4, 4)
         rot = _unflatten_rows(
             jnp.dot(_flatten_rows(qq, 4, 4), r_t,
@@ -419,15 +438,7 @@ def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
         kmat = _unflatten_rows(
             jnp.dot(_flatten_rows(a, 3, 3), k_t,
                     preferred_element_type=jnp.float32), 4, 4)
-        shift = jnp.sum(jnp.abs(kmat))
-        ks = kmat + shift * jnp.eye(4, dtype=jnp.float32)
-        v = jnp.full((4, 1), 0.5, jnp.float32)
-
-        def piter(_, v):
-            v = jnp.dot(ks, v, preferred_element_type=jnp.float32)
-            return v / jnp.sqrt(jnp.sum(v * v))
-
-        v = jax.lax.fori_loop(0, _POWER_ITERS, piter, v)
+        v = _dominant_eigvec(kmat)
         qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
         dr = _unflatten_rows(
             jnp.dot(_flatten_rows(qq, 4, 4), r_t,
