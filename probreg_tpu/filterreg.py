@@ -500,6 +500,11 @@ class RigidFilterReg(FilterReg):
         super().__init__(source=source, target_normals=target_normals,
                          sigma2=sigma2, update_sigma2=update_sigma2, **kwargs)
         self._tf_type = tf.RigidTransformation
+        # Infer dimensionality from the source (the reference forces the
+        # user to pass tf_init_params={'rot': np.identity(2), ...} for 2-D
+        # clouds, examples/filterreg_rigid2d.py).
+        if not tf_init_params and self._source is not None:
+            tf_init_params = {"dim": int(self._source.shape[1])}
         self._tf_result = self._tf_type(**tf_init_params)
 
     @staticmethod
