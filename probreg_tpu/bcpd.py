@@ -52,16 +52,22 @@ def _as_jnp(x):
     return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
 
 
-def bcpd_estep(t_source, target, scale, alpha, sigma_mat_diag, sigma2, w=0.0):
+def bcpd_estep(t_source, target, scale, alpha, sigma_mat_diag, sigma2, w=0.0,
+               with_rmse=False):
     """BCPD E-step moments (reference bcpd.py:53-72), dense-block version.
 
     pmat_mj = (1-w) alpha_m exp(-|x_j - y_m|^2 / 2s2) / (2 pi s2)^(D/2)
               * exp(-scale^2/(2 s2) * Sigma_mm * D)
     den_j   = w / N + sum_m pmat_mj
+
+    ``with_rmse`` additionally returns the source->target NN-RMSE
+    convergence criterion from the same d2 matrix (the reference pays a
+    separate cKDTree query per iteration, bcpd.py:95).
     """
     dim = t_source.shape[1]
     n = target.shape[0]
     d2 = pairwise.sqdist(t_source, target)                 # (M, N)
+    rmse = jnp.mean(jnp.sqrt(jnp.min(d2, axis=1))) if with_rmse else None
     row = (1.0 - w) * alpha * jnp.exp(
         -(scale ** 2) / (2.0 * sigma2) * sigma_mat_diag * dim)
     g = jnp.exp(-d2 / (2.0 * sigma2)) / (2.0 * jnp.pi * sigma2) ** (dim * 0.5)
@@ -74,7 +80,8 @@ def bcpd_estep(t_source, target, scale, alpha, sigma_mat_diag, sigma2, w=0.0):
     nu = jnp.sum(pmat, axis=1)                             # (M,)
     px = pmat @ target                                     # (M, D)
     x_hat = px / jnp.maximum(nu, _EPS)[:, None]
-    return EstepResult(nu_d, nu, jnp.maximum(jnp.sum(nu), _EPS), px, x_hat)
+    res = EstepResult(nu_d, nu, jnp.maximum(jnp.sum(nu), _EPS), px, x_hat)
+    return (res, rmse) if with_rmse else res
 
 
 def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
@@ -132,10 +139,10 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
     def body(state):
         rot, t, scale, v_hat, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
         t_source = scale * (source + v_hat) @ rot.T + t
-        est = bcpd_estep(t_source, target, scale, alpha, sigma_diag, sigma2, w)
+        est, rmse = bcpd_estep(t_source, target, scale, alpha, sigma_diag,
+                               sigma2, w, with_rmse=True)
         transf, u_hat, sigma_mat, alpha_new, sigma2_new = combined_mstep(
             source, target, rot, t, scale, est, gmat, lmd, k, sigma2)
-        rmse = jnp.mean(jnp.sqrt(pairwise.nearest_sqdist(t_source, target)))
         rt = transf.rigid_trans
         return (rt.rot, rt.t, rt.scale, transf.v, jnp.diag(sigma_mat),
                 alpha_new, sigma2_new, rmse, state[7], i + 1)
