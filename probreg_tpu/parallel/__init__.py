@@ -11,6 +11,7 @@ from .sharded import (  # noqa: F401
     estep_sharded,
     make_mesh,
     registration_cpd_sharded,
+    registration_filterreg_sharded,
     shard_points,
     shard_points_t,
 )

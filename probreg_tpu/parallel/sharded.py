@@ -340,3 +340,159 @@ def registration_cpd_sharded(
         kind=tf_type_name, w=float(w), maxiter=int(maxiter), tol=float(tol),
         n=n, mesh=mesh, axis=axis,
     )
+
+
+# --------------------------------------------------------------------------
+# Sharded FilterReg (rigid pt2pt/pt2pl)
+# --------------------------------------------------------------------------
+#
+# FilterReg's dense E-step moments are per-SOURCE row sums over targets
+# (filterreg.py:78-106), so sharding the target over the mesh needs one
+# psum of the (C, M) moment matrix — same pattern as CPD, no posterior
+# normalization at all.
+
+@partial(
+    jax.jit,
+    static_argnames=("objective_type", "update_sigma2", "w", "maxiter",
+                     "tol", "min_sigma2", "sigma2_decay", "n", "mesh",
+                     "axis"),
+)
+def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, *,
+                           objective_type, update_sigma2, w, maxiter, tol,
+                           min_sigma2, sigma2_decay, n, mesh, axis):
+    from .. import filterreg as frg_mod
+
+    ys_t = source.T
+    dim, m = ys_t.shape
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, axis), P(None, axis)),
+             out_specs=P())
+    def init_sigma2(ys_t, xs_sh, msk):
+        sx2 = jnp.sum(ys_t * ys_t)
+        st2 = jax.lax.psum(jnp.sum(xs_sh * xs_sh * msk), axis)
+        sx = jnp.sum(ys_t, axis=1)
+        st = jax.lax.psum(jnp.sum(xs_sh * msk, axis=1), axis)
+        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+
+    sigma2_0 = jnp.maximum(init_sigma2(ys_t, xs_t_sh, mask_sh), min_sigma2)
+
+    nrm_spec = P() if nrm_t_sh is None else P(None, axis)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, axis), P(None, axis), nrm_spec, P()),
+             out_specs=P())
+    def moments(t_src_t, xs_sh, msk, nrm_sh, sigma2):
+        inv2s2 = 0.5 / sigma2
+        y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+        x2 = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)
+        xy = jax.lax.dot_general(
+            t_src_t, xs_sh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        kk = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) * inv2s2) * msk
+        chans = [msk, xs_sh]
+        if update_sigma2:
+            chans.append(x2 * msk)
+        if objective_type == "pt2pl":
+            chans.append(nrm_sh)
+        v_t = jnp.concatenate(chans, axis=0)
+        mom = jax.lax.dot_general(
+            v_t, kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (C, M)
+        return jax.lax.psum(mom, axis)
+
+    def step(rot, t, sigma2):
+        t_src = rot @ ys_t + t[:, None]
+        mom = moments(t_src, xs_t_sh, mask_sh,
+                      nrm_t_sh if nrm_t_sh is not None else sigma2, sigma2)
+        m0 = mom[0]
+        m1_t = mom[1:1 + dim]
+        col = 1 + dim
+        m2 = None
+        if update_sigma2:
+            m2 = mom[col]
+            col += 1
+        nx_t = mom[col:col + dim] if objective_type == "pt2pl" else None
+
+        c = frg_mod._outlier_c(sigma2, w, m, n, dim)
+        mask = (m0 > 0.0).astype(t_src.dtype)
+        m0_safe = jnp.maximum(m0, frg_mod._EPS)
+        m1m0_t = m1_t / m0_safe[None, :]
+        m0m0 = m0 / jnp.maximum(m0 + c, frg_mod._EPS)
+        drxdx = mask * jnp.sqrt(m0m0 / sigma2)
+        if objective_type == "pt2pt":
+            dr, dt = frg_mod._kabsch_t(t_src, m1m0_t, drxdx)
+            rx2 = jnp.sum((drxdx[None, :] * (t_src - m1m0_t)) ** 2, axis=0)
+            q = jnp.sum(jnp.sqrt(rx2))
+            rot_n, t_n = dr @ rot, dr @ t + dt
+        else:
+            nxm0_t = nx_t / m0_safe[None, :]
+            tw, q = frg_mod._pt2pl_t(t_src, m1m0_t, nxm0_t, drxdx)
+            from ..utils import se3_op as so
+
+            rot_n, t_n = so.twist_mul(tw, rot, t)
+        if m2 is None:
+            return rot_n, t_n, sigma2 * sigma2_decay, q
+        num = m0 * jnp.sum(t_src * t_src, axis=0) \
+            - 2.0 * jnp.sum(t_src * m1_t, axis=0) + m2
+        s2 = jnp.sum(mask * num / jnp.maximum(m0 + c, frg_mod._EPS))
+        s2 = s2 / (dim * jnp.maximum(jnp.sum(mask * m0m0), frg_mod._EPS))
+        return rot_n, t_n, s2, q
+
+    def cond(state):
+        _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    def body(state):
+        rot, t, sigma2, q, _, i = state
+        rot, t, s2, q_new = step(rot, t, sigma2)
+        s2 = jnp.maximum(s2, min_sigma2)
+        return (rot, t, s2, q_new, q, i + 1)
+
+    state = (jnp.eye(dim, dtype=source.dtype),
+             jnp.zeros(dim, source.dtype), sigma2_0,
+             jnp.asarray(jnp.inf, source.dtype),
+             jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
+    rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return rot, t, sigma2, q
+
+
+def registration_filterreg_sharded(
+    source,
+    target,
+    target_normals=None,
+    objective_type: str = "pt2pt",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    min_sigma2: float = 1.0e-4,
+    sigma2_decay: float = 1.0,
+    update_sigma2: bool = False,
+    mesh: Optional[Mesh] = None,
+):
+    """Multi-device rigid FilterReg; target (and normals) sharded over the
+    mesh, moments psum'd. Same semantics as registration_filterreg's fast
+    path. Returns an MstepResult."""
+    from .. import filterreg as frg_mod
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    src = jnp.asarray(interop.as_points(source, dtype=config.dtype))
+    xs_t_sh, mask_sh, n = shard_points_t(target, mesh, axis)
+    nrm_t_sh = None
+    if objective_type == "pt2pl":
+        if target_normals is None:
+            raise ValueError("pt2pl requires target_normals.")
+        nrm_t_sh, _, _ = shard_points_t(target_normals, mesh, axis)
+    rot, t, sigma2, q = _run_filterreg_sharded(
+        src, xs_t_sh, mask_sh, nrm_t_sh,
+        objective_type=objective_type, update_sigma2=bool(update_sigma2),
+        w=float(w), maxiter=int(maxiter), tol=float(tol),
+        min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
+        n=n, mesh=mesh, axis=axis)
+    return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2, q)

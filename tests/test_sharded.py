@@ -66,3 +66,22 @@ def test_sharded_nonrigid_runs(mesh, rng):
     before = np.linalg.norm(src - tgt)
     after = np.linalg.norm(moved - tgt)
     assert after < 0.5 * before
+
+
+def test_sharded_filterreg_matches_single(mesh, horse_cloud):
+    from probreg_tpu import filterreg
+    import numpy as np
+
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([6.0, -3.0, 5.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+    res_sh = sharded.registration_filterreg_sharded(src, tgt, maxiter=30,
+                                                    tol=1e-5)
+    rec = np.asarray(se3_op.mat2euler(res_sh.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=2e-1)
+    res_single = filterreg.registration_filterreg(src, tgt, maxiter=30,
+                                                  tol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.transformation.rot),
+        np.asarray(res_single.transformation.rot), atol=1e-4)
