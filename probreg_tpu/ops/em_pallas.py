@@ -71,9 +71,7 @@ def _flatten_rows(x, rows, cols):
     """(rows, cols) -> (1, rows*cols). Mosaic-safe: per-row lane rolls + a
     sublane reduction (reshape/concat-with-offset are not lowerable)."""
     total = rows * cols
-    pad = jnp.zeros((rows, total), x.dtype)
-    pad = pad.at[:, :cols].set(x) if False else jnp.pad(
-        x, ((0, 0), (0, total - cols)))
+    pad = jnp.pad(x, ((0, 0), (0, total - cols)))
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, total), 0)
     out = jnp.zeros((rows, total), x.dtype)
     for i in range(rows):
