@@ -123,7 +123,10 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
     tr_rsxu = jnp.trace(rot_new @ s_xu)
     scale_new = tr_rsxu / jnp.trace(s_uu)
     t_new = x_m - scale_new * rot_new @ u_m
-    y_hat = scale_new * (source + v_hat) @ rot_new.T + t_new
+    # Reference parity (bcpd.py:151): y_hat is evaluated with the PREVIOUS
+    # rigid transform (rot/t/scale args), not the just-updated one; only the
+    # scale_new**2 * sigma2_m term uses the new scale (bcpd.py:155).
+    y_hat = scale * (source + v_hat) @ rot.T + t
     s1 = jnp.sum(nu_d * jnp.sum(target * target, axis=1))
     s2 = jnp.sum(px * y_hat)
     s3 = jnp.sum(nu * jnp.sum(y_hat * y_hat, axis=1))

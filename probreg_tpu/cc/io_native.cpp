@@ -65,8 +65,16 @@ double read_scalar(const char* p, const Prop& prop, bool big_endian) {
         std::memcpy(&v, buf, 8);
         return v;
     }
+    if (prop.kind == 'u') {
+        uint64_t uv = 0;
+        std::memcpy(&uv, buf, prop.size);
+        return static_cast<double>(uv);
+    }
+    // Signed: sign-extend from prop.size bytes.
     int64_t iv = 0;
     std::memcpy(&iv, buf, prop.size);
+    const int shift = 64 - 8 * prop.size;
+    iv = (iv << shift) >> shift;
     return static_cast<double>(iv);
 }
 

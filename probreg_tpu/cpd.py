@@ -260,11 +260,7 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
         t0 = init[dim * dim: dim * dim + dim]
         scale0 = init[dim * dim + dim]
     # sigma2_0 = squared_kernel_sum in closed form (O(M+N), math_utils.py:28).
-    sx2 = jnp.sum(ys_t * ys_t)
-    st2 = jnp.sum(xs_t * xs_t)
-    sx = jnp.sum(ys_t, axis=1)
-    st = jnp.sum(xs_t, axis=1)
-    sigma2_0 = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+    sigma2_0 = mu.squared_kernel_sum(source, target)
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
     xs_ext = jnp.concatenate(
@@ -394,7 +390,9 @@ class CoherentPointDrift(abc.ABC):
 
     def maximization_step(self, target, estep_res, sigma2_p=None) -> MstepResult:
         mom = self._moments_from_estep(estep_res, _as_jnp(target))
-        return self._mstep(self._source, mom, jnp.asarray(sigma2_p))
+        if sigma2_p is not None:
+            sigma2_p = jnp.asarray(sigma2_p)
+        return self._mstep(self._source, mom, sigma2_p)
 
     @staticmethod
     def _moments_from_estep(estep_res, target) -> EstepMoments:
@@ -489,6 +487,7 @@ class RigidCPD(CoherentPointDrift):
         m, n = self._source.shape[0], target.shape[0]
         if (not p and dim == 3
                 and _config.config.use_fused_em
+                and self._use_pallas is not False
                 and m * n <= _config.config.fused_em_max_pairs
                 and jax.default_backend() == "tpu"):
             from .ops import em_pallas

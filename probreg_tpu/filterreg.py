@@ -92,13 +92,19 @@ def rigid_mstep_pt2pl(t_source, m0, m1, m2, nx, rot_p, t_p, sigma2, c):
 
 
 def _sigma2_update(t_source, m0, m1, m2, m0m0, c, mask, sigma2_old):
-    """Reference filterreg.py:190-195; no-op when m2 is None."""
+    """Reference filterreg.py:190-195; no-op when m2 is None.
+
+    Deviation: the reference hard-codes the divisor 3.0 even for 2-D clouds
+    (filterreg.py:195); we divide by the actual dimensionality, consistently
+    across the host, jitted and sharded paths.
+    """
     if m2 is None:
         return sigma2_old
+    dim = t_source.shape[1]
     num = m0 * jnp.sum(t_source * t_source, axis=1) \
         - 2.0 * jnp.sum(t_source * m1, axis=1) + m2
     s2 = jnp.sum(mask * num / (m0 + c))
-    s2 = s2 / (3.0 * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
+    s2 = s2 / (dim * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
     return s2
 
 
@@ -201,12 +207,8 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
             nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
             sigma2_0 = jnp.maximum(jnp.mean(nn2), min_sigma2 * 0.01)
         else:
-            sx2 = jnp.sum(ys_t * ys_t)
-            st2 = jnp.sum(x2)
-            sx = jnp.sum(ys_t, axis=1)
-            st = jnp.sum(xs_t, axis=1)
-            skc = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
-            sigma2_0 = jnp.maximum(skc, min_sigma2)
+            sigma2_0 = jnp.maximum(
+                mu.squared_kernel_sum(source, target), min_sigma2)
 
     def step(rot, t, sigma2):
         t_src = rot @ ys_t + t[:, None]                        # (D, M)

@@ -302,11 +302,9 @@ def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
     ], axis=0)                               # (8, Np)
 
     # sigma2_0 / q0 closed form (reference math_utils.py:28).
-    sx2 = jnp.sum(source * source)
-    st2 = jnp.sum(x2_real)
-    sx = jnp.sum(source, axis=0)
-    st = jnp.sum(target, axis=0)
-    sigma2_0 = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+    from ..utils import math_utils as _mu
+
+    sigma2_0 = _mu.squared_kernel_sum(source, target)
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
 
     wratio = w / (1.0 - w) * m / n if w > 0.0 else 0.0
@@ -526,12 +524,9 @@ def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
     ], axis=0)
 
     if auto_sigma2:
-        sx2 = jnp.sum(source * source)
-        st2 = jnp.sum(x2_real)
-        sx = jnp.sum(source, axis=0)
-        st = jnp.sum(target, axis=0)
-        s2_0 = (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
-        s2_0 = jnp.maximum(s2_0, min_sigma2)
+        from ..utils import math_utils as _mu
+
+        s2_0 = jnp.maximum(_mu.squared_kernel_sum(source, target), min_sigma2)
     else:
         s2_0 = jnp.asarray(sigma2_0, jnp.float32)
 

@@ -354,12 +354,13 @@ def registration_cpd_sharded(
 @partial(
     jax.jit,
     static_argnames=("objective_type", "update_sigma2", "w", "maxiter",
-                     "tol", "min_sigma2", "sigma2_decay", "n", "mesh",
-                     "axis"),
+                     "tol", "min_sigma2", "sigma2_decay", "auto_sigma2",
+                     "n", "mesh", "axis"),
 )
-def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, *,
+def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, sigma2_in, *,
                            objective_type, update_sigma2, w, maxiter, tol,
-                           min_sigma2, sigma2_decay, n, mesh, axis):
+                           min_sigma2, sigma2_decay, auto_sigma2, n, mesh,
+                           axis):
     from .. import filterreg as frg_mod
 
     ys_t = source.T
@@ -369,13 +370,37 @@ def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, *,
              in_specs=(P(), P(None, axis), P(None, axis)),
              out_specs=P())
     def init_sigma2(ys_t, xs_sh, msk):
+        if objective_type == "pt2pl":
+            # Point-spacing scale (see filterreg.registration): one-time
+            # all-gather of the target so each shard's points query the
+            # FULL cloud (shard-local NN overestimates spacing when the
+            # input ordering is not spatially coherent).
+            xs_full = jax.lax.all_gather(xs_sh, axis, axis=1, tiled=True)
+            msk_full = jax.lax.all_gather(msk, axis, axis=1, tiled=True)
+            x2l = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)     # (1, n/P)
+            x2f = jnp.sum(xs_full * xs_full, axis=0, keepdims=True)  # (1, n)
+            d2 = jnp.maximum(
+                x2l.T + x2f - 2.0 * jax.lax.dot_general(
+                    xs_sh, xs_full, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0)
+            invalid = (msk.T <= 0.0) | (msk_full <= 0.0) | (d2 <= 1e-12)
+            d2 = jnp.where(invalid, jnp.inf, d2)
+            nn2 = jnp.min(d2, axis=1)
+            nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
+            cnt = jax.lax.psum(jnp.sum(msk), axis)
+            return jax.lax.psum(jnp.sum(nn2), axis) / jnp.maximum(cnt, 1.0)
         sx2 = jnp.sum(ys_t * ys_t)
         st2 = jax.lax.psum(jnp.sum(xs_sh * xs_sh * msk), axis)
         sx = jnp.sum(ys_t, axis=1)
         st = jax.lax.psum(jnp.sum(xs_sh * msk, axis=1), axis)
         return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
 
-    sigma2_0 = jnp.maximum(init_sigma2(ys_t, xs_t_sh, mask_sh), min_sigma2)
+    if auto_sigma2:
+        floor = min_sigma2 * 0.01 if objective_type == "pt2pl" else min_sigma2
+        sigma2_0 = jnp.maximum(init_sigma2(ys_t, xs_t_sh, mask_sh), floor)
+    else:
+        sigma2_0 = jnp.asarray(sigma2_in, source.dtype)
 
     nrm_spec = P() if nrm_t_sh is None else P(None, axis)
 
@@ -466,6 +491,7 @@ def registration_filterreg_sharded(
     target,
     target_normals=None,
     objective_type: str = "pt2pt",
+    sigma2: Optional[float] = None,
     w: float = 0.0,
     maxiter: int = 50,
     tol: float = 0.001,
@@ -489,10 +515,11 @@ def registration_filterreg_sharded(
         if target_normals is None:
             raise ValueError("pt2pl requires target_normals.")
         nrm_t_sh, _, _ = shard_points_t(target_normals, mesh, axis)
-    rot, t, sigma2, q = _run_filterreg_sharded(
+    rot, t, sigma2_out, q = _run_filterreg_sharded(
         src, xs_t_sh, mask_sh, nrm_t_sh,
+        np.float32(0.0 if sigma2 is None else sigma2),
         objective_type=objective_type, update_sigma2=bool(update_sigma2),
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
-        n=n, mesh=mesh, axis=axis)
-    return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2, q)
+        auto_sigma2=sigma2 is None, n=n, mesh=mesh, axis=axis)
+    return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2_out, q)

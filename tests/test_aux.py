@@ -81,3 +81,14 @@ def test_native_io_matches_python():
         pio._nat = pio_nat
     assert va.shape == vb.shape
     assert set(map(tuple, np.round(va, 9))) == set(map(tuple, np.round(vb, 9)))
+
+
+def test_maximization_step_default_sigma2p(rng, horse_cloud):
+    """Public maximization_step works without sigma2_p (review fix)."""
+    from probreg_tpu import cpd as cpd_mod
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    c = cpd_mod.RigidCPD(src)
+    est = c.expectation_step(src, src + 0.01, 0.5)
+    res = c.maximization_step(src + 0.01, est)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()

@@ -85,3 +85,36 @@ def test_sharded_filterreg_matches_single(mesh, horse_cloud):
     np.testing.assert_allclose(
         np.asarray(res_sh.transformation.rot),
         np.asarray(res_single.transformation.rot), atol=1e-4)
+
+
+def test_sharded_filterreg_pt2pl_sigma2_init(mesh, rng):
+    """pt2pl on the mesh uses the point-spacing sigma2 init (review fix)."""
+    import numpy as np
+    from probreg_tpu import filterreg
+
+    theta = rng.uniform(0, np.pi, 300)
+    phi = rng.uniform(0, 2 * np.pi, 300)
+    r = 0.5 * (1.0 + 0.2 * np.sin(3 * theta))
+    src = np.stack([r * np.sin(theta) * np.cos(phi),
+                    r * np.sin(theta) * np.sin(phi),
+                    r * np.cos(theta)], 1).astype(np.float32)
+    ang = np.deg2rad([6.0, -3.0, 4.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+    d2 = ((tgt[:, None] - tgt[None]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :10]
+    nb = tgt[idx]
+    ctr = nb.mean(1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", nb - ctr, nb - ctr)
+    _, vecs = np.linalg.eigh(cov)
+    normals = vecs[:, :, 0]
+    out = tgt - tgt.mean(0)
+    sign = np.sign((normals * out).sum(1, keepdims=True))
+    sign[sign == 0] = 1
+    normals = (normals * sign).astype(np.float32)
+
+    res = sharded.registration_filterreg_sharded(
+        src, tgt, target_normals=normals, objective_type="pt2pl",
+        maxiter=40, tol=1e-6)
+    rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=1e-1)
