@@ -137,17 +137,97 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "tol"))
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
+    """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.
+
+    (M, 3)-layout ops inside TPU loops cost ~0.25 ms each in lane relayouts
+    (see cpd.py); the E-step here mirrors cpd._estep_t: one (C, N) x (M, N)
+    matmul yields nu / px / the s1 channel, and the v_hat update rides the
+    symmetric Sigma as a lane-major matmul. The M x M solve keeps its
+    natural layout (it dominates asymptotically regardless).
+    """
     m, dim = source.shape
+    n = target.shape[0]
+    ys_t = source.T                                        # (D, M)
+    xs_t = target.T                                        # (D, N)
+    x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
+    # Channels: [x (D); ones; |x|^2] -> rows of the moment matmul give
+    # px_t (D, M), nu (M), and sum_j p_ij |x_j|^2 whose total is s1.
+    v_chan = jnp.concatenate(
+        [xs_t, jnp.ones((1, n), xs_t.dtype), x2], axis=0)  # (D+2, N)
+    eye_m = jnp.eye(m, dtype=source.dtype)
 
     def body(state):
-        rot, t, scale, v_hat, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
-        t_source = scale * (source + v_hat) @ rot.T + t
-        est, rmse = bcpd_estep(t_source, target, scale, alpha, sigma_diag,
-                               sigma2, w, with_rmse=True)
-        transf, u_hat, sigma_mat, alpha_new, sigma2_new = combined_mstep(
-            source, target, rot, t, scale, est, gmat, lmd, k, sigma2)
-        rt = transf.rigid_trans
-        return (rt.rot, rt.t, rt.scale, transf.v, jnp.diag(sigma_mat),
+        rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
+        t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]   # (D, M)
+
+        # --- E-step (bcpd_estep in transposed layout)
+        y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]        # (M, 1)
+        xy = jax.lax.dot_general(
+            t_src_t, xs_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)               # (M, N)
+        rmse = jnp.mean(jnp.sqrt(jnp.min(d2, axis=1)))
+        row = (1.0 - w) * alpha * jnp.exp(
+            -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
+        g = jnp.exp(-d2 / (2.0 * sigma2)) \
+            / (2.0 * jnp.pi * sigma2) ** (dim * 0.5)
+        pmat = g * row[:, None]
+        den = w / n + jnp.sum(pmat, axis=0, keepdims=True)
+        den = jnp.where(den == 0.0, _EPS, den)
+        pmat = pmat / den
+        mom = jax.lax.dot_general(
+            v_chan, pmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (D+2, M)
+        px_t = mom[:dim]                                        # (D, M)
+        nu = mom[dim]                                           # (M,)
+        s1 = jnp.sum(mom[dim + 1])
+        n_p = jnp.maximum(jnp.sum(nu), _EPS)
+        x_hat_t = px_t / jnp.maximum(nu, _EPS)[None, :]         # (D, M)
+
+        # --- M-step (combined_mstep in transposed layout)
+        s2s2 = scale ** 2 / (sigma2 ** 2)
+        shifted = lmd * eye_m + s2s2 * gmat * nu[None, :]
+        sigma_mat = jnp.linalg.solve(shifted, gmat)
+        sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
+        residual_t = rot.T @ ((x_hat_t - t[:, None]) / scale) - ys_t
+        v_new_t = s2s2 * jax.lax.dot_general(
+            residual_t * nu[None, :], sigma_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (D, M)
+        u_hat_t = ys_t + v_new_t
+        alpha_new = jnp.exp(jax.scipy.special.digamma(k + nu)
+                            - jax.scipy.special.digamma(k * m + n_p))
+        x_m = x_hat_t @ nu / n_p                                # (D,)
+        sigma2_m = jnp.sum(nu * jnp.diag(sigma_mat)) / n_p
+        u_m = u_hat_t @ nu / n_p
+        u_hm = u_hat_t - u_m[:, None]
+        s_xu = jax.lax.dot_general(
+            (x_hat_t - x_m[:, None]) * nu[None, :], u_hm,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (D, D)
+        s_uu = jax.lax.dot_general(
+            u_hm * nu[None, :], u_hm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) / n_p \
+            + sigma2_m * jnp.eye(dim, dtype=source.dtype)
+        s_xu = s_xu / n_p
+        phi, _, psih = jnp.linalg.svd(s_xu, full_matrices=True)
+        cdet = jnp.ones(dim, source.dtype).at[-1].set(
+            jnp.linalg.det(phi @ psih))
+        rot_new = (phi * cdet) @ psih
+        scale_new = jnp.trace(rot_new @ s_xu) / jnp.trace(s_uu)
+        t_new = x_m - scale_new * rot_new @ u_m
+        # Reference parity (bcpd.py:151): y_hat with the PREVIOUS transform.
+        y_hat_t = scale * rot @ (ys_t + v_new_t) + t[:, None]
+        s2v = jnp.sum(px_t * y_hat_t)
+        s3 = jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0))
+        sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
+            + scale_new ** 2 * sigma2_m
+
+        return (rot_new, t_new, scale_new, v_new_t, jnp.diag(sigma_mat),
                 alpha_new, sigma2_new, rmse, state[7], i + 1)
 
     def cond(state):
@@ -160,14 +240,14 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
     alpha0 = jnp.full((m,), 1.0 / m, source.dtype)
     state = (
         jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
-        jnp.asarray(1.0, source.dtype), jnp.zeros_like(source),
+        jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
         jnp.ones((m,), source.dtype), alpha0, sigma2_0,
         jnp.asarray(jnp.inf, source.dtype), jnp.asarray(jnp.inf, source.dtype),
         jnp.asarray(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    rot, t, scale, v_hat, sigma_diag, alpha, sigma2 = state[:7]
-    return (tf.CombinedTransformation(rot, t, scale, v_hat),
+    rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2 = state[:7]
+    return (tf.CombinedTransformation(rot, t, scale, v_hat_t.T),
             sigma_diag, alpha, sigma2)
 
 
