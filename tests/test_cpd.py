@@ -97,3 +97,69 @@ def test_expectation_step_api(rng):
     assert e.px.shape == (10, 3)
     m = c.maximization_step(tgt, e, 0.1)
     assert np.isfinite(float(m.sigma2))
+
+
+def _reference_cpd_replica(src, tgt, n_iters, w=0.0):
+    """Float64 line-by-line replica of reference probreg/cpd.py:71-192."""
+    src = src.astype(np.float64)
+    tgt = tgt.astype(np.float64)
+    m, dim = src.shape
+    n = tgt.shape[0]
+    sigma2 = ((src[:, None] - tgt[None]) ** 2).sum() / (m * dim * n)
+    rot, t, scale = np.eye(dim), np.zeros(dim), 1.0
+    traj = []
+    for _ in range(n_iters):
+        t_src = scale * src @ rot.T + t
+        d2 = ((t_src[:, None] - tgt[None]) ** 2).sum(-1)
+        pmat = np.exp(-d2 / (2.0 * sigma2))
+        c = (2.0 * np.pi * sigma2) ** (dim / 2) * w / (1 - w) * m / n \
+            if w > 0 else 0.0
+        den = pmat.sum(axis=0)
+        den[den == 0] = np.finfo(np.float32).eps
+        den = den + c
+        pmat = pmat / den
+        pt1 = 1.0 - c / den if w > 0 else pmat.sum(0)
+        p1 = pmat.sum(1)
+        px = pmat @ tgt
+        n_p = p1.sum()
+        mu_x = px.sum(0) / n_p
+        mu_y = src.T @ p1 / n_p
+        src_hat = src - mu_y
+        a = px.T @ src_hat - np.outer(mu_x, p1 @ src_hat)
+        u, _, vh = np.linalg.svd(a)
+        cdet = np.ones(dim); cdet[-1] = np.linalg.det(u @ vh)
+        rot = (u * cdet) @ vh
+        tr_atr = np.trace(a.T @ rot)
+        tr_yp1y = (p1 * (src_hat ** 2).sum(1)).sum()
+        scale = tr_atr / tr_yp1y
+        t = mu_x - scale * rot @ mu_y
+        xx = (pmat.sum(0) * (tgt ** 2).sum(1)).sum()
+        tr_xp1x = xx - n_p * (mu_x ** 2).sum()
+        sigma2 = max((tr_xp1x - scale * tr_atr) / (n_p * dim),
+                     float(np.finfo(np.float32).eps))
+        traj.append((rot.copy(), t.copy(), scale, sigma2))
+    return traj
+
+
+def test_cpd_matches_reference_replica(horse_cloud):
+    """Per-iteration (rot, t, scale, sigma2) matches a float64 replica of
+    the reference EM within f32 tolerance (BASELINE.md: transform error
+    <= 1e-4 vs the CPU reference)."""
+    from probreg_tpu.utils import se3_op as so
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([6.0, -3.0, 4.0])
+    rot0 = np.asarray(so.euler2mat(*ang), np.float32)
+    tgt = (src @ rot0.T).astype(np.float32)
+    ref = _reference_cpd_replica(src, tgt, 8)
+
+    for i in [3, 8]:
+        res = cpd.registration_cpd(src, tgt, maxiter=i, tol=0.0)
+        rot_ref, t_ref, scale_ref, sigma2_ref = ref[i - 1]
+        np.testing.assert_allclose(
+            np.asarray(res.transformation.rot), rot_ref, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.transformation.t), t_ref, atol=1e-4)
+        np.testing.assert_allclose(
+            float(res.transformation.scale), scale_ref, rtol=1e-4)
+        np.testing.assert_allclose(float(res.sigma2), sigma2_ref, rtol=1e-3)
