@@ -27,6 +27,7 @@ import numpy as np
 
 from . import config as _config
 from .log import log
+from .ops import lowrank as _lowrank
 from .models import transformation as tf
 from .ops import pairwise
 from .utils import interop
@@ -93,6 +94,10 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
     number ~5e10 on real clouds, so in float32 that inverse is garbage;
     the algebraically identical Sigma = inv(lmd I + s2s2 G diag(nu)) G
     only inverts the well-conditioned shifted matrix.
+
+    ``gmat`` may also be a ``(u, lam)`` Nystrom factor tuple; then Sigma is
+    never materialized (its K x K core + diagonal are enough) and the
+    returned ``sigma_mat`` slot carries diag(Sigma).
     """
     nu_d, nu, n_p, px, x_hat = estep_res
     dim = source.shape[1]
@@ -101,17 +106,26 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
     # well-behaved on O(1)-scale clouds — which is why registration_bcpd
     # normalizes by default; see its docstring.
     s2s2 = scale ** 2 / (sigma2_p ** 2)
-    shifted = lmd * jnp.eye(m, dtype=source.dtype) + s2s2 * gmat * nu[None, :]
-    sigma_mat = jnp.linalg.solve(shifted, gmat)
-    sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
     # inverse rigid: (x - t) / scale @ rot
     residual = ((x_hat - t) / scale) @ rot - source
-    v_hat = s2s2 * (sigma_mat @ (nu[:, None] * residual))
+    if isinstance(gmat, (tuple, list)):
+        umat, lam = gmat
+        s_core, sigma_diag = _lowrank.regularized_sigma(umat, lam, nu, s2s2, lmd)
+        v_hat = (s2s2 / lmd) * (
+            umat @ (s_core @ (umat.T @ (nu[:, None] * residual))))
+        sigma_out = sigma_diag
+    else:
+        shifted = lmd * jnp.eye(m, dtype=source.dtype) + s2s2 * gmat * nu[None, :]
+        sigma_mat = jnp.linalg.solve(shifted, gmat)
+        sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
+        sigma_diag = jnp.diag(sigma_mat)
+        v_hat = s2s2 * (sigma_mat @ (nu[:, None] * residual))
+        sigma_out = sigma_mat
     u_hat = source + v_hat
     alpha = jnp.exp(jax.scipy.special.digamma(k + nu)
                     - jax.scipy.special.digamma(k * m + n_p))
     x_m = nu @ x_hat / n_p
-    sigma2_m = jnp.sum(nu * jnp.diag(sigma_mat)) / n_p
+    sigma2_m = jnp.sum(nu * sigma_diag) / n_p
     u_m = nu @ u_hat / n_p
     u_hm = u_hat - u_m
     s_xu = ((x_hat - x_m) * nu[:, None]).T @ u_hm / n_p
@@ -132,7 +146,7 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
     s3 = jnp.sum(nu * jnp.sum(y_hat * y_hat, axis=1))
     sigma2 = (s1 - 2.0 * s2 + s3) / (n_p * dim) + scale_new ** 2 * sigma2_m
     return (tf.CombinedTransformation(rot_new, t_new, scale_new, v_hat),
-            u_hat, sigma_mat, alpha, sigma2)
+            u_hat, sigma_out, alpha, sigma2)
 
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "tol"))
@@ -144,7 +158,13 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
     matmul yields nu / px / the s1 channel, and the v_hat update rides the
     symmetric Sigma as a lane-major matmul. The M x M solve keeps its
     natural layout (it dominates asymptotically regardless).
+
+    ``gmat`` is either the dense (M, M) IMQ Gram matrix, or a ``(u, lam)``
+    tuple of its rank-K Nystrom eigenfactors (ops/lowrank.py) — then the
+    Sigma update (reference bcpd.py:130-131, two M x M inverses) collapses
+    to one K x K solve and diag(Sigma) / Sigma-matvecs cost O(M K).
     """
+    low_rank = isinstance(gmat, (tuple, list))
     m, dim = source.shape
     n = target.shape[0]
     ys_t = source.T                                        # (D, M)
@@ -154,7 +174,7 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
     # px_t (D, M), nu (M), and sum_j p_ij |x_j|^2 whose total is s1.
     v_chan = jnp.concatenate(
         [xs_t, jnp.ones((1, n), xs_t.dtype), x2], axis=0)  # (D+2, N)
-    eye_m = jnp.eye(m, dtype=source.dtype)
+    eye_m = None if low_rank else jnp.eye(m, dtype=source.dtype)
 
     def body(state):
         rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
@@ -188,19 +208,27 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
 
         # --- M-step (combined_mstep in transposed layout)
         s2s2 = scale ** 2 / (sigma2 ** 2)
-        shifted = lmd * eye_m + s2s2 * gmat * nu[None, :]
-        sigma_mat = jnp.linalg.solve(shifted, gmat)
-        sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
         residual_t = rot.T @ ((x_hat_t - t[:, None]) / scale) - ys_t
-        v_new_t = s2s2 * jax.lax.dot_general(
-            residual_t * nu[None, :], sigma_mat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (D, M)
+        if low_rank:
+            umat, lam = gmat
+            s_core, sigma_diag_new = _lowrank.regularized_sigma(
+                umat, lam, nu, s2s2, lmd)
+            v_new_t = (s2s2 / lmd) * (
+                ((residual_t * nu[None, :]) @ umat) @ s_core) @ umat.T
+        else:
+            shifted = lmd * eye_m + s2s2 * gmat * nu[None, :]
+            sigma_mat = jnp.linalg.solve(shifted, gmat)
+            sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
+            sigma_diag_new = jnp.diag(sigma_mat)
+            v_new_t = s2s2 * jax.lax.dot_general(
+                residual_t * nu[None, :], sigma_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # (D, M)
         u_hat_t = ys_t + v_new_t
         alpha_new = jnp.exp(jax.scipy.special.digamma(k + nu)
                             - jax.scipy.special.digamma(k * m + n_p))
         x_m = x_hat_t @ nu / n_p                                # (D,)
-        sigma2_m = jnp.sum(nu * jnp.diag(sigma_mat)) / n_p
+        sigma2_m = jnp.sum(nu * sigma_diag_new) / n_p
         u_m = u_hat_t @ nu / n_p
         u_hm = u_hat_t - u_m[:, None]
         s_xu = jax.lax.dot_general(
@@ -227,7 +255,7 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
         sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
             + scale_new ** 2 * sigma2_m
 
-        return (rot_new, t_new, scale_new, v_new_t, jnp.diag(sigma_mat),
+        return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
                 alpha_new, sigma2_new, rmse, state[7], i + 1)
 
     def cond(state):
@@ -303,22 +331,34 @@ class CombinedBCPD(BayesianCoherentPointDrift):
         lmd: Motion-coherence regularization weight.
         k: Dirichlet concentration (large k = uniform mixing weights).
         gamma: Initial sigma2 scaling.
+        rank: When set, hold the IMQ Gram matrix as rank-K Nystrom
+            eigenfactors and run the Sigma update through a K x K Woodbury
+            solve (ops/lowrank.py) — O(M K) memory/solve instead of the
+            reference's two M x M inverses per iteration (bcpd.py:114,130).
     """
 
-    def __init__(self, source=None, lmd=2.0, k=1.0e20, gamma=1.0):
+    def __init__(self, source=None, lmd=2.0, k=1.0e20, gamma=1.0, rank=None):
         super().__init__(source)
         self._tf_type = tf.CombinedTransformation
         self.lmd = lmd
         self.k = k
         self.gamma = gamma
+        self.rank = rank
+
+    def _gram(self):
+        if self.rank is None:
+            return mu.inverse_multiquadric_kernel(self._source, self._source)
+        return tuple(_lowrank.lowrank_imq(self._source, 1.0, int(self.rank)))
 
     def _initialize(self, target) -> MstepResult:
         m, dim = self._source.shape
-        self.gmat = mu.inverse_multiquadric_kernel(self._source, self._source)
+        self.gmat = self._gram()
         sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
+        sigma_mat0 = (jnp.eye(m, dtype=self._source.dtype) if self.rank is None
+                      else jnp.ones((m,), self._source.dtype))
         return MstepResult(
             self._tf_type(jnp.eye(dim), jnp.zeros(dim)), None,
-            jnp.eye(m, dtype=self._source.dtype), 1.0 / m, sigma2)
+            sigma_mat0, 1.0 / m, sigma2)
 
     def maximization_step(self, target, rigid_trans, estep_res,
                           sigma2_p=None) -> MstepResult:

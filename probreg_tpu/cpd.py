@@ -31,6 +31,7 @@ from . import config as _config
 from .log import log
 from .models import transformation as tf
 from .ops import estep as estep_ops
+from .ops import lowrank
 from .ops.estep import EstepMoments
 from .utils import interop
 from .utils import math_utils as mu
@@ -123,6 +124,32 @@ def nonrigid_maximization_step(source, mom: EstepMoments, g, lmd, sigma2_p) -> M
     tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
     sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
     return MstepResult(tf.NonRigidTransformation(w, g=g), sigma2, sigma2)
+
+
+def nonrigid_lowrank_maximization_step(
+    source, mom: EstepMoments, u, lam, lmd, sigma2_p,
+    d_extra=None, rhs_extra=None,
+) -> MstepResult:
+    """Low-rank nonrigid M-step: the reference's M x M solve (cpd.py:297)
+    done through the rank-K Woodbury identity (ops/lowrank.py).
+
+    With G ~= U L U^T, ((d . G) + lmd s2 I) W = rhs costs one K x K solve
+    plus skinny matmuls — O(M K (K + D)) instead of O(M^3), O(M K) memory.
+    ``d_extra``/``rhs_extra`` carry the constrained variant's prior terms
+    (reference cpd.py:377-404): d = p1 + s2a p1_tilde, rhs += s2a rhs_tilde.
+    """
+    p1, px, n_p, xx = mom.p1, mom.px, mom.n_p, mom.xx
+    dim = source.shape[1]
+    d = p1 if d_extra is None else p1 + d_extra
+    rhs = px - source * p1[:, None]
+    if rhs_extra is not None:
+        rhs = rhs + rhs_extra
+    zc = lowrank.woodbury_coeffs(u, lam, d, lmd * sigma2_p, rhs)
+    t = source + u @ zc
+    tr_pxt = jnp.sum(px * t)
+    tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
+    sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+    return MstepResult(tf.LowRankNonRigidTransformation(zc, u, lam), sigma2, sigma2)
 
 
 def constrained_nonrigid_maximization_step(
@@ -323,6 +350,23 @@ def _constrained_step(source, target, transf, sigma2, aux, w):
     )
 
 
+def _nonrigid_lowrank_step(source, target, transf, sigma2, aux, w):
+    t_source = transf._transform(source)
+    mom = estep_ops.estep(t_source, target, sigma2, w)
+    return nonrigid_lowrank_maximization_step(
+        source, mom, transf.u, transf.lam, aux["lmd"], sigma2)
+
+
+def _constrained_lowrank_step(source, target, transf, sigma2, aux, w):
+    t_source = transf._transform(source)
+    mom = estep_ops.estep(t_source, target, sigma2, w)
+    s2a = sigma2 / aux["alpha"]
+    rhs_extra = s2a * (aux["px_tilde"] - source * aux["p1_tilde"][:, None])
+    return nonrigid_lowrank_maximization_step(
+        source, mom, transf.u, transf.lam, aux["lmd"], sigma2,
+        d_extra=s2a * aux["p1_tilde"], rhs_extra=rhs_extra)
+
+
 @partial(jax.jit, static_argnames=("step_fn", "w", "maxiter", "tol"))
 def _run_em(source, target, tf0, sigma2_0, q0, aux, *, step_fn, w, maxiter, tol):
     """Whole-EM ``lax.while_loop`` — one XLA program per registration.
@@ -413,6 +457,10 @@ class CoherentPointDrift(abc.ABC):
         """Extra pytree operands threaded to the step function."""
         return {}
 
+    def _step_fn(self) -> Callable:
+        """Module-level step function (stable jit identity)."""
+        return type(self)._STEP
+
     def _initialize(self, target) -> MstepResult:
         dim = self._source.shape[1]
         sigma2 = mu.squared_kernel_sum(self._source, target)
@@ -428,7 +476,7 @@ class CoherentPointDrift(abc.ABC):
                 return fast
         res = self._initialize(target)
         aux = self._step_aux()
-        step_fn = type(self)._STEP
+        step_fn = self._step_fn()
         if self._callbacks:
             q = res.q
             for i in range(maxiter):
@@ -557,23 +605,38 @@ class AffineCPD(CoherentPointDrift):
 
 
 class NonRigidCPD(CoherentPointDrift):
-    """Nonrigid (motion-coherence) CPD (reference cpd.py:247-303)."""
+    """Nonrigid (motion-coherence) CPD (reference cpd.py:247-303).
+
+    ``rank``: when set, G(Y, Y; beta) is held as its rank-K Nystrom
+    eigenfactors and the M-step solve runs through the Woodbury identity
+    (ops/lowrank.py) — O(M K) memory instead of the reference's O(M^2)
+    dense Gram matrix. This is the low-rank CPD of Myronenko & Song
+    (TPAMI 2010, sec. 4); K ~ 50-100 suffices for smooth deformations.
+    """
 
     _STEP = staticmethod(_nonrigid_step)
 
     def __init__(self, source=None, beta: float = 2.0, lmd: float = 2.0,
-                 use_cuda: bool = False, use_pallas: Optional[bool] = None):
+                 use_cuda: bool = False, use_pallas: Optional[bool] = None,
+                 rank: Optional[int] = None):
         super().__init__(source, use_cuda, use_pallas)
         self._tf_type = tf.NonRigidTransformation
         self._beta = beta
         self._lmd = lmd
-        self._tf_obj: Optional[tf.NonRigidTransformation] = None
+        self._rank = rank
+        self._tf_obj: Optional[tf.Transformation] = None
         if self._source is not None:
             self._make_tf_obj()
 
     def _make_tf_obj(self):
         w0 = jnp.zeros_like(self._source)
-        self._tf_obj = tf.NonRigidTransformation(w0, self._source, self._beta)
+        if self._rank is None:
+            self._tf_obj = tf.NonRigidTransformation(w0, self._source, self._beta)
+        else:
+            u, lam = lowrank.lowrank_rbf(
+                self._source, float(self._beta), int(self._rank))
+            zc0 = jnp.zeros((u.shape[1], self._source.shape[1]), u.dtype)
+            self._tf_obj = tf.LowRankNonRigidTransformation(zc0, u, lam)
 
     def set_source(self, source):
         super().set_source(source)
@@ -585,8 +648,15 @@ class NonRigidCPD(CoherentPointDrift):
     def _step_aux(self):
         return {"lmd": jnp.asarray(self._lmd, _config.config.dtype)}
 
+    def _step_fn(self):
+        return _nonrigid_step if self._rank is None else _nonrigid_lowrank_step
+
     def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
-        return nonrigid_maximization_step(source, mom, self._tf_obj.g, self._lmd, sigma2_p)
+        if self._rank is None:
+            return nonrigid_maximization_step(
+                source, mom, self._tf_obj.g, self._lmd, sigma2_p)
+        return nonrigid_lowrank_maximization_step(
+            source, mom, self._tf_obj.u, self._tf_obj.lam, self._lmd, sigma2_p)
 
 
 class ConstrainedNonRigidCPD(CoherentPointDrift):
@@ -600,15 +670,17 @@ class ConstrainedNonRigidCPD(CoherentPointDrift):
 
     def __init__(self, source=None, beta: float = 2.0, lmd: float = 2.0,
                  alpha: float = 1e-8, use_cuda: bool = False,
-                 idx_source=None, idx_target=None, use_pallas: Optional[bool] = None):
+                 idx_source=None, idx_target=None, use_pallas: Optional[bool] = None,
+                 rank: Optional[int] = None):
         super().__init__(source, use_cuda, use_pallas)
         self._tf_type = tf.NonRigidTransformation
         self._beta = beta
         self._lmd = lmd
+        self._rank = rank
         self.alpha = alpha
         self.idx_source = idx_source
         self.idx_target = idx_target
-        self._tf_obj: Optional[tf.NonRigidTransformation] = None
+        self._tf_obj: Optional[tf.Transformation] = None
         self.p1_tilde = None
         self.px_tilde = None
         if self._source is not None:
@@ -616,7 +688,13 @@ class ConstrainedNonRigidCPD(CoherentPointDrift):
 
     def _make_tf_obj(self):
         w0 = jnp.zeros_like(self._source)
-        self._tf_obj = tf.NonRigidTransformation(w0, self._source, self._beta)
+        if self._rank is None:
+            self._tf_obj = tf.NonRigidTransformation(w0, self._source, self._beta)
+        else:
+            u, lam = lowrank.lowrank_rbf(
+                self._source, float(self._beta), int(self._rank))
+            zc0 = jnp.zeros((u.shape[1], self._source.shape[1]), u.dtype)
+            self._tf_obj = tf.LowRankNonRigidTransformation(zc0, u, lam)
 
     def set_source(self, source):
         super().set_source(source)
@@ -647,11 +725,20 @@ class ConstrainedNonRigidCPD(CoherentPointDrift):
             "px_tilde": self.px_tilde,
         }
 
+    def _step_fn(self):
+        return _constrained_step if self._rank is None else _constrained_lowrank_step
+
     def _mstep(self, source, mom: EstepMoments, sigma2_p) -> MstepResult:
-        return constrained_nonrigid_maximization_step(
-            source, mom, self._tf_obj.g, self._lmd, sigma2_p,
-            self.alpha, self.p1_tilde, self.px_tilde,
-        )
+        if self._rank is None:
+            return constrained_nonrigid_maximization_step(
+                source, mom, self._tf_obj.g, self._lmd, sigma2_p,
+                self.alpha, self.p1_tilde, self.px_tilde,
+            )
+        s2a = sigma2_p / jnp.asarray(self.alpha, _config.config.dtype)
+        rhs_extra = s2a * (self.px_tilde - source * self.p1_tilde[:, None])
+        return nonrigid_lowrank_maximization_step(
+            source, mom, self._tf_obj.u, self._tf_obj.lam, self._lmd, sigma2_p,
+            d_extra=s2a * self.p1_tilde, rhs_extra=rhs_extra)
 
 
 @partial(jax.jit, static_argnames=("kind", "w", "maxiter", "tol",

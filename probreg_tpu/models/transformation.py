@@ -141,6 +141,38 @@ class NonRigidTransformation(Transformation):
 
 
 @jax.tree_util.register_pytree_node_class
+class LowRankNonRigidTransformation(Transformation):
+    """Nonrigid displacement with a low-rank Gram factor: x -> x + U zc.
+
+    Same model as :class:`NonRigidTransformation` (reference
+    transformation.py:81-102) but G(Y, Y; beta) is held as its rank-K
+    Nystrom eigenfactors ``(u, lam)`` and the weight matrix as the spectral
+    displacement coefficients ``zc = diag(lam) U^T W`` (K, D) — the
+    displacement G W == U zc without ever forming W (ops/lowrank.py
+    explains why that is also the numerically stable choice). O(M K)
+    memory, one skinny matmul to apply. Like the dense model, the
+    displacement field is defined at the source points only.
+    """
+
+    def __init__(self, zc, u, lam):
+        self.zc = _f(zc)
+        self.u = _f(u)
+        self.lam = _f(lam)
+
+    def _transform(self, points):
+        return points + self.u @ self.zc
+
+    def tree_flatten(self):
+        return (self.zc, self.u, self.lam), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.zc, obj.u, obj.lam = children
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
 class CombinedTransformation(Transformation):
     """x -> rigid(x + v): BCPD's combined rigid+scale+nonrigid model.
 

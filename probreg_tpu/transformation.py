@@ -8,6 +8,7 @@ from .models.transformation import (  # noqa: F401
     AffineTransformation,
     CombinedTransformation,
     DeformableKinematicModel,
+    LowRankNonRigidTransformation,
     NonRigidTransformation,
     RigidTransformation,
     TPSTransformation,
