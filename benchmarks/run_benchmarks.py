@@ -203,11 +203,74 @@ def bench_scaling():
               "needs a multi-chip TPU slice (each shard gets its own MXU).")
 
 
+def bench_lowrank():
+    """Dense vs low-rank (rank=60) nonrigid CPD / BCPD across cloud sizes.
+
+    The dense paths carry the reference's O(M^2) Gram matrix and O(M^3)
+    solve (cpd.py:284-303, bcpd.py:114,130); the low-rank paths
+    (ops/lowrank.py) should hold per-iteration cost ~linear in M.
+    """
+    import jax
+
+    from probreg_tpu import bcpd, cpd
+
+    _sync_mode()
+    rng = np.random.default_rng(0)
+    maxiter = 20
+
+    def cloud(m):
+        g = int(np.sqrt(m))
+        lin = np.linspace(0.0, 1.0, g)
+        xx, yy = np.meshgrid(lin, lin)
+        s = np.stack(
+            [xx, yy, 0.3 * np.sin(2 * np.pi * xx) * np.cos(2 * np.pi * yy)],
+            axis=-1).reshape(-1, 3).astype(np.float32)
+        d = 0.05 * np.stack(
+            [np.sin(np.pi * yy), np.cos(np.pi * xx), np.sin(np.pi * (xx + yy))],
+            axis=-1).reshape(-1, 3).astype(np.float32)
+        return s, (s + d + rng.normal(0, 1e-3, s.shape).astype(np.float32))
+
+    def timed(run):
+        jax.block_until_ready(run())  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1e3
+
+    for m in (1024, 4096, 16384, 65536):
+        src, tgt = cloud(m)
+        row = [f"M=N={src.shape[0]:>6}"]
+        dense_ok = src.shape[0] <= 4096  # M x M Gram beyond this
+        if dense_ok:
+            reg = cpd.NonRigidCPD(src)
+            ms = timed(
+                lambda: reg.registration(tgt, maxiter=maxiter, tol=0.0).sigma2)
+            row.append(f"cpd-dense {ms:8.1f} ms")
+        else:
+            row.append("cpd-dense      (skipped: O(M^2) Gram)")
+        reg = cpd.NonRigidCPD(src, rank=60)
+        ms = timed(
+            lambda: reg.registration(tgt, maxiter=maxiter, tol=0.0).sigma2)
+        row.append(f"cpd-lr60 {ms:8.1f} ms")
+        if dense_ok:
+            b = bcpd.CombinedBCPD(src)
+            ms = timed(lambda: b.registration(tgt, maxiter=maxiter, tol=0.0))
+            row.append(f"bcpd-dense {ms:8.1f} ms")
+        b = bcpd.CombinedBCPD(src, rank=60)
+        ms = timed(lambda: b.registration(tgt, maxiter=maxiter, tol=0.0))
+        row.append(f"bcpd-lr60 {ms:8.1f} ms")
+        print("  ".join(row) + f"   ({maxiter} iters)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("bunny", "all"):
         bench_bunny()
     if which in ("estep", "all"):
         bench_estep()
+    if which in ("lowrank", "all"):
+        bench_lowrank()
     if which in ("scaling", "all"):
         bench_scaling()

@@ -149,8 +149,9 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
             u_hat, sigma_out, alpha, sigma2)
 
 
-@partial(jax.jit, static_argnames=("w", "maxiter", "tol"))
-def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "block"))
+def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
+              block=None):
     """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.
 
     (M, 3)-layout ops inside TPU loops cost ~0.25 ms each in lane relayouts
@@ -163,6 +164,12 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
     tuple of its rank-K Nystrom eigenfactors (ops/lowrank.py) — then the
     Sigma update (reference bcpd.py:130-131, two M x M inverses) collapses
     to one K x K solve and diag(Sigma) / Sigma-matvecs cost O(M K).
+
+    When N exceeds ``config.estep_chunk`` the E-step streams over target
+    column blocks (each posterior column's normalizer is a sum over M, so
+    it is complete within its block) — peak memory O(M * block) instead of
+    the O(M * N) posterior (which the reference also materializes,
+    bcpd.py:57-70).
     """
     low_rank = isinstance(gmat, (tuple, list))
     m, dim = source.shape
@@ -176,30 +183,74 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol):
         [xs_t, jnp.ones((1, n), xs_t.dtype), x2], axis=0)  # (D+2, N)
     eye_m = None if low_rank else jnp.eye(m, dtype=source.dtype)
 
+    if block is None:
+        block = int(_config.config.estep_chunk)
+    block = max(min(int(block), n), 1)
+    blocked = n > block
+    if blocked:
+        pad = (-n) % block
+        cmask = jnp.concatenate(
+            [jnp.ones((1, n), xs_t.dtype), jnp.zeros((1, pad), xs_t.dtype)],
+            axis=1)
+        if pad:
+            xs_p = jnp.concatenate(
+                [xs_t, jnp.zeros((dim, pad), xs_t.dtype)], axis=1)
+            v_p = jnp.concatenate(
+                [v_chan, jnp.zeros((dim + 2, pad), v_chan.dtype)], axis=1)
+        else:
+            xs_p, v_p = xs_t, v_chan
+        nb = (n + pad) // block
+        xs_blocks = xs_p.reshape(dim, nb, block).transpose(1, 0, 2)
+        v_blocks = v_p.reshape(dim + 2, nb, block).transpose(1, 0, 2)
+        m_blocks = cmask.reshape(1, nb, block).transpose(1, 0, 2)
+
+    def _estep_cols(t_src_t, y2, row, sigma2, xs_b, v_b, mask_b):
+        """Moments + per-source-row min-d2 of one (M, B) posterior block."""
+        x2b = jnp.sum(xs_b * xs_b, axis=0, keepdims=True)
+        xy = jax.lax.dot_general(
+            t_src_t, xs_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(y2 + x2b - 2.0 * xy, 0.0)
+        dmin = jnp.min(jnp.where(mask_b > 0, d2, jnp.inf), axis=1)
+        g = jnp.exp(-d2 / (2.0 * sigma2)) \
+            / (2.0 * jnp.pi * sigma2) ** (dim * 0.5) * mask_b
+        pmat = g * row[:, None]
+        den = w / n + jnp.sum(pmat, axis=0, keepdims=True)
+        den = jnp.where(den == 0.0, _EPS, den)
+        pmat = pmat / den
+        mom = jax.lax.dot_general(
+            v_b, pmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (D+2, M)
+        return mom, dmin
+
     def body(state):
         rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
         t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]   # (D, M)
 
         # --- E-step (bcpd_estep in transposed layout)
         y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]        # (M, 1)
-        xy = jax.lax.dot_general(
-            t_src_t, xs_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)               # (M, N)
-        rmse = jnp.mean(jnp.sqrt(jnp.min(d2, axis=1)))
         row = (1.0 - w) * alpha * jnp.exp(
             -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
-        g = jnp.exp(-d2 / (2.0 * sigma2)) \
-            / (2.0 * jnp.pi * sigma2) ** (dim * 0.5)
-        pmat = g * row[:, None]
-        den = w / n + jnp.sum(pmat, axis=0, keepdims=True)
-        den = jnp.where(den == 0.0, _EPS, den)
-        pmat = pmat / den
-        mom = jax.lax.dot_general(
-            v_chan, pmat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (D+2, M)
+        if blocked:
+            def eblk(carry, blk):
+                mom_acc, min_acc = carry
+                xs_b, v_b, mask_b = blk
+                mom_b, dmin = _estep_cols(
+                    t_src_t, y2, row, sigma2, xs_b, v_b, mask_b)
+                return (mom_acc + mom_b, jnp.minimum(min_acc, dmin)), None
+
+            init = (jnp.zeros((dim + 2, m), source.dtype),
+                    jnp.full((m,), jnp.inf, source.dtype))
+            (mom, minrow), _ = jax.lax.scan(
+                eblk, init, (xs_blocks, v_blocks, m_blocks))
+            rmse = jnp.mean(jnp.sqrt(minrow))
+        else:
+            mom, dmin = _estep_cols(
+                t_src_t, y2, row, sigma2, xs_t, v_chan,
+                jnp.ones((1, n), xs_t.dtype))
+            rmse = jnp.mean(jnp.sqrt(dmin))
         px_t = mom[:dim]                                        # (D, M)
         nu = mom[dim]                                           # (M,)
         s1 = jnp.sum(mom[dim + 1])
@@ -377,7 +428,8 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             jnp.asarray(self.lmd, self._source.dtype),
             jnp.asarray(self.k, self._source.dtype),
             jnp.asarray(sigma2, self._source.dtype),
-            w=float(w), maxiter=int(maxiter), tol=float(tol))
+            w=float(w), maxiter=int(maxiter), tol=float(tol),
+            block=int(_config.config.estep_chunk))
         return transf
 
     def _registration_loop(self, target, w, maxiter, tol):

@@ -33,6 +33,7 @@ from .. import cpd as cpd_mod
 from ..config import config
 from ..models import transformation as tf
 from ..ops import estep as estep_ops
+from ..ops import lowrank
 from ..ops.estep import EstepMoments
 from ..ops.pairwise import sqdist
 from ..utils import interop
@@ -170,7 +171,7 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
         st2 = jax.lax.psum(jnp.sum(xs_sh * xs_sh * msk), axis)
         sx = jnp.sum(ys_t, axis=1)
         st = jax.lax.psum(jnp.sum(xs_sh * msk, axis=1), axis)
-        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / float(m * dim * n)
 
     sigma2_0 = init_sigma2(ys_t, xs_t_sh, mask_sh)
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
@@ -247,6 +248,9 @@ def _mstep_dispatch(kind: str) -> Callable:
     if kind == "nonrigid":
         return lambda src, mom, aux: cpd_mod.nonrigid_maximization_step(
             src, mom, aux["g"], aux["lmd"], aux["sigma2_p"])
+    if kind == "nonrigid_lowrank":
+        return lambda src, mom, aux: cpd_mod.nonrigid_lowrank_maximization_step(
+            src, mom, aux["u"], aux["lam"], aux["lmd"], aux["sigma2_p"])
     raise ValueError("unknown tf_type %s" % kind)
 
 
@@ -263,7 +267,7 @@ def _run_em_sharded(
     def step(transf, sigma2, aux):
         t_src = transf._transform(source)
         mom = estep_sharded(t_src, target_sh, mask_sh, sigma2, w, n, mesh, axis)
-        if kind == "nonrigid":
+        if kind in ("nonrigid", "nonrigid_lowrank"):
             aux = dict(aux, sigma2_p=sigma2)
         return _mstep_dispatch(kind)(source, mom, aux)
 
@@ -326,12 +330,27 @@ def registration_cpd_sharded(
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2)
 
     if tf_type_name == "nonrigid":
-        tf0 = tf.NonRigidTransformation(jnp.zeros_like(src), src, beta)
-        aux = {
-            "g": tf0.g,
-            "lmd": jnp.asarray(lmd, config.dtype),
-            "sigma2_p": sigma2,
-        }
+        rank = kwargs.pop("rank", None)
+        if rank is None:
+            tf0 = tf.NonRigidTransformation(jnp.zeros_like(src), src, beta)
+            aux = {
+                "g": tf0.g,
+                "lmd": jnp.asarray(lmd, config.dtype),
+                "sigma2_p": sigma2,
+            }
+        else:
+            # Low-rank factors and the K x K Woodbury solve are replicated
+            # (ops/lowrank.py); only the E-step shards over the target.
+            u, lam = lowrank.lowrank_rbf(src, float(beta), int(rank))
+            zc0 = jnp.zeros((u.shape[1], dim), u.dtype)
+            tf0 = tf.LowRankNonRigidTransformation(zc0, u, lam)
+            aux = {
+                "u": u,
+                "lam": lam,
+                "lmd": jnp.asarray(lmd, config.dtype),
+                "sigma2_p": sigma2,
+            }
+            tf_type_name = "nonrigid_lowrank"
     else:
         raise ValueError("unknown tf_type_name %s" % tf_type_name)
 
@@ -394,7 +413,7 @@ def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, sigma2_in, *,
         st2 = jax.lax.psum(jnp.sum(xs_sh * xs_sh * msk), axis)
         sx = jnp.sum(ys_t, axis=1)
         st = jax.lax.psum(jnp.sum(xs_sh * msk, axis=1), axis)
-        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / (m * dim * n)
+        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / float(m * dim * n)
 
     if auto_sigma2:
         floor = min_sigma2 * 0.01 if objective_type == "pt2pl" else min_sigma2

@@ -42,7 +42,9 @@ def squared_kernel_sum(x: jax.Array, y: jax.Array) -> jax.Array:
     form (ops/pairwise.sqdist_sum) so it is O(M+N), not O(M*N).
     """
     x, y = jnp.asarray(x), jnp.asarray(y)
-    return pairwise.sqdist_sum(x, y) / (x.shape[0] * x.shape[1] * y.shape[0])
+    # float() the denominator: as a Python int it gets weak-typed to int32
+    # inside jit and M * D * N overflows already at M = N = 64k.
+    return pairwise.sqdist_sum(x, y) / float(x.shape[0] * x.shape[1] * y.shape[0])
 
 
 def compute_rmse(source: jax.Array, target) -> jax.Array:

@@ -132,3 +132,23 @@ def test_bcpd_matches_reference_replica():
             float(res.transformation.rigid_trans.scale), scale_ref,
             rtol=2e-3)
         np.testing.assert_allclose(float(res.sigma2), sigma2_ref, rtol=5e-3)
+
+
+def test_bcpd_blocked_estep_matches_single():
+    """Forcing estep_chunk below N must stream the E-step over column
+    blocks with identical results (new capability: the reference holds the
+    full M x N posterior, bcpd.py:57-70)."""
+    from probreg_tpu import config as cfg
+
+    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    res_full = bcpd.registration_bcpd(src, tgt, maxiter=15, tol=0.0)
+    old = cfg.config.estep_chunk
+    cfg.config.estep_chunk = 17  # not a divisor of N: exercises padding
+    try:
+        res_blk = bcpd.registration_bcpd(src, tgt, maxiter=15, tol=0.0)
+    finally:
+        cfg.config.estep_chunk = old
+    np.testing.assert_allclose(
+        np.asarray(res_blk.transform(src)), np.asarray(res_full.transform(src)),
+        atol=1e-4)

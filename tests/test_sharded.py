@@ -68,6 +68,23 @@ def test_sharded_nonrigid_runs(mesh, rng):
     assert after < 0.5 * before
 
 
+def test_sharded_nonrigid_lowrank_matches_single(mesh, rng):
+    from probreg_tpu import cpd
+
+    src = rng.normal(size=(60, 2)).astype(np.float32) * 0.3
+    tgt = src + 0.05 * np.sin(src[:, :1] * 3.0)
+    res_sh = sharded.registration_cpd_sharded(
+        src, tgt, "nonrigid", maxiter=20, tol=1e-6, rank=20)
+    res_single = cpd.registration_cpd(
+        src, tgt, tf_type_name="nonrigid", maxiter=20, tol=1e-6, rank=20)
+    moved_sh = np.asarray(res_sh.transformation._transform(jnp.asarray(src)))
+    moved_single = np.asarray(
+        res_single.transformation._transform(jnp.asarray(src)))
+    # psum'd moments == single-device moments up to f32 reduction order.
+    np.testing.assert_allclose(moved_sh, moved_single, atol=1e-4)
+    assert np.linalg.norm(moved_sh - tgt) < 0.5 * np.linalg.norm(src - tgt)
+
+
 def test_sharded_filterreg_matches_single(mesh, horse_cloud):
     from probreg_tpu import filterreg
     import numpy as np
