@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.pairwise import sqdist
+from .utils import interop
 
 
 class Feature(abc.ABC):
@@ -196,6 +197,15 @@ class FPFH(Feature):
 
     def init(self):
         pass
+
+    def estimate_normals(self, points):
+        """Normals for an (N, 3) cloud (reference features.py:43-44 mutates
+        the Open3D PointCloud in place; here the normals are returned)."""
+        from .ops import fpfh as fpfh_ops
+
+        return fpfh_ops.estimate_normals(
+            jnp.asarray(interop.as_points(points), jnp.float32),
+            radius=self._radius_normal, max_nn=self._max_nn_normal)
 
     def compute(self, data):
         from .ops import fpfh as fpfh_ops

@@ -53,6 +53,9 @@ MstepResult.__doc__ = """Result of Maximization step.
 
 _EPS = float(np.finfo(np.float32).eps)
 
+# Module-level alias for parity with reference filterreg.py:38-42.
+dualquat_from_twist = dq.from_twist
+
 
 def _as_jnp(x):
     return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))

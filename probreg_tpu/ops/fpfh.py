@@ -112,3 +112,14 @@ def fpfh(points, radius_normal: float = 0.1, radius_feature: float = 0.5,
     return _fpfh_impl(points, jnp.asarray(radius_normal, jnp.float32),
                       jnp.asarray(radius_feature, jnp.float32),
                       int(max_nn_normal), int(max_nn_feature))
+
+
+def estimate_normals(points, radius: float = 0.1, max_nn: int = 30):
+    """Per-point normals from radius-limited kNN PCA (smallest eigenvector).
+
+    Native equivalent of the Open3D call the reference wraps at
+    features.py:43-44; sign is made deterministic inside ``_normals``.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    idx, valid, _ = _knn(points, int(max_nn), jnp.asarray(radius, jnp.float32))
+    return _normals(points, idx, valid)

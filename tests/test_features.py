@@ -74,3 +74,32 @@ def test_fpfh_separates_geometry(rng):
     hp = np.asarray(f.compute(plane)).mean(0)
     hs = np.asarray(f.compute(sphere)).mean(0)
     assert np.abs(hp - hs).sum() / np.abs(hp).sum() > 0.1
+
+
+def test_fpfh_estimate_normals_plane(rng):
+    """Normals of a flat plane must be +-z (reference features.py:43-44
+    delegates to Open3D; this is the native equivalent)."""
+    from probreg_tpu import features
+
+    g = np.linspace(0, 1, 15)
+    xx, yy = np.meshgrid(g, g)
+    pts = np.stack([xx, yy, np.zeros_like(xx)], -1).reshape(-1, 3)
+    pts = pts.astype(np.float32)
+    nrm = np.asarray(features.FPFH(radius_normal=0.3).estimate_normals(pts))
+    assert np.abs(np.abs(nrm[:, 2]) - 1.0).max() < 1e-3
+
+
+def test_cupy_utils_compat(rng):
+    """probreg.cupy_utils drop-in: JAX-backed, dimension-generic."""
+    from probreg_tpu import cupy_utils
+    from probreg_tpu.utils import math_utils as mu
+
+    x = rng.normal(size=(20, 2)).astype(np.float32)
+    y = rng.normal(size=(30, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(cupy_utils.squared_kernel_sum(x, y)),
+        float(mu.squared_kernel_sum(x, y)))
+    g = np.asarray(cupy_utils.rbf_kernel(x, y, 0.7))
+    d2 = ((x[:, None] - y[None]) ** 2).sum(-1)
+    # Reference convention (cupy_utils.py:46): beta enters linearly.
+    np.testing.assert_allclose(g, np.exp(-d2 / (2 * 0.7)), atol=1e-5)
