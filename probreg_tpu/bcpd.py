@@ -149,7 +149,7 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
             u_hat, sigma_out, alpha, sigma2)
 
 
-@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "block"))
+@partial(jax.jit, static_argnames=("w", "block"))
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
               block=None):
     """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.

@@ -42,6 +42,11 @@ class Config:
     # transposed XLA path at bunny size.
     use_fused_em: bool = True
     fused_em_max_pairs: int = 1024 * 1024
+    # Maximum M*N for the transposed whole-EM fast path (cpd._run_em_t),
+    # which materializes the (M, N) posterior: ~4 live M x N f32 arrays.
+    # 1<<28 pairs ~= 4 GB peak on a 16 GB v5e. Beyond this, registration
+    # falls back to the streaming-E-step loop (peak O(M * estep_chunk)).
+    transposed_em_max_pairs: int = 1 << 28
 
 
 config = Config()

@@ -263,7 +263,7 @@ def _affine_mstep_t(ys_t, p1, px_t, n_p, xx):
     return b, t, sigma2, q
 
 
-@partial(jax.jit, static_argnames=("kind", "w", "maxiter", "tol",
+@partial(jax.jit, static_argnames=("kind", "w",
                                    "update_scale", "default_init"))
 def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
               update_scale=True, default_init=True):
@@ -367,7 +367,7 @@ def _constrained_lowrank_step(source, target, transf, sigma2, aux, w):
         d_extra=s2a * aux["p1_tilde"], rhs_extra=rhs_extra)
 
 
-@partial(jax.jit, static_argnames=("step_fn", "w", "maxiter", "tol"))
+@partial(jax.jit, static_argnames=("step_fn", "w"))
 def _run_em(source, target, tf0, sigma2_0, q0, aux, *, step_fn, w, maxiter, tol):
     """Whole-EM ``lax.while_loop`` — one XLA program per registration.
 
@@ -533,6 +533,10 @@ class RigidCPD(CoherentPointDrift):
         dim = self._source.shape[1]
         p = self._tf_init_params
         m, n = self._source.shape[0], target.shape[0]
+        if m * n > _config.config.transposed_em_max_pairs:
+            # _run_em_t materializes the (M, N) posterior; fall back to the
+            # streaming-E-step loop (generic _run_em path).
+            return None
         if (not p and dim == 3
                 and _config.config.use_fused_em
                 and self._use_pallas is not False
@@ -587,6 +591,9 @@ class AffineCPD(CoherentPointDrift):
     def _registration_fast(self, target, w, maxiter, tol):
         dim = self._source.shape[1]
         p = self._tf_init_params
+        if self._source.shape[0] * target.shape[0] \
+                > _config.config.transposed_em_max_pairs:
+            return None  # see RigidCPD._registration_fast
         if not p:
             lin, t, _, sigma2, q = _run_em_t(
                 self._source, target,
@@ -741,8 +748,7 @@ class ConstrainedNonRigidCPD(CoherentPointDrift):
             d_extra=s2a * self.p1_tilde, rhs_extra=rhs_extra)
 
 
-@partial(jax.jit, static_argnames=("kind", "w", "maxiter", "tol",
-                                   "update_scale"))
+@partial(jax.jit, static_argnames=("kind", "w", "update_scale"))
 def _run_em_t_batch(sources, targets, *, kind, w, maxiter, tol,
                     update_scale=True):
     run = partial(_run_em_t, kind=kind, w=w, maxiter=maxiter, tol=tol,

@@ -178,7 +178,7 @@ def _pt2pl_t(model_t, target_t, normal_t, w):
 
 
 @partial(jax.jit, static_argnames=("objective_type", "update_sigma2", "w",
-                                   "maxiter", "tol", "min_sigma2",
+                                   "min_sigma2",
                                    "sigma2_decay", "auto_sigma2"))
 def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
                   objective_type, update_sigma2, w, maxiter, tol, min_sigma2,

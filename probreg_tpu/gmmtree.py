@@ -244,7 +244,7 @@ def _mstep(m0, m1, node_mu, node_cov, rot_p, t_p):
     return _mstep_core(m0, m1, node_mu, lmd, nn, rot_p, t_p)
 
 
-@partial(jax.jit, static_argnames=("max_level", "lambda_c", "maxiter", "tol"))
+@partial(jax.jit, static_argnames=("max_level", "lambda_c"))
 def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
                       maxiter, tol):
     """Whole registration loop in transposed (D, N) layout.

@@ -152,7 +152,7 @@ def shard_points_t(points, mesh: Mesh, axis: str = AXIS):
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "w", "maxiter", "tol", "update_scale",
+    static_argnames=("kind", "w", "update_scale",
                      "n", "mesh", "axis"),
 )
 def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
@@ -256,7 +256,7 @@ def _mstep_dispatch(kind: str) -> Callable:
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "w", "maxiter", "tol", "n", "mesh", "axis"),
+    static_argnames=("kind", "w", "n", "mesh", "axis"),
 )
 def _run_em_sharded(
     source, target_sh, mask_sh, tf0, sigma2_0, q0, aux,
@@ -372,8 +372,8 @@ def registration_cpd_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("objective_type", "update_sigma2", "w", "maxiter",
-                     "tol", "min_sigma2", "sigma2_decay", "auto_sigma2",
+    static_argnames=("objective_type", "update_sigma2", "w",
+                     "min_sigma2", "sigma2_decay", "auto_sigma2",
                      "n", "mesh", "axis"),
 )
 def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, sigma2_in, *,

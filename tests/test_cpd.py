@@ -163,3 +163,24 @@ def test_cpd_matches_reference_replica(horse_cloud):
         np.testing.assert_allclose(
             float(res.transformation.scale), scale_ref, rtol=1e-4)
         np.testing.assert_allclose(float(res.sigma2), sigma2_ref, rtol=1e-3)
+
+
+def test_rigid_large_pairs_fallback_matches_fast(horse_cloud):
+    """Beyond transposed_em_max_pairs the rigid path must fall back to the
+    streaming-E-step loop (the transposed fast path materializes the full
+    M x N posterior) and still recover the same transform."""
+    from probreg_tpu import config as cfg
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    rot = np.asarray(so.euler2mat(*np.deg2rad([0.0, 0.0, 10.0])), np.float32)
+    tgt = src @ rot.T
+    res_fast = cpd.registration_cpd(src, tgt, maxiter=40)
+    old = cfg.config.transposed_em_max_pairs
+    cfg.config.transposed_em_max_pairs = 10  # force the streaming fallback
+    try:
+        res_stream = cpd.registration_cpd(src, tgt, maxiter=40)
+    finally:
+        cfg.config.transposed_em_max_pairs = old
+    np.testing.assert_allclose(
+        np.asarray(res_stream.transformation.rot),
+        np.asarray(res_fast.transformation.rot), atol=1e-4)
