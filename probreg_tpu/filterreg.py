@@ -398,6 +398,10 @@ class FilterReg(abc.ABC):
             and not self._callbacks
             and self._estep_method == "dense"
             and _is_identity_feature(feature_fn)
+            # _run_em_rigid materializes the (M, N) kernel matrix; beyond
+            # this the host loop's streaming gto.filterreg_moments is used.
+            and self._source.shape[0] * target.shape[0]
+            <= _config.config.transposed_em_max_pairs
         )
         if fast:
             normals = self._target_normals if objective_type == "pt2pl" else None

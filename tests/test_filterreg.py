@@ -82,3 +82,25 @@ def test_filterreg_callbacks_and_host_loop(clouds):
     assert len(seen) >= 1
     rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
     np.testing.assert_allclose(rec, ang, atol=2e-1)
+
+
+def test_filterreg_large_pairs_fallback_matches_fast(horse_cloud):
+    """Beyond transposed_em_max_pairs the rigid fast path (which holds the
+    full M x N kernel matrix) must give way to the streaming host loop with
+    equivalent results."""
+    from probreg_tpu import config as cfg
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    rot = np.asarray(se3_op.euler2mat(*np.deg2rad([0.0, 0.0, 8.0])), np.float32)
+    tgt = src @ rot.T
+    res_fast = filterreg.registration_filterreg(src, tgt, maxiter=30, tol=1e-6)
+    old = cfg.config.transposed_em_max_pairs
+    cfg.config.transposed_em_max_pairs = 10
+    try:
+        res_stream = filterreg.registration_filterreg(src, tgt, maxiter=30,
+                                                      tol=1e-6)
+    finally:
+        cfg.config.transposed_em_max_pairs = old
+    np.testing.assert_allclose(
+        np.asarray(res_stream.transformation.rot),
+        np.asarray(res_fast.transformation.rot), atol=1e-3)
