@@ -1,10 +1,16 @@
-// Native point-cloud IO: PLY / PCD readers + voxel downsampling.
+// Native point-cloud IO: PLY / PCD readers + voxel downsampling + a
+// threaded batch loader.
 //
 // TPU-native framework runtime component: the reference delegates IO to
 // Open3D's C++ (examples/utils.py, tests); this extension is the
 // equivalent native data-loader for probreg_tpu, exposed through the
 // CPython C API (no pybind11 dependency). probreg_tpu/utils/io.py uses it
 // when built (python fallback otherwise).
+//
+// The parsing/downsampling cores are plain C++ (no Python API), so
+// read_batch can run them on a std::thread pool with the GIL released —
+// the batch loader for TPU serving pipelines (overlap host IO with device
+// compute).
 //
 // Build: `make native` at the repo root (setup.py build_ext --inplace).
 
@@ -14,12 +20,14 @@
 #include <numpy/arrayobject.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -87,11 +95,14 @@ PyObject* make_points_array(const std::vector<double>& xyz) {
     return arr;
 }
 
-PyObject* read_ply_impl(const char* path) {
+// ------------------------------------------------- GIL-free parsing cores
+
+bool read_ply_core(const char* path, std::vector<double>& xyz,
+                   std::string& err) {
     std::ifstream f(path, std::ios::binary);
     if (!f) {
-        PyErr_Format(PyExc_IOError, "cannot open %s", path);
-        return nullptr;
+        err = std::string("cannot open ") + path;
+        return false;
     }
     std::string line, format;
     long vertex_count = -1;
@@ -115,16 +126,14 @@ PyObject* read_ply_impl(const char* path) {
             std::string t, name;
             ss >> t;
             if (t == "list") {
-                PyErr_SetString(PyExc_ValueError,
-                                "list property in vertex element");
-                return nullptr;
+                err = "list property in vertex element";
+                return false;
             }
             ss >> name;
             Prop p{name, type_size(t), type_kind(t)};
             if (p.size < 0) {
-                PyErr_Format(PyExc_ValueError, "unknown ply type %s",
-                             t.c_str());
-                return nullptr;
+                err = "unknown ply type " + t;
+                return false;
             }
             props.push_back(p);
         } else if (tok == "end_header") {
@@ -133,8 +142,8 @@ PyObject* read_ply_impl(const char* path) {
         }
     }
     if (!header_done || vertex_count < 0) {
-        PyErr_SetString(PyExc_ValueError, "malformed PLY header");
-        return nullptr;
+        err = "malformed PLY header";
+        return false;
     }
     int xi = -1, yi = -1, zi = -1, stride = 0;
     std::vector<int> offsets(props.size());
@@ -146,10 +155,10 @@ PyObject* read_ply_impl(const char* path) {
         if (props[i].name == "z") zi = static_cast<int>(i);
     }
     if (xi < 0 || yi < 0 || zi < 0) {
-        PyErr_SetString(PyExc_ValueError, "PLY lacks x/y/z");
-        return nullptr;
+        err = "PLY lacks x/y/z";
+        return false;
     }
-    std::vector<double> xyz;
+    xyz.clear();
     xyz.reserve(vertex_count * 3);
     if (format == "ascii") {
         for (long i = 0; i < vertex_count; ++i) {
@@ -165,22 +174,23 @@ PyObject* read_ply_impl(const char* path) {
         for (long i = 0; i < vertex_count; ++i) {
             f.read(buf.data(), stride);
             if (!f) {
-                PyErr_SetString(PyExc_ValueError, "truncated PLY body");
-                return nullptr;
+                err = "truncated PLY body";
+                return false;
             }
             xyz.push_back(read_scalar(buf.data() + offsets[xi], props[xi], big));
             xyz.push_back(read_scalar(buf.data() + offsets[yi], props[yi], big));
             xyz.push_back(read_scalar(buf.data() + offsets[zi], props[zi], big));
         }
     }
-    return make_points_array(xyz);
+    return true;
 }
 
-PyObject* read_pcd_impl(const char* path) {
+bool read_pcd_core(const char* path, std::vector<double>& xyz,
+                   std::string& err) {
     std::ifstream f(path, std::ios::binary);
     if (!f) {
-        PyErr_Format(PyExc_IOError, "cannot open %s", path);
-        return nullptr;
+        err = std::string("cannot open ") + path;
+        return false;
     }
     std::string line;
     std::vector<std::string> fields;
@@ -213,8 +223,8 @@ PyObject* read_pcd_impl(const char* path) {
         }
     }
     if (n_points < 0 || fields.empty()) {
-        PyErr_SetString(PyExc_ValueError, "malformed PCD header");
-        return nullptr;
+        err = "malformed PCD header";
+        return false;
     }
     if (counts.empty()) counts.assign(fields.size(), 1);
     int xi = -1, yi = -1, zi = -1;
@@ -224,10 +234,10 @@ PyObject* read_pcd_impl(const char* path) {
         if (fields[i] == "z") zi = static_cast<int>(i);
     }
     if (xi < 0 || yi < 0 || zi < 0) {
-        PyErr_SetString(PyExc_ValueError, "PCD lacks x/y/z");
-        return nullptr;
+        err = "PCD lacks x/y/z";
+        return false;
     }
-    std::vector<double> xyz;
+    xyz.clear();
     xyz.reserve(n_points * 3);
     if (data_kind == "ascii") {
         size_t ncols = 0;
@@ -256,8 +266,8 @@ PyObject* read_pcd_impl(const char* path) {
         for (long i = 0; i < n_points; ++i) {
             f.read(buf.data(), stride);
             if (!f) {
-                PyErr_SetString(PyExc_ValueError, "truncated PCD body");
-                return nullptr;
+                err = "truncated PCD body";
+                return false;
             }
             int idxs[3] = {xi, yi, zi};
             for (int k = 0; k < 3; ++k) {
@@ -269,11 +279,21 @@ PyObject* read_pcd_impl(const char* path) {
             }
         }
     } else {
-        PyErr_Format(PyExc_ValueError, "unsupported PCD DATA kind %s",
-                     data_kind.c_str());
-        return nullptr;
+        err = "unsupported PCD DATA kind " + data_kind;
+        return false;
     }
-    return make_points_array(xyz);
+    return true;
+}
+
+bool read_cloud_core(const std::string& path, std::vector<double>& xyz,
+                     std::string& err) {
+    auto dot = path.rfind('.');
+    std::string ext = dot == std::string::npos ? "" : path.substr(dot);
+    for (auto& c : ext) c = static_cast<char>(std::tolower(c));
+    if (ext == ".ply") return read_ply_core(path.c_str(), xyz, err);
+    if (ext == ".pcd") return read_pcd_core(path.c_str(), xyz, err);
+    err = "unsupported extension for " + path + " (want .ply/.pcd)";
+    return false;
 }
 
 struct VoxelKey {
@@ -292,6 +312,43 @@ struct VoxelHash {
     }
 };
 
+void voxel_core(const double* p, long n, double voxel,
+                std::vector<double>& out) {
+    double mn[3] = {1e300, 1e300, 1e300};
+    for (long i = 0; i < n; ++i)
+        for (int d = 0; d < 3; ++d)
+            if (p[i * 3 + d] < mn[d]) mn[d] = p[i * 3 + d];
+    struct Acc {
+        double s[3] = {0, 0, 0};
+        long cnt = 0;
+    };
+    std::unordered_map<VoxelKey, Acc, VoxelHash> vox;
+    vox.reserve(n);
+    for (long i = 0; i < n; ++i) {
+        VoxelKey k{
+            static_cast<int64_t>(std::floor((p[i * 3 + 0] - mn[0]) / voxel)),
+            static_cast<int64_t>(std::floor((p[i * 3 + 1] - mn[1]) / voxel)),
+            static_cast<int64_t>(std::floor((p[i * 3 + 2] - mn[2]) / voxel))};
+        auto& a = vox[k];
+        for (int d = 0; d < 3; ++d) a.s[d] += p[i * 3 + d];
+        a.cnt += 1;
+    }
+    // Deterministic output order: voxel key lexicographic (matches the
+    // python np.unique-based implementation in utils/io.py).
+    std::vector<std::pair<VoxelKey, Acc>> items(vox.begin(), vox.end());
+    std::sort(items.begin(), items.end(),
+              [](const auto& a, const auto& b) {
+                  if (a.first.x != b.first.x) return a.first.x < b.first.x;
+                  if (a.first.y != b.first.y) return a.first.y < b.first.y;
+                  return a.first.z < b.first.z;
+              });
+    out.clear();
+    out.reserve(items.size() * 3);
+    for (const auto& kv : items)
+        for (int d = 0; d < 3; ++d)
+            out.push_back(kv.second.s[d] / kv.second.cnt);
+}
+
 // ---------------------------------------------------------------- bindings
 
 extern "C" {
@@ -299,13 +356,37 @@ extern "C" {
 static PyObject* py_read_ply(PyObject*, PyObject* args) {
     const char* path;
     if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
-    return read_ply_impl(path);
+    std::vector<double> xyz;
+    std::string err;
+    bool ok;
+    Py_BEGIN_ALLOW_THREADS
+    ok = read_ply_core(path, xyz, err);
+    Py_END_ALLOW_THREADS
+    if (!ok) {
+        PyErr_SetString(err.rfind("cannot open", 0) == 0 ? PyExc_IOError
+                                                         : PyExc_ValueError,
+                        err.c_str());
+        return nullptr;
+    }
+    return make_points_array(xyz);
 }
 
 static PyObject* py_read_pcd(PyObject*, PyObject* args) {
     const char* path;
     if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
-    return read_pcd_impl(path);
+    std::vector<double> xyz;
+    std::string err;
+    bool ok;
+    Py_BEGIN_ALLOW_THREADS
+    ok = read_pcd_core(path, xyz, err);
+    Py_END_ALLOW_THREADS
+    if (!ok) {
+        PyErr_SetString(err.rfind("cannot open", 0) == 0 ? PyExc_IOError
+                                                         : PyExc_ValueError,
+                        err.c_str());
+        return nullptr;
+    }
+    return make_points_array(xyz);
 }
 
 static PyObject* py_voxel_down_sample(PyObject*, PyObject* args) {
@@ -322,47 +403,98 @@ static PyObject* py_voxel_down_sample(PyObject*, PyObject* args) {
     }
     const npy_intp n = PyArray_DIM(arr, 0);
     const double* p = static_cast<double*>(PyArray_DATA(arr));
-    double mn[3] = {1e300, 1e300, 1e300};
-    for (npy_intp i = 0; i < n; ++i)
-        for (int d = 0; d < 3; ++d)
-            if (p[i * 3 + d] < mn[d]) mn[d] = p[i * 3 + d];
-    struct Acc {
-        double s[3] = {0, 0, 0};
-        long cnt = 0;
-        long order = 0;
-    };
-    std::unordered_map<VoxelKey, Acc, VoxelHash> vox;
-    vox.reserve(n);
-    long next_order = 0;
-    for (npy_intp i = 0; i < n; ++i) {
-        VoxelKey k{
-            static_cast<int64_t>(std::floor((p[i * 3 + 0] - mn[0]) / voxel)),
-            static_cast<int64_t>(std::floor((p[i * 3 + 1] - mn[1]) / voxel)),
-            static_cast<int64_t>(std::floor((p[i * 3 + 2] - mn[2]) / voxel))};
-        auto it = vox.find(k);
-        if (it == vox.end()) {
-            it = vox.emplace(k, Acc{}).first;
-            it->second.order = next_order++;
-        }
-        for (int d = 0; d < 3; ++d) it->second.s[d] += p[i * 3 + d];
-        it->second.cnt += 1;
-    }
-    Py_DECREF(arr);
-    // Deterministic output order: voxel key lexicographic (matches the
-    // python np.unique-based implementation in utils/io.py).
-    std::vector<std::pair<VoxelKey, Acc>> items(vox.begin(), vox.end());
-    std::sort(items.begin(), items.end(),
-              [](const auto& a, const auto& b) {
-                  if (a.first.x != b.first.x) return a.first.x < b.first.x;
-                  if (a.first.y != b.first.y) return a.first.y < b.first.y;
-                  return a.first.z < b.first.z;
-              });
     std::vector<double> out;
-    out.reserve(items.size() * 3);
-    for (const auto& kv : items)
-        for (int d = 0; d < 3; ++d)
-            out.push_back(kv.second.s[d] / kv.second.cnt);
+    Py_BEGIN_ALLOW_THREADS
+    voxel_core(p, static_cast<long>(n), voxel, out);
+    Py_END_ALLOW_THREADS
+    Py_DECREF(arr);
     return make_points_array(out);
+}
+
+// read_batch(paths, voxel=0.0, threads=0) -> list[ndarray]
+//
+// Threaded batch loader: parses (and optionally voxel-downsamples) every
+// file on a std::thread pool with the GIL released. threads=0 picks
+// min(len(paths), hardware_concurrency). Raises on the first failing file
+// (with its path in the message).
+static PyObject* py_read_batch(PyObject*, PyObject* args) {
+    PyObject* seq_obj;
+    double voxel = 0.0;
+    int threads = 0;
+    if (!PyArg_ParseTuple(args, "O|di", &seq_obj, &voxel, &threads))
+        return nullptr;
+    PyObject* seq = PySequence_Fast(seq_obj, "read_batch expects a sequence");
+    if (!seq) return nullptr;
+    const Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    std::vector<std::string> paths(n);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        PyObject* it = PySequence_Fast_GET_ITEM(seq, i);
+        PyObject* s = PyObject_Str(it);
+        if (!s) {
+            Py_DECREF(seq);
+            return nullptr;
+        }
+        const char* c = PyUnicode_AsUTF8(s);
+        if (!c) {
+            Py_DECREF(s);
+            Py_DECREF(seq);
+            return nullptr;
+        }
+        paths[i] = c;
+        Py_DECREF(s);
+    }
+    Py_DECREF(seq);
+
+    std::vector<std::vector<double>> results(n);
+    std::vector<std::string> errs(n);
+    std::atomic<long> next(0);
+    int nthreads = threads > 0 ? threads
+                               : static_cast<int>(std::min<Py_ssize_t>(
+                                     n, std::max(1u, std::thread::hardware_concurrency())));
+
+    Py_BEGIN_ALLOW_THREADS
+    {
+        auto worker = [&]() {
+            for (;;) {
+                long i = next.fetch_add(1);
+                if (i >= n) break;
+                std::vector<double> xyz;
+                if (!read_cloud_core(paths[i], xyz, errs[i])) continue;
+                if (voxel > 0.0 && !xyz.empty()) {
+                    std::vector<double> ds;
+                    voxel_core(xyz.data(),
+                               static_cast<long>(xyz.size() / 3), voxel, ds);
+                    results[i] = std::move(ds);
+                } else {
+                    results[i] = std::move(xyz);
+                }
+            }
+        };
+        std::vector<std::thread> pool;
+        pool.reserve(nthreads);
+        for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+        for (auto& t : pool) t.join();
+    }
+    Py_END_ALLOW_THREADS
+
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        if (!errs[i].empty()) {
+            PyErr_Format(PyExc_ValueError, "%s: %s", paths[i].c_str(),
+                         errs[i].c_str());
+            return nullptr;
+        }
+    }
+    PyObject* out = PyList_New(n);
+    if (!out) return nullptr;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        PyObject* arr = make_points_array(results[i]);
+        if (!arr) {
+            Py_DECREF(out);
+            return nullptr;
+        }
+        PyList_SET_ITEM(out, i, arr);
+    }
+    return out;
 }
 
 static PyMethodDef Methods[] = {
@@ -370,6 +502,8 @@ static PyMethodDef Methods[] = {
     {"read_pcd", py_read_pcd, METH_VARARGS, "Read x/y/z from a PCD file."},
     {"voxel_down_sample", py_voxel_down_sample, METH_VARARGS,
      "Average points per voxel."},
+    {"read_batch", py_read_batch, METH_VARARGS,
+     "Threaded batch loader: read_batch(paths, voxel=0.0, threads=0)."},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

@@ -133,6 +133,29 @@ def read_point_cloud(path) -> np.ndarray:
     raise ValueError("unsupported point cloud format: %s" % path)
 
 
+def read_batch(paths, voxel_size: float = 0.0, threads: int = 0):
+    """Load many PLY/PCD files (optionally voxel-downsampled) concurrently.
+
+    Native path: a std::thread pool with the GIL released
+    (cc/io_native.cpp::py_read_batch) — the data-loader for serving
+    pipelines that overlap host IO with device compute (pairs naturally
+    with :func:`probreg_tpu.cpd.registration_cpd_batch`). Python fallback:
+    sequential loop with identical results.
+
+    Returns a list of (N_i, 3) float64 arrays, in input order.
+    """
+    paths = [str(p) for p in paths]
+    if _nat is not None and hasattr(_nat, "read_batch"):
+        return _nat.read_batch(paths, float(voxel_size), int(threads))
+    out = []
+    for p in paths:
+        pts = read_point_cloud(p)
+        if voxel_size > 0.0:
+            pts = voxel_down_sample(pts, voxel_size)
+        out.append(np.asarray(pts, dtype=np.float64))
+    return out
+
+
 def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """Average points falling in the same voxel (Open3D-compatible)."""
     points = np.asarray(points, dtype=np.float64)

@@ -92,3 +92,40 @@ def test_maximization_step_default_sigma2p(rng, horse_cloud):
     est = c.expectation_step(src, src + 0.01, 0.5)
     res = c.maximization_step(src + 0.01, est)
     assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_read_batch_matches_single_and_fallback():
+    """Threaded native batch loader == per-file loads == python fallback."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from probreg_tpu.utils import io as pio
+
+    paths = []
+    for p in ("/root/reference/data/horse.ply",
+              "/root/reference/examples/bunny.pcd"):
+        if os.path.exists(p):
+            paths.append(p)
+    if not paths:
+        pytest.skip("reference fixtures unavailable")
+    paths = paths * 3
+    batch = pio.read_batch(paths, voxel_size=0.005, threads=4)
+    assert len(batch) == len(paths)
+    for p, got in zip(paths, batch):
+        want = pio.voxel_down_sample(pio.read_point_cloud(p), 0.005)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+    # Python fallback produces the same results.
+    nat = pio._nat
+    pio._nat = None
+    try:
+        fb = pio.read_batch(paths, voxel_size=0.005)
+    finally:
+        pio._nat = nat
+    for a, b in zip(batch, fb):
+        np.testing.assert_allclose(a, b, atol=1e-9)
+    # Error path names the failing file.
+    if nat is not None:
+        with pytest.raises(ValueError, match="no_such_file"):
+            pio.read_batch(["/tmp/no_such_file.ply"])
