@@ -104,3 +104,63 @@ def test_filterreg_large_pairs_fallback_matches_fast(horse_cloud):
     np.testing.assert_allclose(
         np.asarray(res_stream.transformation.rot),
         np.asarray(res_fast.transformation.rot), atol=1e-3)
+
+
+def _reference_filterreg_replica(src, tgt, n_iters, sigma2, w=0.0):
+    """Float64 replica of reference filterreg.py:78-182 with the EXACT
+    Gaussian kernel in place of the permutohedral approximation (the
+    lattice only approximates K_ij = exp(-|fx_i - fy_j|^2/2); our dense
+    default computes K exactly, so the replica does too). M-step is the
+    weighted Kabsch of kabsch.cc:6-56."""
+    src = src.astype(np.float64)
+    tgt = tgt.astype(np.float64)
+    m, dim = src.shape
+    n = tgt.shape[0]
+    rot, t = np.eye(dim), np.zeros(dim)
+    traj = []
+    for _ in range(n_iters):
+        t_src = src @ rot.T + t
+        d2 = ((t_src[:, None] - tgt[None]) ** 2).sum(-1)
+        k = np.exp(-d2 / (2.0 * sigma2))
+        m0 = k.sum(1)
+        m1 = k @ tgt
+        c = w / (1 - w) * n / m * (2.0 * np.pi * sigma2) ** (dim / 2) \
+            if w > 0 else 0.0
+        mask = (m0 > 0).astype(np.float64)
+        m0s = np.maximum(m0, np.finfo(np.float32).eps)
+        m1m0 = m1 / m0s[:, None]
+        drxdx = mask * np.sqrt(m0 / (m0 + c) / sigma2)
+        # weighted Kabsch (kabsch.cc): centroids with weights drxdx, H
+        # accumulated with squared weights, SVD with det-sign fix.
+        wsum = drxdx.sum()
+        mc = (t_src * drxdx[:, None]).sum(0) / wsum
+        tc = (m1m0 * drxdx[:, None]).sum(0) / wsum
+        w2 = drxdx ** 2
+        hh = ((t_src - mc) * w2[:, None]).T @ (m1m0 - tc) / w2.sum()
+        u, _, vh = np.linalg.svd(hh)
+        s = np.ones(dim); s[-1] = np.linalg.det(vh.T @ u.T)
+        dr = (vh.T * s) @ u.T
+        dt = tc - dr @ mc
+        rot = dr @ rot
+        t = t @ dr.T + dt
+        traj.append((rot.copy(), t.copy()))
+    return traj
+
+
+def test_filterreg_matches_reference_replica(horse_cloud):
+    """Per-iteration (rot, t) of the jitted transposed loop matches a
+    float64 replica of the reference's dense math within f32 tolerance."""
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([6.0, -3.0, 4.0])
+    rot0 = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = (src @ rot0.T).astype(np.float32)
+    sigma2 = 0.01
+    ref = _reference_filterreg_replica(src, tgt, 5, sigma2)
+    for i in (2, 5):
+        res = filterreg.registration_filterreg(
+            src, tgt, sigma2=sigma2, maxiter=i, tol=0.0)
+        rot_ref, t_ref = ref[i - 1]
+        np.testing.assert_allclose(
+            np.asarray(res.transformation.rot), rot_ref, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.transformation.t), t_ref, atol=2e-4)
