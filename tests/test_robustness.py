@@ -103,3 +103,41 @@ def test_gmmreg_components_clamp(rng):
     res = l2dist_regs.registration_gmmreg(src, src.copy(),
                                           n_gmm_components=800)
     assert np.isfinite(np.asarray(res.rot)).all()
+
+
+def test_nonrigid_lowrank_with_outliers(rng):
+    """Low-rank nonrigid CPD with outlier weight w>0 stays finite and
+    improves alignment despite injected clutter."""
+    g = np.linspace(0, 1, 20)
+    xx, yy = np.meshgrid(g, g)
+    src = np.stack([xx, yy], -1).reshape(-1, 2).astype(np.float32)
+    disp = 0.08 * np.stack(
+        [np.sin(np.pi * yy), np.cos(np.pi * xx)], -1).reshape(-1, 2)
+    tgt = src + disp.astype(np.float32)
+    clutter = rng.uniform(-0.5, 1.5, size=(60, 2)).astype(np.float32)
+    tgt_noisy = np.concatenate([tgt, clutter], axis=0)
+    res = cpd.registration_cpd(
+        src, tgt_noisy, tf_type_name="nonrigid", w=0.2, maxiter=30,
+        beta=0.5, rank=30)
+    moved = np.asarray(res.transformation.transform(src))
+    assert np.isfinite(moved).all()
+    before = np.abs(src - tgt).mean()
+    after = np.abs(moved - tgt).mean()
+    assert after < before
+
+
+def test_nonrigid_lowrank_rank_exceeds_m(rng):
+    """rank > M clamps to M and still works (full-rank Nystrom)."""
+    src = tiny_cloud(rng, n=12, d=3)
+    tgt = src + 0.02
+    res = cpd.registration_cpd(
+        src, tgt, tf_type_name="nonrigid", maxiter=10, rank=100)
+    assert np.isfinite(np.asarray(res.transformation.transform(src))).all()
+
+
+def test_bcpd_lowrank_with_outliers(rng):
+    src = tiny_cloud(rng, n=40)
+    tgt = np.concatenate(
+        [src + 0.01, rng.uniform(-1, 1, size=(10, 3)).astype(np.float32)])
+    res = bcpd.registration_bcpd(src, tgt, w=0.1, maxiter=20, rank=20)
+    assert np.isfinite(np.asarray(res.transform(src))).all()
