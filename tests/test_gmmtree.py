@@ -48,3 +48,105 @@ def test_gmmtree_callback_path(horse_cloud):
     assert len(seen) >= 1
     rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
     np.testing.assert_allclose(rec, ang, atol=1e-1)
+
+
+def _np_twist_mul(tw, rot, t):
+    """Float64 replica of se3_op.twist_mul (reference se3_op.py:42-53)."""
+    w, v = tw[:3], tw[3:]
+    twd = np.linalg.norm(w)
+    eye = np.eye(3)
+    if twd ** 2 < 1e-9:
+        dr = eye
+    else:
+        ntw = w / twd
+        sk = np.array([[0, -ntw[2], ntw[1]],
+                       [ntw[2], 0, -ntw[0]],
+                       [-ntw[1], ntw[0], 0]])
+        c, s = np.cos(twd), np.sin(twd)
+        dr = c * eye + (1 - c) * np.outer(ntw, ntw) + s * sk
+    return dr @ rot, t @ dr.T + v
+
+
+def _replica_reg_iteration(target, pi, mu, cov, rot, t, max_level, lambda_c):
+    """Float64 per-point replica of the registration E/M step (reference
+    gmmtree.cc:175-215 descent + gmmtree.py:64-81 M-step with our
+    normal-equation solve). Validates the one-hot/matmul transposed
+    reformulation in gmmtree._run_registration."""
+    n_node = 8
+    t_total = len(pi)
+    x = target @ rot.T + t
+    det = np.linalg.det(cov)
+    valid = det >= 1e-15
+    inv = np.linalg.inv(np.where(valid[:, None, None], cov, np.eye(3)))
+    norm = np.where(valid, 1.0 / (np.sqrt(np.maximum(det, 1e-15))
+                                  * (2 * np.pi) ** 1.5), 0.0)
+    lmds = np.linalg.eigvalsh(cov)
+    cplx = lmds[:, -1] / np.maximum(lmds.sum(-1), 1e-15)
+
+    m0 = np.zeros(t_total)
+    m1 = np.zeros((t_total, 3))
+    for p in range(len(x)):
+        parent, g_best, node = -1, 0.0, 0
+        stopped = False
+        for _ in range(max_level):
+            if stopped:
+                break
+            cids = np.arange((parent + 1) * n_node, (parent + 1) * n_node + n_node)
+            d = x[p] - mu[cids]
+            ep = -0.5 * np.einsum("ki,kij,kj->k", d, inv[cids], d)
+            g = pi[cids] * norm[cids] * np.exp(np.minimum(ep, 0.0))
+            den = g.sum()
+            g = g / den if den > 1e-15 else np.zeros_like(g)
+            a = int(np.argmax(g))
+            node, g_best = cids[a], g[a]
+            if cplx[node] <= lambda_c:
+                stopped = True
+            else:
+                parent = node
+        m0[node] += g_best
+        m1[node] += g_best * x[p]
+
+    # M-step (gmmtree.py:64-81 / our _mstep_core in float64)
+    eps = np.finfo(np.float32).eps
+    lmd_e, nn = np.linalg.eigh(cov)
+    keep = m0 >= eps
+    m0s = np.maximum(m0, eps)
+    s = m1 / m0s[:, None]
+    scale = np.sqrt(m0s[:, None] / np.maximum(lmd_e, eps))
+    nns = nn * scale[:, None, :]
+    nn_t = np.swapaxes(nns, 1, 2)
+    b = np.einsum("tij,tj->ti", nn_t, mu - s)
+    a_rot = np.cross(np.broadcast_to(s[:, None, :], nn_t.shape), nn_t)
+    amat = np.concatenate([a_rot, nn_t], axis=2)
+    amat = np.where(keep[:, None, None], amat, 0.0)
+    b = np.where(keep[:, None], b, 0.0)
+    amat = amat.reshape(-1, 6)
+    b = b.reshape(-1)
+    xsol = np.linalg.solve(amat.T @ amat + 1e-8 * np.eye(6), amat.T @ b)
+    return _np_twist_mul(xsol, rot, t)
+
+
+def test_gmmtree_matches_float64_replica(horse_cloud):
+    """Per-iteration (rot, t) of the transposed one-hot/matmul registration
+    loop matches a straightforward float64 per-point replica."""
+    src = np.asarray(horse_cloud, dtype=np.float32)[::3]
+    ang = np.deg2rad([4.0, -2.0, 3.0])
+    rot0 = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = (src @ rot0.T).astype(np.float32)
+
+    gt = gmmtree.GMMTree(src, tree_level=2, lambda_c=0.01)
+    pi, mu, cov = (np.asarray(a, np.float64) for a in gt._nodes)
+
+    # 2 replica iterations (registration transforms the TARGET each iter,
+    # reference gmmtree.py:86-96).
+    rot, t = np.eye(3), np.zeros(3)
+    for _ in range(2):
+        rot, t = _replica_reg_iteration(tgt.astype(np.float64), pi, mu, cov,
+                                        rot, t, 2, 0.01)
+    import jax.numpy as jnp
+    rot_j, t_j, _ = gmmtree._run_registration(
+        jnp.asarray(tgt), *(jnp.asarray(a, jnp.float32) for a in gt._nodes),
+        jnp.eye(3), jnp.zeros(3), max_level=2, lambda_c=0.01,
+        maxiter=2, tol=0.0)
+    np.testing.assert_allclose(np.asarray(rot_j), rot, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(t_j), t, atol=2e-4)
