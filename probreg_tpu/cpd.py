@@ -319,6 +319,129 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
     return lin, t, scale, sigma2, q
 
 
+@partial(jax.jit, static_argnames=("w", "block"))
+def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
+                               tol, block=None):
+    """Whole-EM low-rank nonrigid loop, transposed layout + blocked E-step.
+
+    Same math as _nonrigid_lowrank_step (Woodbury K x K solve,
+    ops/lowrank.py) but lane-major like _run_em_t — points stay (D, M)
+    so no per-iteration relayouts — and the E-step streams over target
+    column blocks past ``block`` (each posterior column's normalizer is
+    complete within its block), so peak memory is O(M * block) at any N.
+    Convergence matches the reference nonrigid loop: |d sigma2| < tol.
+    """
+    ys_t = source.T                                        # (D, M)
+    xs_t = target.T                                        # (D, N)
+    dim, m = ys_t.shape
+    n = xs_t.shape[1]
+    k = lam.shape[0]
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
+    sigma2_0 = mu.squared_kernel_sum(source, target)
+    x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
+    xs_ext = jnp.concatenate(
+        [xs_t, jnp.ones((1, n), xs_t.dtype)], axis=0)      # (D+1, N)
+    eye_k = jnp.eye(k, dtype=source.dtype)
+
+    if block is None:
+        block = int(_config.config.estep_chunk)
+    block = max(min(int(block), n), 1)
+    blocked = n > block
+    if blocked:
+        pad = (-n) % block
+        cmask = jnp.concatenate(
+            [jnp.ones((1, n), xs_t.dtype), jnp.zeros((1, pad), xs_t.dtype)],
+            axis=1)
+        xs_p = (jnp.concatenate(
+            [xs_t, jnp.zeros((dim, pad), xs_t.dtype)], axis=1)
+            if pad else xs_t)
+        xe_p = (jnp.concatenate(
+            [xs_ext, jnp.zeros((dim + 1, pad), xs_t.dtype)], axis=1)
+            if pad else xs_ext)
+        x2_p = (jnp.concatenate(
+            [x2, jnp.zeros((1, pad), xs_t.dtype)], axis=1) if pad else x2)
+        nb = (n + pad) // block
+        xs_blocks = xs_p.reshape(dim, nb, block).transpose(1, 0, 2)
+        xe_blocks = xe_p.reshape(dim + 1, nb, block).transpose(1, 0, 2)
+        x2_blocks = x2_p.reshape(1, nb, block).transpose(1, 0, 2)
+        m_blocks = cmask.reshape(1, nb, block).transpose(1, 0, 2)
+
+    def _estep_cols(t_src_t, y2, sigma2, c, xs_b, xe_b, x2_b, mask_b):
+        xy = jax.lax.dot_general(
+            t_src_t, xs_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (M, B)
+        g = jnp.exp(-jnp.maximum(y2 + x2_b - 2.0 * xy, 0.0)
+                    / (2.0 * sigma2)) * mask_b
+        den_raw = jnp.sum(g, axis=0, keepdims=True)
+        den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+        pt1 = mask_b * den_raw / den                       # (1, B)
+        pmat = g / den
+        pxp = jax.lax.dot_general(
+            xe_b, pmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (D+1, M)
+        return pxp, jnp.sum(pt1 * x2_b)
+
+    def body(state):
+        zc_t, sigma2, q, _, i = state
+        t_src_t = ys_t + jax.lax.dot_general(
+            zc_t, u, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (D, M)
+        y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+        c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
+        if blocked:
+            def eblk(carry, blk):
+                pxp_acc, xx_acc = carry
+                pxp_b, xx_b = _estep_cols(t_src_t, y2, sigma2, c, *blk)
+                return (pxp_acc + pxp_b, xx_acc + xx_b), None
+
+            init = (jnp.zeros((dim + 1, m), source.dtype),
+                    jnp.asarray(0.0, source.dtype))
+            (pxp, xx), _ = jax.lax.scan(
+                eblk, init, (xs_blocks, xe_blocks, x2_blocks, m_blocks))
+        else:
+            pxp, xx = _estep_cols(
+                t_src_t, y2, sigma2, c, xs_t, xs_ext, x2,
+                jnp.ones((1, n), xs_t.dtype))
+        px_t, p1 = pxp[:dim], pxp[dim]                     # (D, M), (M,)
+        n_p = jnp.sum(p1)
+
+        # M-step: Woodbury coefficients in transposed layout.
+        cc = lmd * sigma2
+        rhs_t = px_t - ys_t * p1[None, :]                  # (D, M)
+        udu = (u * p1[:, None]).T @ u                      # (K, K)
+        mk = cc * eye_k + udu * lam[None, :]
+        ru = jax.lax.dot_general(
+            rhs_t, u, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (D, K)
+        # Z = mk^-1 (U^T rhs); transposed: Z_t = solve(mk, ru^T)^T.
+        z_t = jnp.linalg.solve(mk, ru.T).T                 # (D, K)
+        zc_t_new = z_t * lam[None, :]
+        t_t = ys_t + jax.lax.dot_general(
+            zc_t_new, u, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        tr_pxt = jnp.sum(px_t * t_t)
+        tr_tpt = jnp.sum(p1 * jnp.sum(t_t * t_t, axis=0))
+        sigma2_new = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+        return (zc_t_new, sigma2_new, sigma2_new, q, i + 1)
+
+    def cond(state):
+        _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    state = (jnp.zeros((dim, k), source.dtype), sigma2_0,
+             jnp.asarray(jnp.inf, sigma2_0.dtype),
+             jnp.asarray(jnp.inf, sigma2_0.dtype), jnp.asarray(0))
+    zc_t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return zc_t, sigma2, q
+
+
 # --------------------------------------------------------------------------
 # Functional EM step per transform type (module-level => stable jit cache)
 # --------------------------------------------------------------------------
@@ -664,6 +787,18 @@ class NonRigidCPD(CoherentPointDrift):
                 source, mom, self._tf_obj.g, self._lmd, sigma2_p)
         return nonrigid_lowrank_maximization_step(
             source, mom, self._tf_obj.u, self._tf_obj.lam, self._lmd, sigma2_p)
+
+    def _registration_fast(self, target, w, maxiter, tol):
+        if self._rank is None:
+            return None
+        u, lam = self._tf_obj.u, self._tf_obj.lam
+        zc_t, sigma2, q = _run_em_nonrigid_lowrank_t(
+            self._source, target, u, lam,
+            jnp.asarray(self._lmd, _config.config.dtype),
+            w=float(w), maxiter=int(maxiter), tol=float(tol),
+            block=int(_config.config.estep_chunk))
+        return MstepResult(
+            tf.LowRankNonRigidTransformation(zc_t.T, u, lam), sigma2, q)
 
 
 class ConstrainedNonRigidCPD(CoherentPointDrift):

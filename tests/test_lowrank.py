@@ -135,3 +135,30 @@ def test_nonrigid_lowrank_large_m_smoke():
         src, tgt, tf_type_name="nonrigid", maxiter=20, rank=50)
     moved = np.asarray(res.transformation.transform(src))
     assert nn_rmse(moved, tgt) < 0.3 * nn_rmse(src, tgt)
+
+
+def test_nonrigid_lowrank_fast_path_matches_step_path():
+    """The transposed blocked whole-EM runner (_run_em_nonrigid_lowrank_t,
+    the default when rank is set) matches the per-step path (forced via a
+    callback) and its own blocked variant bit-for-bit-ish."""
+    from probreg_tpu import config as cfg
+
+    src, tgt = _fish()
+    res_fast = cpd.registration_cpd(
+        src, tgt, tf_type_name="nonrigid", maxiter=20, tol=0.0, rank=30)
+    res_step = cpd.registration_cpd(
+        src, tgt, tf_type_name="nonrigid", maxiter=20, tol=0.0, rank=30,
+        callbacks=[lambda t: None])
+    mf = np.asarray(res_fast.transformation.transform(src))
+    ms = np.asarray(res_step.transformation.transform(src))
+    np.testing.assert_allclose(mf, ms, atol=1e-4)
+    # Blocked E-step (block < N, non-divisor) == single-shot.
+    old = cfg.config.estep_chunk
+    cfg.config.estep_chunk = 13
+    try:
+        res_blk = cpd.registration_cpd(
+            src, tgt, tf_type_name="nonrigid", maxiter=20, tol=0.0, rank=30)
+    finally:
+        cfg.config.estep_chunk = old
+    np.testing.assert_allclose(
+        np.asarray(res_blk.transformation.transform(src)), mf, atol=1e-4)
