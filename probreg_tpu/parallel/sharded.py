@@ -542,3 +542,59 @@ def registration_filterreg_sharded(
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
         auto_sigma2=sigma2 is None, n=n, mesh=mesh, axis=axis)
     return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2_out, q)
+
+
+# --------------------------------------------------------------------------
+# Batch-axis (data-parallel) sharding
+# --------------------------------------------------------------------------
+
+def registration_cpd_batch_sharded(
+    sources,
+    targets,
+    tf_type_name: str = "rigid",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    update_scale: bool = True,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "batch",
+):
+    """B cloud pairs registered data-parallel over the mesh.
+
+    The second parallel axis next to point sharding (SURVEY.md 2.3's
+    "points x batch" design): the vmapped whole-EM program
+    (cpd._run_em_t_batch) runs with its batch dimension sharded over the
+    devices — each chip registers B/n_dev pairs independently, no
+    collectives at all. Pads B up to a multiple of the mesh size (padding
+    pairs are dropped from the result).
+
+    Returns a list of B MstepResult like cpd.registration_cpd_batch.
+    """
+    if tf_type_name not in ("rigid", "affine"):
+        raise ValueError("batch registration supports 'rigid' and 'affine'")
+    srcs = np.asarray(interop.as_points(sources, dtype=config.dtype))
+    tgts = np.asarray(interop.as_points(targets, dtype=config.dtype))
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    axis = mesh.axis_names[0]
+    b = srcs.shape[0]
+    n_dev = mesh.shape[axis]
+    pad = (-b) % n_dev
+    if pad:
+        # Repeat the last pair: same compiled shapes, discarded below.
+        srcs = np.concatenate([srcs, np.repeat(srcs[-1:], pad, 0)], axis=0)
+        tgts = np.concatenate([tgts, np.repeat(tgts[-1:], pad, 0)], axis=0)
+    sh = NamedSharding(mesh, P(axis, None, None))
+    srcs_d = jax.device_put(srcs, sh)
+    tgts_d = jax.device_put(tgts, sh)
+    lin, t, scale, sigma2, q = cpd_mod._run_em_t_batch(
+        srcs_d, tgts_d, kind=tf_type_name, w=float(w), maxiter=int(maxiter),
+        tol=float(tol), update_scale=bool(update_scale))
+    out = []
+    for i in range(b):
+        if tf_type_name == "rigid":
+            transf = tf.RigidTransformation(lin[i], t[i], scale[i])
+        else:
+            transf = tf.AffineTransformation(lin[i], t[i])
+        out.append(cpd_mod.MstepResult(transf, sigma2[i], q[i]))
+    return out

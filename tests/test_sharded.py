@@ -135,3 +135,25 @@ def test_sharded_filterreg_pt2pl_sigma2_init(mesh, rng):
         maxiter=40, tol=1e-6)
     rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
     np.testing.assert_allclose(rec, ang, atol=1e-1)
+
+
+def test_batch_sharded_matches_unsharded(mesh, rng):
+    """Data-parallel batch axis: sharded over the virtual mesh == plain
+    vmapped batch, including non-divisible batch padding."""
+    from probreg_tpu import cpd as cpd_mod
+
+    b, m = 5, 40  # b=5 not divisible by 8 devices -> exercises padding
+    rots = [np.asarray(se3_op.euler2mat(0.0, 0.0, a), np.float32)
+            for a in np.linspace(0.05, 0.3, b)]
+    srcs = rng.normal(size=(b, m, 3)).astype(np.float32) * 0.3
+    tgts = np.stack([s @ r.T for s, r in zip(srcs, rots)])
+    res_sh = sharded.registration_cpd_batch_sharded(
+        srcs, tgts, maxiter=30, tol=1e-6, mesh=mesh)
+    res_plain = cpd_mod.registration_cpd_batch(srcs, tgts, maxiter=30, tol=1e-6)
+    assert len(res_sh) == b
+    for a, c, r in zip(res_sh, res_plain, rots):
+        np.testing.assert_allclose(
+            np.asarray(a.transformation.rot), np.asarray(c.transformation.rot),
+            atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.transformation.rot), r,
+                                   atol=1e-2)
