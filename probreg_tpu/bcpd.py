@@ -149,6 +149,66 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
             u_hat, sigma_out, alpha, sigma2)
 
 
+def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1):
+    """CombinedBCPD M-step in transposed (D, M) layout, from psum-able
+    E-step moments (px_t, nu, s1). Shared by the single-device VI loop and
+    the sharded runner (parallel/sharded.py). ``gmat`` dense or (u, lam)."""
+    dim, m = ys_t.shape
+    low_rank = isinstance(gmat, (tuple, list))
+    n_p = jnp.maximum(jnp.sum(nu), _EPS)
+    x_hat_t = px_t / jnp.maximum(nu, _EPS)[None, :]             # (D, M)
+    s2s2 = scale ** 2 / (sigma2 ** 2)
+    residual_t = rot.T @ ((x_hat_t - t[:, None]) / scale) - ys_t
+    if low_rank:
+        umat, lam = gmat
+        s_core, sigma_diag_new = _lowrank.regularized_sigma(
+            umat, lam, nu, s2s2, lmd)
+        v_new_t = (s2s2 / lmd) * (
+            ((residual_t * nu[None, :]) @ umat) @ s_core) @ umat.T
+    else:
+        shifted = lmd * jnp.eye(m, dtype=ys_t.dtype) \
+            + s2s2 * gmat * nu[None, :]
+        sigma_mat = jnp.linalg.solve(shifted, gmat)
+        sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
+        sigma_diag_new = jnp.diag(sigma_mat)
+        v_new_t = s2s2 * jax.lax.dot_general(
+            residual_t * nu[None, :], sigma_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (D, M)
+    u_hat_t = ys_t + v_new_t
+    alpha_new = jnp.exp(jax.scipy.special.digamma(k + nu)
+                        - jax.scipy.special.digamma(k * m + n_p))
+    x_m = x_hat_t @ nu / n_p                                    # (D,)
+    sigma2_m = jnp.sum(nu * sigma_diag_new) / n_p
+    u_m = u_hat_t @ nu / n_p
+    u_hm = u_hat_t - u_m[:, None]
+    s_xu = jax.lax.dot_general(
+        (x_hat_t - x_m[:, None]) * nu[None, :], u_hm,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                    # (D, D)
+    s_uu = jax.lax.dot_general(
+        u_hm * nu[None, :], u_hm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) / n_p \
+        + sigma2_m * jnp.eye(dim, dtype=ys_t.dtype)
+    s_xu = s_xu / n_p
+    phi, _, psih = jnp.linalg.svd(s_xu, full_matrices=True)
+    cdet = jnp.ones(dim, ys_t.dtype).at[-1].set(
+        jnp.linalg.det(phi @ psih))
+    rot_new = (phi * cdet) @ psih
+    scale_new = jnp.trace(rot_new @ s_xu) / jnp.trace(s_uu)
+    t_new = x_m - scale_new * rot_new @ u_m
+    # Reference parity (bcpd.py:151): y_hat with the PREVIOUS transform.
+    y_hat_t = scale * rot @ (ys_t + v_new_t) + t[:, None]
+    s2v = jnp.sum(px_t * y_hat_t)
+    s3 = jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0))
+    sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
+        + scale_new ** 2 * sigma2_m
+    return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
+            sigma2_new)
+
+
 @partial(jax.jit, static_argnames=("w", "block"))
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
               block=None):
@@ -171,7 +231,6 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     the O(M * N) posterior (which the reference also materializes,
     bcpd.py:57-70).
     """
-    low_rank = isinstance(gmat, (tuple, list))
     m, dim = source.shape
     n = target.shape[0]
     ys_t = source.T                                        # (D, M)
@@ -181,8 +240,6 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     # px_t (D, M), nu (M), and sum_j p_ij |x_j|^2 whose total is s1.
     v_chan = jnp.concatenate(
         [xs_t, jnp.ones((1, n), xs_t.dtype), x2], axis=0)  # (D+2, N)
-    eye_m = None if low_rank else jnp.eye(m, dtype=source.dtype)
-
     if block is None:
         block = int(_config.config.estep_chunk)
     block = max(min(int(block), n), 1)
@@ -254,58 +311,10 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         px_t = mom[:dim]                                        # (D, M)
         nu = mom[dim]                                           # (M,)
         s1 = jnp.sum(mom[dim + 1])
-        n_p = jnp.maximum(jnp.sum(nu), _EPS)
-        x_hat_t = px_t / jnp.maximum(nu, _EPS)[None, :]         # (D, M)
 
-        # --- M-step (combined_mstep in transposed layout)
-        s2s2 = scale ** 2 / (sigma2 ** 2)
-        residual_t = rot.T @ ((x_hat_t - t[:, None]) / scale) - ys_t
-        if low_rank:
-            umat, lam = gmat
-            s_core, sigma_diag_new = _lowrank.regularized_sigma(
-                umat, lam, nu, s2s2, lmd)
-            v_new_t = (s2s2 / lmd) * (
-                ((residual_t * nu[None, :]) @ umat) @ s_core) @ umat.T
-        else:
-            shifted = lmd * eye_m + s2s2 * gmat * nu[None, :]
-            sigma_mat = jnp.linalg.solve(shifted, gmat)
-            sigma_mat = 0.5 * (sigma_mat + sigma_mat.T)
-            sigma_diag_new = jnp.diag(sigma_mat)
-            v_new_t = s2s2 * jax.lax.dot_general(
-                residual_t * nu[None, :], sigma_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # (D, M)
-        u_hat_t = ys_t + v_new_t
-        alpha_new = jnp.exp(jax.scipy.special.digamma(k + nu)
-                            - jax.scipy.special.digamma(k * m + n_p))
-        x_m = x_hat_t @ nu / n_p                                # (D,)
-        sigma2_m = jnp.sum(nu * sigma_diag_new) / n_p
-        u_m = u_hat_t @ nu / n_p
-        u_hm = u_hat_t - u_m[:, None]
-        s_xu = jax.lax.dot_general(
-            (x_hat_t - x_m[:, None]) * nu[None, :], u_hm,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (D, D)
-        s_uu = jax.lax.dot_general(
-            u_hm * nu[None, :], u_hm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) / n_p \
-            + sigma2_m * jnp.eye(dim, dtype=source.dtype)
-        s_xu = s_xu / n_p
-        phi, _, psih = jnp.linalg.svd(s_xu, full_matrices=True)
-        cdet = jnp.ones(dim, source.dtype).at[-1].set(
-            jnp.linalg.det(phi @ psih))
-        rot_new = (phi * cdet) @ psih
-        scale_new = jnp.trace(rot_new @ s_xu) / jnp.trace(s_uu)
-        t_new = x_m - scale_new * rot_new @ u_m
-        # Reference parity (bcpd.py:151): y_hat with the PREVIOUS transform.
-        y_hat_t = scale * rot @ (ys_t + v_new_t) + t[:, None]
-        s2v = jnp.sum(px_t * y_hat_t)
-        s3 = jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0))
-        sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
-            + scale_new ** 2 * sigma2_m
-
+        (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
+         sigma2_new) = _vi_mstep_t(
+            ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1)
         return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
                 alpha_new, sigma2_new, rmse, state[7], i + 1)
 

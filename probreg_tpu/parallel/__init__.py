@@ -10,6 +10,7 @@ psum payloads — O(M*D) bytes summarizing O(M*N) compute.
 from .sharded import (  # noqa: F401
     estep_sharded,
     make_mesh,
+    registration_bcpd_sharded,
     registration_cpd_batch_sharded,
     registration_cpd_sharded,
     registration_filterreg_sharded,

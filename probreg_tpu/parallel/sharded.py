@@ -598,3 +598,141 @@ def registration_cpd_batch_sharded(
             transf = tf.AffineTransformation(lin[i], t[i])
         out.append(cpd_mod.MstepResult(transf, sigma2[i], q[i]))
     return out
+
+
+# --------------------------------------------------------------------------
+# Sharded BCPD (variational inference over a sharded target)
+# --------------------------------------------------------------------------
+#
+# Same decomposition as the CPD E-step: the posterior normalizer den_j is a
+# column sum over M, complete per target shard, so the VI moments
+# (px_t (D, M), nu (M), s1) psum over ICI; the NN-RMSE convergence
+# criterion is an elementwise pmin of per-shard row minima. The M-step
+# (bcpd._vi_mstep_t, dense or low-rank Sigma) runs replicated.
+
+@partial(jax.jit, static_argnames=("w", "n", "mesh", "axis"))
+def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
+                      w, maxiter, tol, n, mesh, axis):
+    from .. import bcpd as bcpd_mod
+
+    m, dim = source.shape
+    ys_t = source.T
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def estep(t_src_t, xs_sh, msk, row, sigma2):
+        x2 = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)
+        y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+        xy = jax.lax.dot_general(
+            t_src_t, xs_sh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)
+        dmin = jnp.min(jnp.where(msk > 0, d2, jnp.inf), axis=1)
+        g = jnp.exp(-d2 / (2.0 * sigma2)) \
+            / (2.0 * jnp.pi * sigma2) ** (dim * 0.5) * msk
+        pmat = g * row[:, None]
+        den = w / n + jnp.sum(pmat, axis=0, keepdims=True)
+        den = jnp.where(den == 0.0, eps, den)
+        pmat = pmat / den
+        v_chan = jnp.concatenate([xs_sh, msk, x2], axis=0)  # (D+2, B)
+        mom = jax.lax.dot_general(
+            v_chan, pmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # (D+2, M)
+        return jax.lax.psum(mom, axis), jax.lax.pmin(dmin, axis)
+
+    def body(state):
+        rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
+        t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
+        row = (1.0 - w) * alpha * jnp.exp(
+            -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
+        mom, dmin = estep(t_src_t, xs_t_sh, mask_sh, row, sigma2)
+        rmse = jnp.mean(jnp.sqrt(dmin))
+        px_t, nu, s1 = mom[:dim], mom[dim], jnp.sum(mom[dim + 1])
+        (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
+         sigma2_new) = bcpd_mod._vi_mstep_t(
+            ys_t, rot, t, scale, sigma2, gram, lmd, k, px_t, nu, s1)
+        return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
+                alpha_new, sigma2_new, rmse, state[7], i + 1)
+
+    def cond(state):
+        rmse, rmse_prev, i = state[7], state[8], state[9]
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i < 2, jnp.abs(rmse - rmse_prev) >= tol))
+
+    state = (
+        jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
+        jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
+        jnp.ones((m,), source.dtype),
+        jnp.full((m,), 1.0 / m, source.dtype), sigma2_0,
+        jnp.asarray(jnp.inf, source.dtype),
+        jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    rot, t, scale, v_hat_t = state[:4]
+    return rot, t, scale, v_hat_t
+
+
+def registration_bcpd_sharded(
+    source,
+    target,
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    lmd: float = 2.0,
+    k: float = 1.0e20,
+    gamma: float = 1.0,
+    rank: Optional[int] = None,
+    normalize: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """Multi-device BCPD: target sharded over the mesh, VI moments psum'd.
+
+    Same semantics (incl. the default scale normalization and the optional
+    low-rank Sigma) as bcpd.registration_bcpd; returns a
+    CombinedTransformation.
+    """
+    from .. import bcpd as bcpd_mod
+    from ..ops import lowrank as lr
+    from ..utils import math_utils as mu_
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    src = np.asarray(interop.as_points(source), dtype=np.float64)
+    tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    if normalize:
+        centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
+        src_h, tgt_h = src - centroid, tgt - centroid
+        m, dim = src.shape
+        skc = float(
+            (src_h ** 2).sum() * tgt.shape[0] + (tgt_h ** 2).sum() * m
+            - 2.0 * float(src_h.sum(0) @ tgt_h.sum(0))
+        ) / (m * dim * tgt.shape[0])
+        scale0 = max(np.sqrt(skc), 1e-12)
+    else:
+        centroid, scale0 = np.zeros(src.shape[1]), 1.0
+    src_n = ((src - centroid) / scale0).astype(np.float32)
+    tgt_n = ((tgt - centroid) / scale0).astype(np.float32)
+
+    src_j = jnp.asarray(src_n)
+    gram = (mu_.inverse_multiquadric_kernel(src_j, src_j) if rank is None
+            else tuple(lr.lowrank_imq(src_j, 1.0, int(rank))))
+    sigma2_0 = gamma * mu_.squared_kernel_sum(src_j, jnp.asarray(tgt_n))
+    xs_t_sh, mask_sh, n = shard_points_t(tgt_n, mesh, axis)
+    rot, t, scale, v_hat_t = _run_bcpd_sharded(
+        src_j, xs_t_sh, mask_sh, gram,
+        jnp.asarray(lmd, jnp.float32), jnp.asarray(k, jnp.float32),
+        jnp.asarray(sigma2_0, jnp.float32),
+        w=float(w), maxiter=int(maxiter), tol=float(tol),
+        n=n, mesh=mesh, axis=axis)
+    v_raw = scale0 * np.asarray(v_hat_t.T, np.float64) - centroid
+    t_raw = scale0 * np.asarray(t, np.float64) + centroid
+    return tf.CombinedTransformation(
+        np.asarray(rot, np.float64), t_raw, float(scale), v_raw)

@@ -157,3 +157,21 @@ def test_batch_sharded_matches_unsharded(mesh, rng):
             atol=1e-5)
         np.testing.assert_allclose(np.asarray(a.transformation.rot), r,
                                    atol=1e-2)
+
+
+def test_sharded_bcpd_matches_single(mesh):
+    """Sharded BCPD VI (psum'd moments, pmin'd NN-RMSE) == single device,
+    for both the dense and the low-rank Sigma paths."""
+    from probreg_tpu import bcpd as bcpd_mod
+
+    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    for rank in (None, 30):
+        kw = {} if rank is None else {"rank": rank}
+        res_sh = sharded.registration_bcpd_sharded(
+            src, tgt, maxiter=15, tol=0.0, mesh=mesh, **kw)
+        res_single = bcpd_mod.registration_bcpd(
+            src, tgt, maxiter=15, tol=0.0, **kw)
+        np.testing.assert_allclose(
+            np.asarray(res_sh.transform(src)),
+            np.asarray(res_single.transform(src)), atol=2e-3)
