@@ -244,38 +244,26 @@ def _mstep(m0, m1, node_mu, node_cov, rot_p, t_p):
     return _mstep_core(m0, m1, node_mu, lmd, nn, rot_p, t_p)
 
 
-@partial(jax.jit, static_argnames=("max_level", "lambda_c"))
-def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
-                      maxiter, tol):
-    """Whole registration loop in transposed (D, N) layout.
-
-    Per-iteration (N, 3)-layout ops cost ~0.25 ms each on TPU in lane
-    relayouts (see cpd.py). The descent is reformulated against the pdf
-    matrix of ALL T nodes at once: the Mahalanobis quadratic/linear terms
-    for every (node, point) pair come from three constant-matrix matmuls,
-    the per-level child restriction is a (T, N) parent-id mask, and the
-    final moments (m0, m1, the 6 unique m2 entries) are (T, N) x (N, *)
-    matmuls against a one-hot assignment matrix. Everything lane = points.
-    """
-    n, dim = target.shape
+def _estep_t_factory(pi, mu, cov, max_level, lambda_c):
+    """Build the transposed-descent E-step: estep(x_t (3, N), col_mask
+    (1, N)) -> (m0 (T,), m1 (T, 3)). ``col_mask`` zeroes padded columns so
+    the sharded path (parallel/sharded.py) can psum the moments."""
     n_total = _n_total(max_level)
-
-    # Static per-registration node quantities (incl. the M-step eigh).
+    dim = mu.shape[1]
     inv, norm, _ = _log_pdf_terms(cov)                      # (T,3,3), (T,)
     cplx = _complexity(cov)                                 # (T,)
-    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
     si_stack = inv.reshape(n_total * dim, dim)              # (3T, 3)
     msi = jnp.einsum("tij,tj->ti", inv, mu)                 # (T, 3)
     mcm = jnp.einsum("ti,ti->t", msi, mu)                   # (T,)
     # Constant selection matrix: qf (T, N) = SSUM @ (B * Xrep), where
     # row t sums the 3 rows of its node block.
-    ssum = jnp.repeat(jnp.eye(n_total, dtype=target.dtype), dim, axis=1)
+    ssum = jnp.repeat(jnp.eye(n_total, dtype=mu.dtype), dim, axis=1)
     parent_of = jnp.asarray(
-        np.arange(_n_total(max_level)) // N_NODE - 1, jnp.int32)
+        np.arange(n_total) // N_NODE - 1, jnp.int32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_total, 1), 0)
-    xs_t0 = target.T                                        # (3, N)
 
-    def estep_t(x_t):
+    def estep_t(x_t, col_mask):
+        n = x_t.shape[1]
         # pdf matrix for all nodes: (T, N).
         b_all = jax.lax.dot_general(
             si_stack, x_t, (((1,), (0,)), ((), ())),
@@ -313,12 +301,37 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
             parent = jnp.where(stopped, parent, search)
 
         onehot = (row_iota == search).astype(x_t.dtype)
-        w = onehot * gmax                                    # (T, N)
+        w = onehot * gmax * col_mask                         # (T, N)
         m0 = jnp.sum(w, axis=1)                              # (T,)
         m1 = jax.lax.dot_general(
             w, x_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (T, 3)
         return m0, m1
+
+    return estep_t
+
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_c"))
+def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
+                      maxiter, tol):
+    """Whole registration loop in transposed (D, N) layout.
+
+    Per-iteration (N, 3)-layout ops cost ~0.25 ms each on TPU in lane
+    relayouts (see cpd.py). The descent is reformulated against the pdf
+    matrix of ALL T nodes at once: the Mahalanobis quadratic/linear terms
+    for every (node, point) pair come from three constant-matrix matmuls,
+    the per-level child restriction is a (T, N) parent-id mask, and the
+    final moments (m0, m1, the 6 unique m2 entries) are (T, N) x (N, *)
+    matmuls against a one-hot assignment matrix. Everything lane = points.
+    """
+    n, dim = target.shape
+    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    xs_t0 = target.T                                        # (3, N)
+    estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
+    ones_mask = jnp.ones((1, n), target.dtype)
+
+    def estep_t(x_t):
+        return estep_core(x_t, ones_mask)
 
     def body(state):
         rot, t, q, _, i = state

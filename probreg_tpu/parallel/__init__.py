@@ -14,6 +14,7 @@ from .sharded import (  # noqa: F401
     registration_cpd_batch_sharded,
     registration_cpd_sharded,
     registration_filterreg_sharded,
+    registration_gmmtree_sharded,
     shard_points,
     shard_points_t,
 )

@@ -736,3 +736,83 @@ def registration_bcpd_sharded(
     t_raw = scale0 * np.asarray(t, np.float64) + centroid
     return tf.CombinedTransformation(
         np.asarray(rot, np.float64), t_raw, float(scale), v_raw)
+
+
+# --------------------------------------------------------------------------
+# Sharded GMMTree (tree-descent E-step over a sharded target)
+# --------------------------------------------------------------------------
+#
+# The registration E-step is an independent per-target-point tree descent
+# (gmmtree._estep_t_factory); sharding the target over the mesh needs one
+# psum of the (T,) / (T, 3) node moments. The tree itself (built once from
+# the source) and the twist M-step are replicated.
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_c", "mesh", "axis"))
+def _run_gmmtree_sharded(xs_t_sh, mask_sh, pi, mu_n, cov, rot0, t0, *,
+                         max_level, lambda_c, maxiter, tol, mesh, axis):
+    from .. import gmmtree as gt_mod
+
+    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    estep_core = gt_mod._estep_t_factory(pi, mu_n, cov, max_level, lambda_c)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P(None, axis)),
+        out_specs=(P(), P()),
+    )
+    def estep(rot, t, xs_sh, msk):
+        x_t = rot @ xs_sh + t[:, None]
+        m0, m1 = estep_core(x_t, msk)
+        return jax.lax.psum(m0, axis), jax.lax.psum(m1, axis)
+
+    def body(state):
+        rot, t, q, _, i = state
+        m0, m1 = estep(rot, t, xs_t_sh, mask_sh)
+        rot_new, t_new, q_new = gt_mod._mstep_core(
+            m0, m1, mu_n, lmd_nodes, nn_nodes, rot, t)
+        return (rot_new, t_new, q_new, q, i + 1)
+
+    def cond(state):
+        _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    state = (rot0, t0, jnp.asarray(jnp.inf, pi.dtype),
+             jnp.asarray(jnp.inf, pi.dtype), jnp.asarray(0))
+    rot, t, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return rot, t, q
+
+
+def registration_gmmtree_sharded(
+    source,
+    target,
+    maxiter: int = 20,
+    tol: float = 1.0e-4,
+    tree_level: int = 2,
+    lambda_c: float = 0.01,
+    lambda_s: float = 0.001,
+    mesh: Optional[Mesh] = None,
+    **kwargs: Any,
+):
+    """Multi-device GMMTree registration (same semantics as
+    gmmtree.registration_gmmtree: transforms the target internally and
+    returns the inverse transform as source->target)."""
+    from .. import gmmtree as gt_mod
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    gt = gt_mod.GMMTree(source, tree_level=tree_level, lambda_c=lambda_c,
+                        lambda_s=lambda_s, **kwargs)
+    pi, mu_n, cov = gt._nodes
+    xs_t_sh, mask_sh, _ = shard_points_t(target, mesh, axis)
+    rot, t, q = _run_gmmtree_sharded(
+        xs_t_sh, mask_sh, pi, mu_n, cov,
+        jnp.asarray(gt._tf_result.rot), jnp.asarray(gt._tf_result.t),
+        max_level=int(tree_level), lambda_c=float(lambda_c),
+        maxiter=int(maxiter), tol=float(tol), mesh=mesh, axis=axis)
+    # Reference gmmtree.py:96: the estimated transform moves the target;
+    # return its inverse (source -> target).
+    inv = tf.RigidTransformation(rot, t).inverse()
+    return gt_mod.MstepResult(inv, q)

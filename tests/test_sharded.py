@@ -175,3 +175,21 @@ def test_sharded_bcpd_matches_single(mesh):
         np.testing.assert_allclose(
             np.asarray(res_sh.transform(src)),
             np.asarray(res_single.transform(src)), atol=2e-3)
+
+
+def test_sharded_gmmtree_matches_single(mesh, horse_cloud):
+    """Sharded tree-descent E-step (psum'd node moments) == single device."""
+    from probreg_tpu import gmmtree as gt_mod
+
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([5.0, -3.0, 4.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+    res_sh = sharded.registration_gmmtree_sharded(src, tgt, maxiter=30,
+                                                  tol=1e-6)
+    res_single = gt_mod.registration_gmmtree(src, tgt, maxiter=30, tol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.transformation.rot),
+        np.asarray(res_single.transformation.rot), atol=1e-4)
+    rec = np.asarray(se3_op.mat2euler(res_sh.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=5e-2)
