@@ -14,7 +14,9 @@ from .sharded import (  # noqa: F401
     registration_cpd_batch_sharded,
     registration_cpd_sharded,
     registration_filterreg_sharded,
+    registration_gmmreg_sharded,
     registration_gmmtree_sharded,
+    registration_svr_sharded,
     shard_points,
     shard_points_t,
 )

@@ -816,3 +816,256 @@ def registration_gmmtree_sharded(
     # return its inverse (source -> target).
     inv = tf.RigidTransformation(rot, t).inverse()
     return gt_mod.MstepResult(inv, q)
+
+
+# --------------------------------------------------------------------------
+# Sharded L2-dist family (GMMReg / SVR)
+# --------------------------------------------------------------------------
+#
+# The scalable work in the L2-dist registrations is the mixture extraction
+# (reference l2dist_regs.py:78-79 -> sklearn fits): the O(N*K) spherical-GMM
+# EM and the O(N^2) one-class-SVM dual. Both run here over the mesh with the
+# points sharded; only the K-sized (GMM) / N-sized (SVM iterate) moments
+# cross devices. The BFGS over the resulting mixtures (<= 800 components) is
+# tiny and replicated (l2dist_regs._jax_optimizer).
+
+@partial(jax.jit, static_argnames=("k", "n", "kmeans_iters", "em_iters",
+                                   "mesh", "axis"))
+def _fit_gmm_sharded(x_sh, mask_sh, mu0, *, k, n, kmeans_iters, em_iters,
+                     mesh, axis):
+    """Spherical-GMM fit (features._fit_spherical_gmm) with points sharded.
+
+    Per-point responsibilities are local to each device (the row logsumexp
+    needs only that point's row); the (K,), (K, D) moment sums psum over
+    the mesh.
+    """
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis), P()),
+             out_specs=(P(), P()))
+    def run(x, msk, mu0):
+        d = x.shape[1]
+
+        def lloyd(mu, _):
+            d2 = sqdist(x, mu)
+            onehot = jax.nn.one_hot(
+                jnp.argmin(d2, axis=1), k, dtype=x.dtype) * msk[:, None]
+            counts = jax.lax.psum(jnp.sum(onehot, axis=0), axis)
+            sums = jax.lax.psum(
+                jax.lax.dot_general(
+                    onehot, x, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), axis)
+            return sums / jnp.maximum(counts, 1.0)[:, None], None
+
+        mu, _ = jax.lax.scan(lloyd, mu0, None, length=kmeans_iters)
+
+        pi = jnp.full((k,), 1.0 / k, x.dtype)
+        # Global mean per-dimension variance from psum'd first/second moments.
+        s1 = jax.lax.psum(jnp.sum(x * msk[:, None], axis=0), axis) / n
+        s2 = jax.lax.psum(jnp.sum(x * x * msk[:, None], axis=0), axis) / n
+        var = jnp.full((k,), jnp.mean(s2 - s1 * s1), x.dtype)
+
+        def em(carry, _):
+            mu, var, pi = carry
+            d2 = sqdist(x, mu)
+            log_p = (-0.5 * d2 / var
+                     - 0.5 * d * jnp.log(2.0 * jnp.pi * var) + jnp.log(pi))
+            log_r = log_p - jax.scipy.special.logsumexp(
+                log_p, axis=1, keepdims=True)
+            r = jnp.exp(log_r) * msk[:, None]                 # (n_sh, k)
+            nk = jnp.maximum(jax.lax.psum(jnp.sum(r, axis=0), axis), 1e-10)
+            mu_new = jax.lax.psum(
+                jax.lax.dot_general(
+                    r, x, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), axis) / nk[:, None]
+            d2_new = sqdist(x, mu_new)
+            var_new = jnp.maximum(
+                jax.lax.psum(jnp.sum(r * d2_new, axis=0), axis) / (d * nk),
+                1e-12)
+            pi_new = nk / n
+            return (mu_new, var_new, pi_new), None
+
+        (mu, var, pi), _ = jax.lax.scan(em, (mu, var, pi), None,
+                                        length=em_iters)
+        return mu, pi
+
+    return run(x_sh, mask_sh, mu0)
+
+
+@partial(jax.jit, static_argnames=("n", "iters", "mesh", "axis"))
+def _fit_ocsvm_sharded(x_sh, mask_sh, gamma, *, nu, n, iters, mesh, axis):
+    """One-class-SVM dual (features._fit_ocsvm_dual) with the kernel matrix
+    row-sharded: each device holds K[rows_sh, :] and computes its slice of
+    the projected-gradient matvec; the (N,) iterate is all-gathered per step
+    (O(N) bytes vs the O(N^2/P) local compute). Returns alpha sharded like
+    the input rows, scaled to libsvm's convention (sum = nu * n)."""
+    c = 1.0 / (nu * n)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis), P()),
+             out_specs=P(axis))
+    def run(x, msk, gamma):
+        x_full = jax.lax.all_gather(x, axis, tiled=True)       # (n_pad, d)
+        msk_full = jax.lax.all_gather(msk, axis, tiled=True)   # (n_pad,)
+        kmat = (jnp.exp(-gamma * sqdist(x, x_full))
+                * msk[:, None] * msk_full[None, :])
+        hi_box = c * msk_full  # padded entries boxed to 0
+
+        def project(v):
+            # tau with sum(clip(v - tau, 0, hi_box)) == 1 by bisection.
+            lo = jnp.min(v) - c
+            hi = jnp.max(v)
+
+            def body(_, carry):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                s = jnp.sum(jnp.clip(v - mid, 0.0, hi_box))
+                return (jnp.where(s > 1.0, mid, lo),
+                        jnp.where(s > 1.0, hi, mid))
+
+            lo, hi = jax.lax.fori_loop(0, 50, body, (lo, hi))
+            return jnp.clip(v - 0.5 * (lo + hi), 0.0, hi_box)
+
+        eta = 1.0 / jax.lax.pmax(
+            jnp.max(jnp.sum(jnp.abs(kmat), axis=1)), axis)     # 1/||K||_inf
+        # Cast the replicated init varying so project's bisection carry (and
+        # the pg scan carry) have a consistent varying-manual-axes type with
+        # the all_gathered, device-varying iterates.
+        alpha = project(jax.lax.pcast(
+            jnp.full((x_full.shape[0],), 1.0 / n, x.dtype),
+            (axis,), to="varying"))
+
+        def pg(alpha, _):
+            g_sh = jax.lax.dot_general(
+                kmat, alpha, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g = jax.lax.all_gather(g_sh, axis, tiled=True)
+            return project(alpha - eta * g), None
+
+        alpha, _ = jax.lax.scan(pg, alpha, None, length=iters)
+        n_sh = x.shape[0]
+        start = jax.lax.axis_index(axis) * n_sh
+        return jax.lax.dynamic_slice(alpha, (start,), (n_sh,)) * (nu * n)
+
+    return run(x_sh, mask_sh, jnp.asarray(gamma, x_sh.dtype))
+
+
+class _ShardedGMM:
+    """features.GMM drop-in whose fit runs over the mesh."""
+
+    def __init__(self, base, mesh: Mesh, axis: str):
+        self._base = base
+        self._mesh = mesh
+        self._axis = axis
+
+    def init(self):
+        self._base.init()
+
+    def annealing(self):
+        self._base.annealing()
+
+    def compute(self, data):
+        pts = np.asarray(interop.as_points(data), dtype=np.float32)
+        b = self._base
+        k = min(b._n_gmm_components, pts.shape[0])
+        # Center seeding on host (the single-device path seeds from
+        # jax.random inside the program; here the host already owns the
+        # full cloud, pre-shard).
+        rng = np.random.default_rng(b._seed + b._counter)
+        mu0 = jnp.asarray(pts[rng.choice(pts.shape[0], size=k,
+                                         replace=False)])
+        x_sh, mask_sh, n = shard_points(pts, self._mesh, self._axis)
+        return _fit_gmm_sharded(
+            x_sh, mask_sh, mu0, k=k, n=n, kmeans_iters=10,
+            em_iters=b._em_iters, mesh=self._mesh, axis=self._axis)
+
+
+class _ShardedOneClassSVM:
+    """features.OneClassSVM drop-in whose dual solve runs over the mesh."""
+
+    def __init__(self, base, mesh: Mesh, axis: str):
+        self._base = base
+        self._mesh = mesh
+        self._axis = axis
+
+    def init(self):
+        self._base.init()
+
+    def annealing(self):
+        self._base.annealing()
+
+    def compute(self, data):
+        pts = np.asarray(interop.as_points(data), dtype=np.float32)
+        b = self._base
+        x_sh, mask_sh, n = shard_points(pts, self._mesh, self._axis)
+        alpha = np.asarray(_fit_ocsvm_sharded(
+            x_sh, mask_sh, b._gamma, nu=float(b._nu), n=n, iters=300,
+            mesh=self._mesh, axis=self._axis))[:n]
+        z = np.power(2.0 * np.pi * b._sigma ** 2, b._dim * 0.5)
+        sv = alpha > 1e-8
+        return jnp.asarray(pts), jnp.asarray(alpha * z * sv, jnp.float32)
+
+
+def _shardify_l2(reg, mesh: Mesh, axis: str):
+    """Swap an L2DistRegistration's feature generator for the mesh version
+    (after __init__ so the subclasses' sigma/gamma estimation has run on
+    the original object, which the wrapper keeps as ``_base``)."""
+    from .. import features as ft_mod
+
+    fg = reg._feature_gen
+    if isinstance(fg, ft_mod.GMM):
+        reg._feature_gen = _ShardedGMM(fg, mesh, axis)
+    elif isinstance(fg, ft_mod.OneClassSVM):
+        reg._feature_gen = _ShardedOneClassSVM(fg, mesh, axis)
+    else:
+        raise ValueError(
+            f"no sharded fit for feature type {type(fg).__name__}")
+    return reg
+
+
+def registration_gmmreg_sharded(source, target, tf_type_name: str = "rigid",
+                                mesh: Optional[Mesh] = None, **kwargs: Any):
+    """Multi-device GMMReg: the GMM mixture fits run over the mesh, the
+    BFGS over the mixtures is replicated (cf. l2dist_regs.registration_gmmreg,
+    reference l2dist_regs.py:158-181)."""
+    from .. import l2dist_regs as l2
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    cv = lambda x: np.asarray(interop.as_points(x))
+    if tf_type_name == "rigid":
+        reg = l2.RigidGMMReg(cv(source), **kwargs)
+    elif tf_type_name == "nonrigid":
+        reg = l2.TPSGMMReg(cv(source), **kwargs)
+    else:
+        raise ValueError("Unknown transform type %s" % tf_type_name)
+    return _shardify_l2(reg, mesh, axis).registration(cv(target))
+
+
+def registration_svr_sharded(
+    source,
+    target,
+    tf_type_name: str = "rigid",
+    maxiter: int = 1,
+    tol: float = 1.0e-3,
+    opt_maxiter: int = 50,
+    opt_tol: float = 1.0e-3,
+    mesh: Optional[Mesh] = None,
+    **kwargs: Any,
+):
+    """Multi-device SVR: the one-class-SVM dual runs over the mesh with the
+    kernel matrix row-sharded (cf. l2dist_regs.registration_svr, reference
+    l2dist_regs.py:184-219)."""
+    from .. import l2dist_regs as l2
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    cv = lambda x: np.asarray(interop.as_points(x))
+    if tf_type_name == "rigid":
+        reg = l2.RigidSVR(cv(source), **kwargs)
+    elif tf_type_name == "nonrigid":
+        reg = l2.TPSSVR(cv(source), **kwargs)
+    else:
+        raise ValueError("Unknown transform type %s" % tf_type_name)
+    return _shardify_l2(reg, mesh, axis).registration(
+        cv(target), maxiter, tol, opt_maxiter, opt_tol)

@@ -193,3 +193,33 @@ def test_sharded_gmmtree_matches_single(mesh, horse_cloud):
         np.asarray(res_single.transformation.rot), atol=1e-4)
     rec = np.asarray(se3_op.mat2euler(res_sh.transformation.rot))
     np.testing.assert_allclose(rec, ang, atol=5e-2)
+
+
+def test_sharded_svr_matches_single(mesh, horse_cloud):
+    """Row-sharded OCSVM dual is deterministic: sharded SVR ~= single device
+    and both recover the ground-truth rotation."""
+    from probreg_tpu import l2dist_regs as l2
+
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([8.0, -4.0, 6.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+    res_sh = sharded.registration_svr_sharded(src, tgt)
+    rec = np.asarray(se3_op.mat2euler(res_sh.rot))
+    np.testing.assert_allclose(rec, ang, atol=1e-1)
+    res_single = l2dist_regs_ref = l2.registration_svr(src, tgt)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.rot), np.asarray(res_single.rot), atol=1e-2)
+
+
+def test_sharded_gmmreg_recovers_rotation(mesh, horse_cloud):
+    """Mesh GMM fit (psum'd EM moments) + replicated BFGS recovers the
+    ground truth (seeding differs from single device, so compare to truth)."""
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([8.0, -4.0, 6.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+    res = sharded.registration_gmmreg_sharded(src, tgt, n_gmm_components=200)
+    rec = np.asarray(se3_op.mat2euler(res.rot))
+    np.testing.assert_allclose(rec, ang, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(res.t), 0.0, atol=1e-2)
