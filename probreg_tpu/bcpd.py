@@ -366,6 +366,12 @@ class BayesianCoherentPointDrift(abc.ABC):
             _as_jnp(t_source), _as_jnp(target), jnp.asarray(scale),
             jnp.asarray(alpha), diag, jnp.asarray(sigma2), float(w))
 
+    @abc.abstractmethod
+    def maximization_step(self, target, *args, **kwargs) -> MstepResult:
+        """Subclass M-step (reference bcpd.py:74-76; CombinedBCPD adds the
+        current rigid transform to the signature, bcpd.py:119)."""
+        ...
+
     def registration(self, target, w: float = 0.0, maxiter: int = 50,
                      tol: float = 0.001) -> tf.Transformation:
         assert self._tf_type is not None, "transformation type is None."

@@ -20,6 +20,17 @@ from .ops import pairwise
 from .utils import math_utils as _mu
 
 
+def squard_norm_outer_kernel(x, y):  # [sic] — reference's name, cupy_utils.py:5
+    """Pairwise squared-distance matrix |x_i - y_j|^2.
+
+    The reference exposes this as a raw ``cupy.ElementwiseKernel`` object
+    (cupy_utils.py:5-22) that callers invoke like a function over broadcast
+    index grids; here it is a plain function over the two point arrays,
+    computed on the MXU (and dimension-generic, unlike the reference's
+    hard-coded dim-3 stride)."""
+    return pairwise.sqdist(jnp.asarray(x), jnp.asarray(y))
+
+
 def squared_kernel_sum(x, y):
     """Mean pairwise squared distance / D (reference cupy_utils.py:25-34)."""
     return _mu.squared_kernel_sum(jnp.asarray(x), jnp.asarray(y))
