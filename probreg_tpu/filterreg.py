@@ -595,6 +595,14 @@ class DeformableKinematicFilterReg(FilterReg):
             blended = dq.dlb2(val[:, 0], q0, val[:, 1], q1)
             return dq.transform_point(blended, t_source)
 
+        # The skinning normal matrix is exactly singular for degenerate
+        # clouds (e.g. colinear points leave rotation about the bar
+        # unobservable), and the lattice E-step's m1/m0 noise leaks into
+        # those null directions — lstsq with an explicit rcond truncates
+        # them (a damped solve would amplify: dtw_null = b_null / lam).
+        # The step cap guards the nonlinear overshoot of large twists.
+        max_step = jnp.asarray(0.5, t_source.dtype)
+
         def gn_body(state):
             tw, _, it = state
             x = blend_apply(tw)
@@ -604,8 +612,10 @@ class DeformableKinematicFilterReg(FilterReg):
             for pi in range(2):
                 brows = (pair[:, pi] * n6d)[:, None] + jnp.arange(n6d)[None, :]
                 b = b.at[brows].add(jr * val[:, pi:pi + 1])
-            dtw = jnp.linalg.lstsq(a, b, rcond=None)[0]
-            return tw - dtw, jnp.linalg.norm(dtw), it + 1
+            dtw = jnp.linalg.lstsq(a, b, rcond=1e-5)[0]
+            dn = jnp.linalg.norm(dtw)
+            dtw = dtw * jnp.minimum(1.0, max_step / jnp.maximum(dn, _EPS))
+            return tw - dtw, jnp.minimum(dn, max_step), it + 1
 
         def gn_cond(state):
             _, dn, it = state
