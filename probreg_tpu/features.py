@@ -104,6 +104,20 @@ class GMM(Feature):
         mu, pi = _fit_spherical_gmm(key, x, k, em_iters=self._em_iters)
         return mu, pi
 
+    # Fused-registration hooks (l2dist_regs traces the fit INSIDE the
+    # whole-round program so fit(source)+fit(target)+BFGS is one dispatch).
+    def fused_static(self, n):
+        return (min(self._n_gmm_components, n), self._em_iters)
+
+    def fused_dynamic(self):
+        return (jax.random.PRNGKey(self._seed + self._counter),)
+
+    @staticmethod
+    def fused_fit(x, static, dynamic):
+        k, em_iters = static
+        (key,) = dynamic
+        return _fit_spherical_gmm(key, x, k, em_iters=em_iters)
+
 
 # --------------------------------------------------------------------------
 # One-class SVM dual in JAX
@@ -178,6 +192,23 @@ class OneClassSVM(Feature):
 
     def annealing(self):
         self._gamma *= self._delta
+
+    # Fused-registration hooks (see GMM.fused_fit).
+    def fused_static(self, n):
+        return ()
+
+    def fused_dynamic(self):
+        z = np.power(2.0 * np.pi * self._sigma ** 2, self._dim * 0.5)
+        return (jnp.asarray(self._gamma, jnp.float32),
+                jnp.asarray(self._nu, jnp.float32),
+                jnp.asarray(z, jnp.float32))
+
+    @staticmethod
+    def fused_fit(x, static, dynamic):
+        del static
+        gamma, nu, z = dynamic
+        alpha = _fit_ocsvm_dual(x, gamma, nu)
+        return x, alpha * z * (alpha > 1e-8)
 
 
 class FPFH(Feature):

@@ -25,6 +25,7 @@ from .utils import interop
 
 
 _JAX_OPT_CACHE = {}
+_JAX_FUSED_CACHE = {}
 
 
 class L2DistRegistration:
@@ -111,6 +112,43 @@ class L2DistRegistration:
             _JAX_OPT_CACHE[key] = opt
         return opt
 
+    def _fused_round(self, opt_maxiter: int, opt_tol: float,
+                     n_source: int, n_target: int):
+        """Whole-round jitted program: fit(source)+fit(target)+BFGS.
+
+        On a remote TPU each dispatch costs a full RTT; the eager path pays
+        three per annealing round (two feature fits + the optimizer). Fusing
+        the feature fits into the optimizer program makes a round ONE
+        dispatch. Cached per (cost class, feature class, feature statics) so
+        repeat registrations are compile-free.
+        """
+        feat = self._feature_gen
+        static_s = feat.fused_static(n_source)
+        static_t = feat.fused_static(n_target)
+        key = (type(self._cost_fn), type(feat), static_s, static_t,
+               opt_maxiter, opt_tol)
+        run = _JAX_FUSED_CACHE.get(key)
+        if run is None:
+            import jax
+            from jax.scipy.optimize import minimize as jax_minimize
+
+            obj = type(self._cost_fn).pure_objective
+            fit = type(feat).fused_fit
+
+            @jax.jit
+            def run(x0, src, tgt, sigma, dynamic, extra):
+                mu_s, phi_s = fit(src, static_s, dynamic)
+                mu_t, phi_t = fit(tgt, static_t, dynamic)
+                r = jax_minimize(
+                    obj, x0,
+                    args=(mu_s, phi_s, mu_t, phi_t, sigma) + tuple(extra),
+                    method="BFGS",
+                    options={"maxiter": opt_maxiter, "gtol": opt_tol})
+                return r.x, r.fun
+
+            _JAX_FUSED_CACHE[key] = run
+        return run
+
     def registration(self, target, maxiter: int = 1, tol: float = 1.0e-3,
                      opt_maxiter: int = 50, opt_tol: float = 1.0e-3
                      ) -> tf.Transformation:
@@ -118,8 +156,31 @@ class L2DistRegistration:
         x_ini = self._cost_fn.initial()
         use_jax_opt = (self._optimizer == "jax" and not self._callbacks
                        and hasattr(self._cost_fn, "pure_objective"))
+        use_fused = use_jax_opt and hasattr(self._feature_gen, "fused_fit")
+        if use_fused:
+            import jax.numpy as jnp
+
+            src_dev = jnp.asarray(self._source, jnp.float32)
+            tgt_dev = jnp.asarray(target, jnp.float32)
         for _ in range(maxiter):
             self._feature_gen.init()
+            if use_fused:
+                run = self._fused_round(opt_maxiter, opt_tol,
+                                        int(src_dev.shape[0]),
+                                        int(tgt_dev.shape[0]))
+                rx, rf = run(
+                    jnp.asarray(x_ini, jnp.float32), src_dev, tgt_dev,
+                    jnp.asarray(self._sigma, jnp.float32),
+                    self._feature_gen.fused_dynamic(),
+                    tuple(self._cost_fn.extra_args()))
+                res_fun, res_x = float(rf), np.asarray(rx, np.float64)
+                self._annealing()
+                self._feature_gen.annealing()
+                if f is not None and abs(res_fun - f) < tol:
+                    break
+                f = res_fun
+                x_ini = res_x
+                continue
             mu_source, phi_source = self._feature_gen.compute(self._source)
             mu_target, phi_target = self._feature_gen.compute(target)
             if use_jax_opt:

@@ -31,6 +31,61 @@ def test_gmmreg_rigid(rigid_clouds):
     np.testing.assert_allclose(np.asarray(res.t), 0.0, atol=1e-2)
 
 
+def test_fused_fit_matches_eager_compute(rigid_clouds):
+    """fused_fit (traced inside the whole-round program) must reproduce the
+    eager Feature.compute exactly — same key/params, same mixture."""
+    import jax.numpy as jnp
+
+    from probreg_tpu import features as ft
+
+    src, _, _ = rigid_clouds
+    x = jnp.asarray(src, jnp.float32)
+
+    gmm = ft.GMM(64, em_iters=10)
+    gmm.init()
+    mu_e, phi_e = gmm.compute(x)
+    mu_f, phi_f = ft.GMM.fused_fit(
+        x, gmm.fused_static(x.shape[0]), gmm.fused_dynamic())
+    np.testing.assert_allclose(np.asarray(mu_e), np.asarray(mu_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(phi_e), np.asarray(phi_f), atol=1e-6)
+
+    svm = ft.OneClassSVM(3, sigma=0.5)
+    mu_e, phi_e = svm.compute(x)
+    mu_f, phi_f = ft.OneClassSVM.fused_fit(
+        x, svm.fused_static(x.shape[0]), svm.fused_dynamic())
+    np.testing.assert_allclose(np.asarray(mu_e), np.asarray(mu_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(phi_e), np.asarray(phi_f), atol=1e-5)
+
+
+def test_fused_round_matches_eager_round(rigid_clouds):
+    """The fused one-dispatch round and the eager 3-dispatch round are the
+    same program; the recovered optima must agree."""
+    import jax.numpy as jnp
+
+    src, tgt, ang = rigid_clouds
+    fused = l2dist_regs.RigidGMMReg(src, n_gmm_components=200)
+    res_f = fused.registration(tgt)
+    rec_f = np.asarray(se3_op.mat2euler(res_f.rot))
+
+    # Replay the round eagerly: same feature key (counter=1), separate
+    # dispatches through the cached per-class optimizer program.
+    eager = l2dist_regs.RigidGMMReg(src, n_gmm_components=200)
+    eager._feature_gen.init()
+    mu_s, phi_s = eager._feature_gen.compute(src)
+    mu_t, phi_t = eager._feature_gen.compute(tgt)
+    opt = eager._jax_optimizer(50, 1.0e-3)
+    rx, _ = opt(jnp.asarray(eager._cost_fn.initial(), jnp.float32),
+                mu_s, phi_s, mu_t, phi_t,
+                jnp.asarray(eager._sigma, jnp.float32))
+    res_e = eager._cost_fn.to_transformation(np.asarray(rx, np.float64))
+    rec_e = np.asarray(se3_op.mat2euler(res_e.rot))
+
+    np.testing.assert_allclose(rec_f, ang, atol=1e-1)
+    np.testing.assert_allclose(rec_f, rec_e, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_f.t), np.asarray(res_e.t),
+                               atol=1e-3)
+
+
 def test_svr_nonrigid_2d_smoke():
     src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
     tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
