@@ -95,8 +95,11 @@ class RigidCostFunction(CostFunction):
         return ()
 
     def to_transformation(self, theta):
-        rot = so.quat2mat(jnp.asarray(theta[:4], jnp.float32))
-        return self._tf_type(rot, jnp.asarray(theta[4:7], jnp.float32))
+        # Host-side numpy: theta arrives as a fetched optimizer result; eager
+        # jnp ops here would each cost a device round-trip (CLAUDE.md rules).
+        theta = np.asarray(theta, np.float64)
+        rot = so.quat2mat_np(theta[:4]).astype(np.float32)
+        return self._tf_type(rot, theta[4:7].astype(np.float32))
 
     def initial(self):
         x0 = np.zeros(7)
@@ -160,10 +163,12 @@ class TPSCostFunction(CostFunction):
                 jnp.asarray(self._beta, jnp.float32))
 
     def to_transformation(self, theta):
-        control_pts = jnp.asarray(self._control_pts, jnp.float32)
+        # Host-side numpy reshapes (see RigidCostFunction.to_transformation);
+        # TPSTransformation converts to device arrays once at construction.
+        control_pts = np.asarray(self._control_pts, np.float32)
         dim = control_pts.shape[1]
         n_a = dim * (dim + 1)
-        theta = jnp.asarray(theta, jnp.float32)
+        theta = np.asarray(theta, np.float32)
         a = theta[:n_a].reshape(dim + 1, dim)
         v = theta[n_a:].reshape(-1, dim)
         return self._tf_type(a, v, control_pts)

@@ -173,6 +173,11 @@ class L2DistRegistration:
                     jnp.asarray(self._sigma, jnp.float32),
                     self._feature_gen.fused_dynamic(),
                     tuple(self._cost_fn.extra_args()))
+                # One host fetch for both results (each sync is a full RTT
+                # through the remote-TPU tunnel).
+                import jax
+
+                rx, rf = jax.device_get((rx, rf))
                 res_fun, res_x = float(rf), np.asarray(rx, np.float64)
                 self._annealing()
                 self._feature_gen.annealing()
@@ -193,6 +198,9 @@ class L2DistRegistration:
                     jnp.asarray(phi_target),
                     jnp.asarray(self._sigma, jnp.float32),
                     *self._cost_fn.extra_args())
+                import jax
+
+                rx, rf = jax.device_get((rx, rf))
                 res_fun, res_x = float(rf), np.asarray(rx, np.float64)
             else:
                 args = (mu_source, phi_source, mu_target, phi_target,
@@ -265,6 +273,128 @@ class TPSSVR(L2DistRegistration):
         super()._estimate_sigma(data)
         self._feature_gen._sigma = self._sigma
         self._feature_gen._gamma = 1.0 / (2.0 * np.square(self._sigma))
+
+
+_JAX_BATCH_CACHE = {}
+
+
+def _batched_l2dist_program(feat_cls, static_s, static_t,
+                            opt_maxiter: int, opt_tol: float, dyn_axes):
+    """vmapped whole-round program: B (fit+fit+BFGS) rounds, one dispatch."""
+    key = (feat_cls, static_s, static_t, opt_maxiter, opt_tol, dyn_axes)
+    run = _JAX_BATCH_CACHE.get(key)
+    if run is None:
+        import jax
+        from jax.scipy.optimize import minimize as jax_minimize
+
+        obj = cf.RigidCostFunction.pure_objective
+        fit = feat_cls.fused_fit
+
+        @jax.jit
+        def run(x0, srcs, tgts, sigmas, dynamic):
+            def one(src, tgt, sigma, dyn):
+                mu_s, phi_s = fit(src, static_s, dyn)
+                mu_t, phi_t = fit(tgt, static_t, dyn)
+                r = jax_minimize(
+                    obj, x0, args=(mu_s, phi_s, mu_t, phi_t, sigma),
+                    method="BFGS",
+                    options={"maxiter": opt_maxiter, "gtol": opt_tol})
+                return r.x, r.fun
+
+            return jax.vmap(one, in_axes=(0, 0, 0, dyn_axes))(
+                srcs, tgts, sigmas, dynamic)
+
+        _JAX_BATCH_CACHE[key] = run
+    return run
+
+
+def _batch_estimated_sigmas(sources) -> np.ndarray:
+    """Per-cloud sigma = det(cov)^(1/2d) (reference l2dist_regs.py:58-61)."""
+    b, n, d = sources.shape
+    hat = sources - sources.mean(axis=1, keepdims=True)
+    cov = np.einsum("bnd,bne->bde", hat, hat) / (n - 1)
+    return np.power(np.linalg.det(cov), 1.0 / (2.0 * d))
+
+
+def _registration_l2dist_batch(sources, targets, feature_kind: str,
+                               opt_maxiter: int, opt_tol: float,
+                               n_gmm_components: int, gamma, nu,
+                               use_estimated_sigma: bool, sigma, seed: int
+                               ) -> List[tf.Transformation]:
+    import jax
+    import jax.numpy as jnp
+
+    sources = np.asarray(interop.as_points(sources), np.float32)
+    targets = np.asarray(interop.as_points(targets), np.float32)
+    if sources.ndim != 3 or targets.ndim != 3:
+        raise ValueError("batch registration expects (B, N, D) stacks")
+    b, n_s, d = sources.shape
+    n_t = targets.shape[1]
+    if use_estimated_sigma:
+        sigmas = _batch_estimated_sigmas(sources)
+    else:
+        sigmas = np.full((b,), sigma, np.float64)
+
+    if feature_kind == "gmm":
+        feat_cls = ft.GMM
+        proto = ft.GMM(min(n_gmm_components, int(n_s * 0.8)))
+        static_s = proto.fused_static(n_s)
+        static_t = proto.fused_static(n_t)
+        # The same key the single-pair fused round uses (counter=1), shared
+        # across the batch: clouds differ per element, and batch-of-1 then
+        # reproduces the single path exactly.
+        dynamic = (jax.random.PRNGKey(seed + 1),)
+        dyn_axes = (None,)
+    elif feature_kind == "svm":
+        feat_cls = ft.OneClassSVM
+        static_s = static_t = ()
+        gammas = 1.0 / (2.0 * np.square(sigmas)) if use_estimated_sigma \
+            else np.full((b,), gamma, np.float64)
+        zs = np.power(2.0 * np.pi * np.square(sigmas), d * 0.5)
+        dynamic = (jnp.asarray(gammas, jnp.float32),
+                   jnp.asarray(np.full((b,), nu), jnp.float32),
+                   jnp.asarray(zs, jnp.float32))
+        dyn_axes = (0, 0, 0)
+    else:
+        raise ValueError("unknown feature kind %s" % feature_kind)
+
+    run = _batched_l2dist_program(feat_cls, static_s, static_t,
+                                  opt_maxiter, opt_tol, dyn_axes)
+    x0 = jnp.asarray(cf.RigidCostFunction().initial(), jnp.float32)
+    rx, _ = run(x0, jnp.asarray(sources), jnp.asarray(targets),
+                jnp.asarray(sigmas, jnp.float32), dynamic)
+    rx = np.asarray(jax.device_get(rx), np.float64)
+    cost = cf.RigidCostFunction()
+    return [cost.to_transformation(rx[i]) for i in range(b)]
+
+
+def registration_gmmreg_batch(sources, targets, n_gmm_components: int = 800,
+                              sigma: float = 1.0,
+                              use_estimated_sigma: bool = True,
+                              opt_maxiter: int = 50, opt_tol: float = 1.0e-3,
+                              seed: int = 0) -> List[tf.Transformation]:
+    """Rigid GMMReg over B cloud pairs in ONE compiled program.
+
+    New capability vs the reference (single-pair only): ``sources`` (B, M, D)
+    and ``targets`` (B, N, D) are summarized and registered simultaneously —
+    the per-pair GMM fits and BFGS optimizations run vmapped on-device. One
+    dispatch, B transformations. Ideal for TPU batch serving.
+    """
+    return _registration_l2dist_batch(
+        sources, targets, "gmm", opt_maxiter, opt_tol, n_gmm_components,
+        None, None, use_estimated_sigma, sigma, seed)
+
+
+def registration_svr_batch(sources, targets, gamma: float = 0.5,
+                           nu: float = 0.1, sigma: float = 1.0,
+                           use_estimated_sigma: bool = True,
+                           opt_maxiter: int = 50, opt_tol: float = 1.0e-3
+                           ) -> List[tf.Transformation]:
+    """Rigid SVR over B cloud pairs in ONE compiled program (see
+    :func:`registration_gmmreg_batch`)."""
+    return _registration_l2dist_batch(
+        sources, targets, "svm", opt_maxiter, opt_tol, 0, gamma, nu,
+        use_estimated_sigma, sigma, 0)
 
 
 def registration_gmmreg(source, target, tf_type_name: str = "rigid",

@@ -7,6 +7,7 @@ from .utils.se3_op import (  # noqa: F401
     mat2euler,
     mat2quat,
     quat2mat,
+    quat2mat_np,
     rotation_angle,
     skew,
     twist_mul,

@@ -101,6 +101,31 @@ def quat2mat(q: jax.Array) -> jax.Array:
     )
 
 
+def quat2mat_np(q):
+    """Host-side numpy quat2mat (same semantics as :func:`quat2mat`).
+
+    For boundary code that must not issue eager device ops: on a remote TPU
+    every eager jnp op is a tunnel dispatch, so converting an optimizer's
+    result vector into a Transformation goes through numpy.
+    """
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    w, x, y, z = q
+    nq = w * w + x * x + y * y + z * z
+    s = 2.0 / max(nq, _EPS)
+    xx, yy, zz = x * x * s, y * y * s, z * z * s
+    xy, xz, yz = x * y * s, x * z * s, y * z * s
+    wx, wy, wz = w * x * s, w * y * s, w * z * s
+    return np.array(
+        [
+            [1.0 - yy - zz, xy - wz, xz + wy],
+            [xy + wz, 1.0 - xx - zz, yz - wx],
+            [xz - wy, yz + wx, 1.0 - xx - yy],
+        ]
+    )
+
+
 def mat2quat(rot: jax.Array) -> jax.Array:
     """Unit quaternion (w, x, y, z) from rotation matrix, branch-free.
 

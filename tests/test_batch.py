@@ -50,3 +50,22 @@ def test_gmmreg_nonrigid_fish():
         return float(np.sqrt(d2.min(1).mean()))
 
     assert nn(moved, tgt) < nn(src, tgt)
+
+
+def test_batch_l2dist_gmmreg_and_svr(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    angs = [np.deg2rad([6.0, -2.0, 3.0]), np.deg2rad([0.0, 0.0, 10.0])]
+    sources = np.stack([src] * 2)
+    targets = np.stack([src @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+                        for a in angs])
+
+    for results in (
+        l2dist_regs.registration_gmmreg_batch(sources, targets,
+                                              n_gmm_components=150),
+        l2dist_regs.registration_svr_batch(sources, targets),
+    ):
+        assert len(results) == 2
+        for res, ang in zip(results, angs):
+            rec = np.asarray(se3_op.mat2euler(res.rot))
+            np.testing.assert_allclose(rec, ang, atol=1e-1)
+            np.testing.assert_allclose(np.asarray(res.t), 0.0, atol=1e-2)
