@@ -106,6 +106,29 @@ class RigidCostFunction(CostFunction):
         x0[0] = 1.0
         return x0
 
+    @staticmethod
+    def initial_multistart(n_starts: int) -> np.ndarray:
+        """(S, 7) rotation starts: identity, then 180/90/-90 deg about each
+        axis — the coarse orientation grid that covers BFGS basins the
+        identity start misses at large rotations. The restarts run vmapped
+        in the same dispatch; device time scales with the slowest start."""
+        h = np.sqrt(0.5)
+        quats = [(1.0, 0, 0, 0)]
+        for axis in range(3):
+            v = [0.0, 0.0, 0.0]
+            v[axis] = 1.0
+            quats.append((0.0, *v))                       # 180 deg
+        for axis in range(3):
+            v = [0.0, 0.0, 0.0]
+            v[axis] = h
+            quats.append((h, *v))                          # +90 deg
+            quats.append((-h, *v))                         # -90 deg
+        x0s = np.zeros((len(quats), 7))
+        x0s[:, :4] = np.asarray(quats)
+        if n_starts > len(quats):
+            raise ValueError(f"n_starts <= {len(quats)}")
+        return x0s[:n_starts]
+
     def __call__(self, theta, *args):
         mu_source, phi_source, mu_target, phi_target, sigma = args
         f, g = _rigid_vg(

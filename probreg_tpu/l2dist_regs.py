@@ -43,13 +43,23 @@ class L2DistRegistration:
     def __init__(self, source, feature_gen: ft.Feature,
                  cost_fn: cf.CostFunction, sigma: float = 1.0,
                  delta: float = 0.9, use_estimated_sigma: bool = True,
-                 optimizer: str = "jax"):
+                 optimizer: str = "jax", n_starts: int = 1):
         self._source = source
         self._feature_gen = feature_gen
         self._cost_fn = cost_fn
         self._sigma = sigma
         self._delta = delta
         self._use_estimated_sigma = use_estimated_sigma
+        # n_starts > 1: vmapped BFGS restarts from a coarse orientation grid
+        # (RigidCostFunction.initial_multistart), best final cost wins.
+        # Recovers large rotations the identity start cannot (fused-optimizer
+        # path only). Still one dispatch, but device time scales with the
+        # slowest start's BFGS — use when the rotation may exceed ~90 deg.
+        self._n_starts = int(n_starts)
+        if self._n_starts > 1 and not hasattr(cost_fn, "initial_multistart"):
+            raise ValueError(
+                "n_starts > 1 requires a cost function with "
+                "initial_multistart (rigid)")
         # 'jax': whole-BFGS-in-one-XLA-program (jax.scipy.optimize) — one
         # device dispatch per annealing round instead of one per BFGS
         # iteration (which costs a full RTT on remote TPU). 'scipy': host
@@ -130,24 +140,38 @@ class L2DistRegistration:
         run = _JAX_FUSED_CACHE.get(key)
         if run is None:
             import jax
+            import jax.numpy as jnp
             from jax.scipy.optimize import minimize as jax_minimize
 
             obj = type(self._cost_fn).pure_objective
             fit = type(feat).fused_fit
 
             @jax.jit
-            def run(x0, src, tgt, sigma, dynamic, extra):
+            def run(x0s, src, tgt, sigma, dynamic, extra):
                 mu_s, phi_s = fit(src, static_s, dynamic)
                 mu_t, phi_t = fit(tgt, static_t, dynamic)
-                r = jax_minimize(
-                    obj, x0,
-                    args=(mu_s, phi_s, mu_t, phi_t, sigma) + tuple(extra),
-                    method="BFGS",
-                    options={"maxiter": opt_maxiter, "gtol": opt_tol})
-                return r.x, r.fun
+
+                def solve(x0):
+                    r = jax_minimize(
+                        obj, x0,
+                        args=(mu_s, phi_s, mu_t, phi_t, sigma) + tuple(extra),
+                        method="BFGS",
+                        options={"maxiter": opt_maxiter, "gtol": opt_tol})
+                    return r.x, r.fun
+
+                xs, fs = jax.vmap(solve)(x0s)
+                i = jnp.argmin(fs)
+                return xs[i], fs[i]
 
             _JAX_FUSED_CACHE[key] = run
         return run
+
+    def _start_stack(self, x_ini: np.ndarray) -> np.ndarray:
+        """(S, P) starts: the warm start first, then the orientation grid."""
+        if self._n_starts <= 1:
+            return np.asarray(x_ini)[None]
+        grid = self._cost_fn.initial_multistart(self._n_starts)
+        return np.r_[np.asarray(x_ini)[None], grid[1:]]
 
     def registration(self, target, maxiter: int = 1, tol: float = 1.0e-3,
                      opt_maxiter: int = 50, opt_tol: float = 1.0e-3
@@ -169,7 +193,8 @@ class L2DistRegistration:
                                         int(src_dev.shape[0]),
                                         int(tgt_dev.shape[0]))
                 rx, rf = run(
-                    jnp.asarray(x_ini, jnp.float32), src_dev, tgt_dev,
+                    jnp.asarray(self._start_stack(x_ini), jnp.float32),
+                    src_dev, tgt_dev,
                     jnp.asarray(self._sigma, jnp.float32),
                     self._feature_gen.fused_dynamic(),
                     tuple(self._cost_fn.extra_args()))
@@ -228,7 +253,8 @@ class RigidGMMReg(L2DistRegistration):
         super().__init__(source, ft.GMM(n_gmm_components),
                          cf.RigidCostFunction(), sigma, delta,
                          use_estimated_sigma,
-                         optimizer=kwargs.get("optimizer", "jax"))
+                         optimizer=kwargs.get("optimizer", "jax"),
+                         n_starts=kwargs.get("n_starts", 1))
 
 
 class TPSGMMReg(L2DistRegistration):
@@ -238,7 +264,8 @@ class TPSGMMReg(L2DistRegistration):
         super().__init__(source, ft.GMM(n_gmm_components),
                          cf.TPSCostFunction([], alpha, beta), sigma, delta,
                          use_estimated_sigma,
-                         optimizer=kwargs.get("optimizer", "jax"))
+                         optimizer=kwargs.get("optimizer", "jax"),
+                         n_starts=kwargs.get("n_starts", 1))
         self._feature_gen.init()
         control_pts, _ = self._feature_gen.compute(source)
         self._cost_fn._control_pts = control_pts
@@ -250,7 +277,8 @@ class RigidSVR(L2DistRegistration):
         super().__init__(
             source, ft.OneClassSVM(source.shape[1], sigma, gamma, nu),
             cf.RigidCostFunction(), sigma, delta, use_estimated_sigma,
-            optimizer=kwargs.get("optimizer", "jax"))
+            optimizer=kwargs.get("optimizer", "jax"),
+            n_starts=kwargs.get("n_starts", 1))
 
     def _estimate_sigma(self, data):
         super()._estimate_sigma(data)
@@ -290,16 +318,24 @@ def _batched_l2dist_program(feat_cls, static_s, static_t,
         obj = cf.RigidCostFunction.pure_objective
         fit = feat_cls.fused_fit
 
+        import jax.numpy as jnp
+
         @jax.jit
-        def run(x0, srcs, tgts, sigmas, dynamic):
+        def run(x0s, srcs, tgts, sigmas, dynamic):
             def one(src, tgt, sigma, dyn):
                 mu_s, phi_s = fit(src, static_s, dyn)
                 mu_t, phi_t = fit(tgt, static_t, dyn)
-                r = jax_minimize(
-                    obj, x0, args=(mu_s, phi_s, mu_t, phi_t, sigma),
-                    method="BFGS",
-                    options={"maxiter": opt_maxiter, "gtol": opt_tol})
-                return r.x, r.fun
+
+                def solve(x0):
+                    r = jax_minimize(
+                        obj, x0, args=(mu_s, phi_s, mu_t, phi_t, sigma),
+                        method="BFGS",
+                        options={"maxiter": opt_maxiter, "gtol": opt_tol})
+                    return r.x, r.fun
+
+                xs, fs = jax.vmap(solve)(x0s)
+                i = jnp.argmin(fs)
+                return xs[i], fs[i]
 
             return jax.vmap(one, in_axes=(0, 0, 0, dyn_axes))(
                 srcs, tgts, sigmas, dynamic)
@@ -319,8 +355,8 @@ def _batch_estimated_sigmas(sources) -> np.ndarray:
 def _registration_l2dist_batch(sources, targets, feature_kind: str,
                                opt_maxiter: int, opt_tol: float,
                                n_gmm_components: int, gamma, nu,
-                               use_estimated_sigma: bool, sigma, seed: int
-                               ) -> List[tf.Transformation]:
+                               use_estimated_sigma: bool, sigma, seed: int,
+                               n_starts: int = 1) -> List[tf.Transformation]:
     import jax
     import jax.numpy as jnp
 
@@ -360,8 +396,9 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
 
     run = _batched_l2dist_program(feat_cls, static_s, static_t,
                                   opt_maxiter, opt_tol, dyn_axes)
-    x0 = jnp.asarray(cf.RigidCostFunction().initial(), jnp.float32)
-    rx, _ = run(x0, jnp.asarray(sources), jnp.asarray(targets),
+    x0s = cf.RigidCostFunction.initial_multistart(max(1, n_starts))
+    rx, _ = run(jnp.asarray(x0s, jnp.float32),
+                jnp.asarray(sources), jnp.asarray(targets),
                 jnp.asarray(sigmas, jnp.float32), dynamic)
     rx = np.asarray(jax.device_get(rx), np.float64)
     cost = cf.RigidCostFunction()
@@ -372,29 +409,34 @@ def registration_gmmreg_batch(sources, targets, n_gmm_components: int = 800,
                               sigma: float = 1.0,
                               use_estimated_sigma: bool = True,
                               opt_maxiter: int = 50, opt_tol: float = 1.0e-3,
-                              seed: int = 0) -> List[tf.Transformation]:
+                              seed: int = 0, n_starts: int = 1
+                              ) -> List[tf.Transformation]:
     """Rigid GMMReg over B cloud pairs in ONE compiled program.
 
     New capability vs the reference (single-pair only): ``sources`` (B, M, D)
     and ``targets`` (B, N, D) are summarized and registered simultaneously —
     the per-pair GMM fits and BFGS optimizations run vmapped on-device. One
     dispatch, B transformations. Ideal for TPU batch serving.
+    ``n_starts > 1`` additionally vmaps BFGS restarts over a coarse
+    orientation grid per pair (best final cost wins) — recovers large
+    rotations the identity start cannot. Device time scales with the
+    slowest start's BFGS, so reserve it for unknown/large rotations.
     """
     return _registration_l2dist_batch(
         sources, targets, "gmm", opt_maxiter, opt_tol, n_gmm_components,
-        None, None, use_estimated_sigma, sigma, seed)
+        None, None, use_estimated_sigma, sigma, seed, n_starts)
 
 
 def registration_svr_batch(sources, targets, gamma: float = 0.5,
                            nu: float = 0.1, sigma: float = 1.0,
                            use_estimated_sigma: bool = True,
-                           opt_maxiter: int = 50, opt_tol: float = 1.0e-3
-                           ) -> List[tf.Transformation]:
+                           opt_maxiter: int = 50, opt_tol: float = 1.0e-3,
+                           n_starts: int = 1) -> List[tf.Transformation]:
     """Rigid SVR over B cloud pairs in ONE compiled program (see
     :func:`registration_gmmreg_batch`)."""
     return _registration_l2dist_batch(
         sources, targets, "svm", opt_maxiter, opt_tol, 0, gamma, nu,
-        use_estimated_sigma, sigma, 0)
+        use_estimated_sigma, sigma, 0, n_starts)
 
 
 def registration_gmmreg(source, target, tf_type_name: str = "rigid",

@@ -97,3 +97,23 @@ def test_svr_nonrigid_2d_smoke():
     after = float(np.mean(np.min(
         ((moved[:, None] - tgt[None]) ** 2).sum(-1), axis=1)))
     assert after < before, (before, after)
+
+
+def test_multistart_recovers_large_rotation(rigid_clouds):
+    """Identity-start BFGS falls into a local minimum at 150 deg; the
+    vmapped orientation-grid restarts (n_starts) recover it."""
+    src, _, _ = rigid_clouds
+    ang = np.asarray([0.0, 0.0, np.deg2rad(150.0)])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+
+    multi = l2dist_regs.registration_gmmreg(src, tgt, n_gmm_components=150,
+                                            n_starts=10)
+    err_multi = float(np.asarray(
+        se3_op.rotation_angle(multi.rot, rot)))
+    assert err_multi < np.deg2rad(5.0), err_multi
+
+    single = l2dist_regs.registration_gmmreg(src, tgt, n_gmm_components=150)
+    err_single = float(np.asarray(
+        se3_op.rotation_angle(single.rot, rot)))
+    assert err_single > err_multi
