@@ -27,6 +27,76 @@ from .utils import interop
 _JAX_OPT_CACHE = {}
 _JAX_FUSED_CACHE = {}
 
+# Strided-subsample cap for the raw-point candidate re-scoring below: at
+# <=1024 points per side one candidate score is a ~1M-pair kernel pass on
+# the MXU, negligible next to the vmapped BFGS that produced the candidates.
+_RESCORE_MAX_POINTS = 1024
+
+
+def _bfgs_solve(obj, x0, args, opt_maxiter, opt_tol):
+    """One in-program BFGS solve, with f32 conditioning for the rigid cost.
+
+    The reference drives this objective with scipy's host BFGS in float64,
+    where raw scaling is harmless. Inside an f32 XLA program the raw rigid
+    objective is O(1e2) with O(1e4) translation gradients (the 1/z Gaussian
+    normalizer at small sigma), so BFGS's first unit-Hessian step overshoots
+    by four orders of magnitude and the line search exhausts its zoom cap
+    (observed: status=3 after nit=1, a silent stall at the start point).
+    Conditioning: optimize the translation in units of sigma and rescale
+    the objective so a perfect-overlap value is O(1) — multiply by
+    z / ((sum phi_s)(sum phi_t)), which cancels the 1/z and normalizes the
+    mixture masses (OCSVM weights are unnormalized dual coefficients, so a
+    plain z rescale would leave the gradient under gtol and stall at x0).
+    The returned (x, fun) are in the reference's original scaling.
+    """
+    import jax.numpy as jnp
+    from jax.scipy.optimize import minimize as jax_minimize
+
+    if obj is not cf.RigidCostFunction.pure_objective:
+        r = jax_minimize(obj, x0, args=args, method="BFGS",
+                         options={"maxiter": opt_maxiter, "gtol": opt_tol})
+        return r.x, r.fun
+    mu_s, phi_s, _, phi_t, sigma = args[:5]
+    d = mu_s.shape[1]
+    z = (2.0 * jnp.pi * sigma * sigma) ** (d * 0.5)
+    c = z / jnp.maximum(jnp.abs(phi_s.sum() * phi_t.sum()), 1e-30)
+    scale = jnp.concatenate([
+        jnp.ones((4,), x0.dtype),
+        jnp.full((x0.shape[0] - 4,), sigma, x0.dtype)])
+
+    def sobj(y):
+        return c * obj(y * scale, *args)
+
+    r = jax_minimize(sobj, x0 / scale, method="BFGS",
+                     options={"maxiter": opt_maxiter, "gtol": opt_tol})
+    return r.x * scale, r.fun / c
+
+
+def _rescore_and_polish(xs, src, tgt, sigma, opt_maxiter, opt_tol):
+    """Select among multistart BFGS results by RAW-point mixture L2.
+
+    The per-start objective values come from the fitted features (GMM /
+    OCSVM); a poor feature fit can genuinely score a flipped pose below the
+    true one, so argmin over them occasionally keeps a wrong basin. The raw
+    clouds are the ground truth the features summarize: re-score every
+    candidate with a uniform-weight mixture over (strided) raw points, then
+    polish the winner with a short BFGS on that same raw objective — the
+    full-point model the reference's component cap only approximates.
+    Traced inside the fused/batched programs (no extra dispatch).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = src[::max(1, -(-src.shape[0] // _RESCORE_MAX_POINTS))]
+    t = tgt[::max(1, -(-tgt.shape[0] // _RESCORE_MAX_POINTS))]
+    phi_s = jnp.full((s.shape[0],), 1.0 / s.shape[0], s.dtype)
+    phi_t = jnp.full((t.shape[0],), 1.0 / t.shape[0], t.dtype)
+    robj = cf.RigidCostFunction.pure_objective
+    args = (s, phi_s, t, phi_t, sigma)
+    scores = jax.vmap(lambda x: robj(x, *args))(xs)
+    return _bfgs_solve(robj, xs[jnp.argmin(scores)], args,
+                       opt_maxiter, opt_tol)
+
 
 class L2DistRegistration:
     """L2 distance registration (reference l2dist_regs.py:16-97).
@@ -107,17 +177,14 @@ class L2DistRegistration:
         opt = _JAX_OPT_CACHE.get(key)
         if opt is None:
             import jax
-            from jax.scipy.optimize import minimize as jax_minimize
 
             obj = type(self._cost_fn).pure_objective
 
             @jax.jit
             def opt(x0, mu_s, phi_s, mu_t, phi_t, sigma, *extra):
-                r = jax_minimize(
-                    obj, x0, args=(mu_s, phi_s, mu_t, phi_t, sigma) + extra,
-                    method="BFGS",
-                    options={"maxiter": opt_maxiter, "gtol": opt_tol})
-                return r.x, r.fun
+                return _bfgs_solve(
+                    obj, x0, (mu_s, phi_s, mu_t, phi_t, sigma) + extra,
+                    opt_maxiter, opt_tol)
 
             _JAX_OPT_CACHE[key] = opt
         return opt
@@ -141,7 +208,6 @@ class L2DistRegistration:
         if run is None:
             import jax
             import jax.numpy as jnp
-            from jax.scipy.optimize import minimize as jax_minimize
 
             obj = type(self._cost_fn).pure_objective
             fit = type(feat).fused_fit
@@ -152,14 +218,16 @@ class L2DistRegistration:
                 mu_t, phi_t = fit(tgt, static_t, dynamic)
 
                 def solve(x0):
-                    r = jax_minimize(
+                    return _bfgs_solve(
                         obj, x0,
-                        args=(mu_s, phi_s, mu_t, phi_t, sigma) + tuple(extra),
-                        method="BFGS",
-                        options={"maxiter": opt_maxiter, "gtol": opt_tol})
-                    return r.x, r.fun
+                        (mu_s, phi_s, mu_t, phi_t, sigma) + tuple(extra),
+                        opt_maxiter, opt_tol)
 
                 xs, fs = jax.vmap(solve)(x0s)
+                if (x0s.shape[0] > 1
+                        and obj is cf.RigidCostFunction.pure_objective):
+                    return _rescore_and_polish(
+                        xs, src, tgt, sigma, opt_maxiter, opt_tol)
                 i = jnp.argmin(fs)
                 return xs[i], fs[i]
 
@@ -313,7 +381,6 @@ def _batched_l2dist_program(feat_cls, static_s, static_t,
     run = _JAX_BATCH_CACHE.get(key)
     if run is None:
         import jax
-        from jax.scipy.optimize import minimize as jax_minimize
 
         obj = cf.RigidCostFunction.pure_objective
         fit = feat_cls.fused_fit
@@ -327,13 +394,14 @@ def _batched_l2dist_program(feat_cls, static_s, static_t,
                 mu_t, phi_t = fit(tgt, static_t, dyn)
 
                 def solve(x0):
-                    r = jax_minimize(
-                        obj, x0, args=(mu_s, phi_s, mu_t, phi_t, sigma),
-                        method="BFGS",
-                        options={"maxiter": opt_maxiter, "gtol": opt_tol})
-                    return r.x, r.fun
+                    return _bfgs_solve(
+                        obj, x0, (mu_s, phi_s, mu_t, phi_t, sigma),
+                        opt_maxiter, opt_tol)
 
                 xs, fs = jax.vmap(solve)(x0s)
+                if x0s.shape[0] > 1:
+                    return _rescore_and_polish(
+                        xs, src, tgt, sigma, opt_maxiter, opt_tol)
                 i = jnp.argmin(fs)
                 return xs[i], fs[i]
 
