@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from probreg_tpu import cpd, l2dist_regs
+from probreg_tpu import cpd, filterreg, l2dist_regs
 from probreg_tpu.utils import se3_op
 
 
@@ -36,6 +36,53 @@ def test_batch_matches_single(horse_cloud):
     np.testing.assert_allclose(
         np.asarray(batch.transformation.rot),
         np.asarray(single.transformation.rot), atol=5e-3)
+
+
+def test_batch_filterreg_pt2pt(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 10.0])]
+    sources = np.stack([src] * 2)
+    targets = np.stack([src @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+                        for a in angs])
+    results = filterreg.registration_filterreg_batch(
+        sources, targets, maxiter=50, tol=1e-5)
+    assert len(results) == 2
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=2e-1)
+        np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                                   atol=1e-2)
+
+
+def test_batch_filterreg_matches_single(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::3]
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    batch = filterreg.registration_filterreg_batch(
+        src[None], tgt[None], maxiter=40, tol=1e-6)[0]
+    single = filterreg.registration_filterreg(src, tgt, maxiter=40, tol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(batch.transformation.rot),
+        np.asarray(single.transformation.rot), atol=5e-3)
+
+
+def test_batch_filterreg_pt2pl(horse_cloud):
+    from tests.test_filterreg import estimate_normals_pca
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 8.0])]
+    sources = np.stack([src] * 2)
+    targets = np.stack([src @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+                        for a in angs])
+    normals = np.stack([estimate_normals_pca(t) for t in targets])
+    results = filterreg.registration_filterreg_batch(
+        sources, targets, target_normals=normals, objective_type="pt2pl",
+        maxiter=50, tol=1e-6)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=2e-1)
+        np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                                   atol=1e-2)
 
 
 def test_gmmreg_nonrigid_fish():
