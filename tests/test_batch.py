@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from probreg_tpu import cpd, filterreg, l2dist_regs
+from probreg_tpu import bcpd, cpd, filterreg, gmmtree, l2dist_regs
 from probreg_tpu.utils import se3_op
 
 
@@ -83,6 +83,73 @@ def test_batch_filterreg_pt2pl(horse_cloud):
         np.testing.assert_allclose(rec, ang, atol=2e-1)
         np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
                                    atol=1e-2)
+
+
+def test_batch_gmmtree(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 8.0])]
+    sources = np.stack([src] * 2)
+    targets = np.stack([src @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+                        for a in angs])
+    results = gmmtree.registration_gmmtree_batch(sources, targets,
+                                                 maxiter=30, tol=1e-6)
+    assert len(results) == 2
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                                   atol=5e-3)
+
+
+def test_batch_gmmtree_matches_single(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([5.0, -3.0, 4.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    batch = gmmtree.registration_gmmtree_batch(src[None], tgt[None],
+                                               maxiter=30, tol=1e-6)[0]
+    single = gmmtree.registration_gmmtree(src, tgt, maxiter=30, tol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(batch.transformation.rot),
+        np.asarray(single.transformation.rot), atol=5e-3)
+
+
+def test_batch_bcpd(horse_cloud):
+    def nn_rmse(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(axis=1).mean()))
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    angs = [np.deg2rad([8.0, -4.0, 6.0]), np.deg2rad([0.0, 0.0, 10.0])]
+    sources = np.stack([src] * 2)
+    targets = np.stack([src @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+                        for a in angs])
+    results = bcpd.registration_bcpd_batch(sources, targets, maxiter=100,
+                                           tol=0.0, lmd=10.0)
+    assert len(results) == 2
+    for res, tgt in zip(results, targets):
+        moved = np.asarray(res.transform(src))
+        assert nn_rmse(moved, tgt) < 0.5 * nn_rmse(src, tgt)
+
+
+def test_batch_bcpd_lowrank_quality_fish():
+    """Batch low-rank BCPD in the regime tests/test_lowrank.py validates.
+
+    (Pointwise batch==single agreement is not testable for BCPD: the VI
+    iteration's scale/v trade-off is chaotic in f32 — 1e-7 kernel-order
+    differences between batched and unbatched XLA programs decorrelate the
+    trajectories after ~15 iterations — so quality is the criterion, as in
+    the reference's own convergence test, bcpd.py:95-99.)"""
+
+    def nn_rmse(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(axis=1).mean()))
+
+    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    res = bcpd.registration_bcpd_batch(src[None], tgt[None], maxiter=50,
+                                       tol=1e-6, rank=40)[0]
+    moved = np.asarray(res.transform(src))
+    assert nn_rmse(moved, tgt) < 0.2 * nn_rmse(src, tgt)
 
 
 def test_gmmreg_nonrigid_fish():
