@@ -891,6 +891,102 @@ def _run_em_t_batch(sources, targets, *, kind, w, maxiter, tol,
     return jax.vmap(run)(sources, targets)
 
 
+def _run_em_t_masked(source, target, smask, tmask, *, kind, w, maxiter, tol,
+                     update_scale=True):
+    """_run_em_t with per-point validity masks (ragged-batch padding).
+
+    Padded rows/columns are zeroed out of the Gaussian kernel matrix, so
+    they carry no posterior mass: p1/px vanish for padded sources, pt1/xx
+    for padded targets, and every M-step reduction is weighted by those
+    moments — the result is EXACTLY the unpadded registration. The true
+    per-pair counts (mask sums) feed the outlier constant c = w/(1-w)·M/N
+    and the sigma2_0 / q0 initializers.
+    """
+    ys_t = source.T
+    xs_t = target.T
+    dim = ys_t.shape[0]
+    m_true = jnp.sum(smask)
+    n_true = jnp.sum(tmask)
+    lin0 = jnp.eye(dim, dtype=source.dtype)
+    t0 = jnp.zeros(dim, dtype=source.dtype)
+    scale0 = jnp.asarray(1.0, source.dtype)
+    # Masked squared_kernel_sum in closed form (cf. ops/pairwise.sqdist_sum).
+    ssum = ys_t @ smask
+    tsum = xs_t @ tmask
+    s2 = jnp.sum(jnp.sum(ys_t * ys_t, axis=0) * smask)
+    t2 = jnp.sum(jnp.sum(xs_t * xs_t, axis=0) * tmask)
+    sigma2_0 = (s2 * n_true + t2 * m_true - 2.0 * ssum @ tsum) \
+        / (m_true * dim * n_true)
+    q0 = 1.0 + n_true * dim * 0.5 * jnp.log(sigma2_0)
+    x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
+    xs_ext = jnp.concatenate(
+        [xs_t, jnp.ones((1, xs_t.shape[1]), xs_t.dtype)], axis=0)
+    kmask = smask[:, None] * tmask[None, :]                # (M, N)
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
+
+    def step(lin, t, scale, sigma2):
+        t_src = scale * lin @ ys_t + t[:, None]
+        c = estep_ops.outlier_constant(sigma2, w, m_true, n_true, dim)
+        y2 = jnp.sum(t_src * t_src, axis=0)[:, None]
+        xy = jax.lax.dot_general(
+            t_src, xs_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)
+                    / (2.0 * sigma2)) * kmask
+        den_raw = jnp.sum(g, axis=0, keepdims=True)
+        den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+        pt1 = (den_raw / den)[0]
+        pmat = g / den
+        pxp = jax.lax.dot_general(
+            xs_ext, pmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        px_t, p1 = pxp[:dim], pxp[dim]
+        n_p = jnp.sum(p1)
+        xx = jnp.sum(pt1 * x2[0])
+        if kind == "rigid":
+            return _rigid_mstep_t(ys_t, p1, px_t, n_p, xx, update_scale)
+        b, t_new, s2_new, q = _affine_mstep_t(ys_t, p1, px_t, n_p, xx)
+        return b, t_new, jnp.asarray(1.0, ys_t.dtype), s2_new, q
+
+    def cond(state):
+        _, _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    def body(state):
+        lin, t, scale, sigma2, q, _, i = state
+        lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
+        return (lin, t, scale, sigma2, q_new, q, i + 1)
+
+    state = (lin0, t0, scale0, sigma2_0, q0,
+             jnp.asarray(jnp.inf, q0.dtype), jnp.asarray(0))
+    lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return lin, t, scale, sigma2, q
+
+
+@partial(jax.jit, static_argnames=("kind", "w", "update_scale"))
+def _run_em_t_ragged_batch(sources, targets, smasks, tmasks, *, kind, w,
+                           maxiter, tol, update_scale=True):
+    run = partial(_run_em_t_masked, kind=kind, w=w, maxiter=maxiter,
+                  tol=tol, update_scale=update_scale)
+    return jax.vmap(run)(sources, targets, smasks, tmasks)
+
+
+def _pad_ragged(clouds, dtype):
+    """Stack variable-length clouds into (B, max_N, D) + (B, max_N) masks."""
+    arrs = [np.asarray(interop.as_points(c), dtype=dtype) for c in clouds]
+    nmax = max(a.shape[0] for a in arrs)
+    out = np.zeros((len(arrs), nmax, arrs[0].shape[1]), dtype)
+    mask = np.zeros((len(arrs), nmax), dtype)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0]] = a
+        mask[i, : a.shape[0]] = 1.0
+    return out, mask
+
+
 def registration_cpd_batch(
     sources,
     targets,
@@ -907,10 +1003,35 @@ def registration_cpd_batch(
     runs until every pair converges (per-pair tolerance masking via vmap of
     the while_loop). Ideal for TPU serving: one dispatch, B results.
 
+    Ragged batches: ``sources`` / ``targets`` may also be Python lists of
+    clouds with DIFFERENT point counts per pair. They are zero-padded to the
+    batch maximum and registered through a masked E-step that is exactly
+    equivalent to registering each pair unpadded (padded points carry no
+    posterior mass; the outlier constant and sigma2_0 use true counts).
+
     Returns a list of ``MstepResult`` (rigid or affine transformations).
     """
     if tf_type_name not in ("rigid", "affine"):
         raise ValueError("batch registration supports 'rigid' and 'affine'")
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    if ragged:
+        src_p, smask = _pad_ragged(list(sources), _config.config.dtype)
+        tgt_p, tmask = _pad_ragged(list(targets), _config.config.dtype)
+        nb = src_p.shape[0]
+        lin, t, scale, sigma2, q = _run_em_t_ragged_batch(
+            jnp.asarray(src_p), jnp.asarray(tgt_p),
+            jnp.asarray(smask), jnp.asarray(tmask),
+            kind=tf_type_name, w=float(w), maxiter=int(maxiter),
+            tol=float(tol), update_scale=bool(update_scale))
+        out = []
+        for b in range(nb):
+            if tf_type_name == "rigid":
+                transf = tf.RigidTransformation(lin[b], t[b], scale[b])
+            else:
+                transf = tf.AffineTransformation(lin[b], t[b])
+            out.append(MstepResult(transf, sigma2[b], q[b]))
+        return out
     sources = jnp.asarray(interop.as_points(sources, dtype=_config.config.dtype))
     targets = jnp.asarray(interop.as_points(targets, dtype=_config.config.dtype))
     lin, t, scale, sigma2, q = _run_em_t_batch(

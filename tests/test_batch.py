@@ -38,6 +38,62 @@ def test_batch_matches_single(horse_cloud):
         np.asarray(single.transformation.rot), atol=5e-3)
 
 
+def test_batch_ragged_rigid(horse_cloud):
+    """Pairs with different point counts in one program (masked padding)."""
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 12.0]),
+            np.deg2rad([-6.0, 2.0, -8.0])]
+    sources = [src[::2], src[::3], src[::5]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = cpd.registration_cpd_batch(sources, targets, maxiter=60,
+                                         tol=1e-5)
+    assert len(results) == 3
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                                   atol=1e-3)
+
+
+def test_batch_ragged_masked_matches_unpadded(horse_cloud):
+    """Padding must be EXACTLY inert: a padded pair == the unpadded single
+    registration (also exercises w>0, whose outlier constant uses the true
+    per-pair counts, not the padded shapes)."""
+    src_small = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    src_big = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    for w in (0.0, 0.2):
+        # Batch the small pair alongside a big one to force real padding.
+        results = cpd.registration_cpd_batch(
+            [src_small, src_big], [src_small @ rot.T, src_big @ rot.T],
+            w=w, maxiter=40, tol=1e-6)
+        single = cpd.registration_cpd_batch(
+            src_small[None], (src_small @ rot.T)[None],
+            w=w, maxiter=40, tol=1e-6)[0]
+        np.testing.assert_allclose(
+            np.asarray(results[0].transformation.rot),
+            np.asarray(single.transformation.rot), atol=1e-4)
+        np.testing.assert_allclose(
+            float(results[0].sigma2), float(single.sigma2),
+            rtol=1e-3, atol=1e-7)
+
+
+def test_batch_ragged_affine(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    amat = np.asarray([[1.05, 0.04, 0.0], [-0.03, 0.97, 0.02],
+                       [0.01, 0.0, 1.02]], np.float32)
+    sources = [src[::2], src[::3]]
+    targets = [s @ amat.T for s in sources]
+    results = cpd.registration_cpd_batch(sources, targets,
+                                         tf_type_name="affine",
+                                         maxiter=60, tol=1e-6)
+    for res in results:
+        np.testing.assert_allclose(np.asarray(res.transformation.b), amat,
+                                   atol=1e-2)
+
+
 def test_batch_filterreg_pt2pt(horse_cloud):
     src = np.asarray(horse_cloud, dtype=np.float32)[::2]
     angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 10.0])]
