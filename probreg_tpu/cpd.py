@@ -975,16 +975,7 @@ def _run_em_t_ragged_batch(sources, targets, smasks, tmasks, *, kind, w,
     return jax.vmap(run)(sources, targets, smasks, tmasks)
 
 
-def _pad_ragged(clouds, dtype):
-    """Stack variable-length clouds into (B, max_N, D) + (B, max_N) masks."""
-    arrs = [np.asarray(interop.as_points(c), dtype=dtype) for c in clouds]
-    nmax = max(a.shape[0] for a in arrs)
-    out = np.zeros((len(arrs), nmax, arrs[0].shape[1]), dtype)
-    mask = np.zeros((len(arrs), nmax), dtype)
-    for i, a in enumerate(arrs):
-        out[i, : a.shape[0]] = a
-        mask[i, : a.shape[0]] = 1.0
-    return out, mask
+_pad_ragged = interop.pad_ragged
 
 
 def registration_cpd_batch(

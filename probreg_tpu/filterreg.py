@@ -182,15 +182,26 @@ def _pt2pl_t(model_t, target_t, normal_t, w):
                                    "sigma2_decay", "auto_sigma2"))
 def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
                   objective_type, update_sigma2, w, maxiter, tol, min_sigma2,
-                  sigma2_decay=1.0, auto_sigma2=False):
+                  sigma2_decay=1.0, auto_sigma2=False, smask=None,
+                  tmask=None):
+    """``smask``/``tmask``: optional (M,)/(N,) validity masks for ragged-
+    batch padding. Padded rows/columns are zeroed out of the kernel matrix
+    (so M0/M1/M2/NX carry no padded mass; the Kabsch/pt2pl weights already
+    vanish where M0 = 0) and the outlier constant / auto-sigma2 use the
+    true counts — exactly the unpadded registration."""
     m, dim = source.shape
     n = target.shape[0]
+    masked = smask is not None
     ys_t = source.T                                            # (D, M)
     xs_t = target.T                                            # (D, N)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)           # (1, N)
     nrm_t = None if normals is None else normals.T
+    if masked:
+        m = jnp.sum(smask)
+        n = jnp.sum(tmask)
+        kmask = smask[:, None] * tmask[None, :]                # (M, N)
 
-    chans = [jnp.ones((1, n), xs_t.dtype), xs_t]
+    chans = [jnp.ones((1, xs_t.shape[1]), xs_t.dtype), xs_t]
     if update_sigma2:
         chans.append(x2)
     if objective_type == "pt2pl":
@@ -206,9 +217,23 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST), 0.0)
             d2x = jnp.where(d2x <= 1e-12, jnp.inf, d2x)
+            if masked:
+                d2x = jnp.where(tmask[None, :] > 0, d2x, jnp.inf)
             nn2 = jnp.min(d2x, axis=1)
             nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
-            sigma2_0 = jnp.maximum(jnp.mean(nn2), min_sigma2 * 0.01)
+            if masked:
+                nn2 = nn2 * tmask
+                sigma2_0 = jnp.maximum(jnp.sum(nn2) / n, min_sigma2 * 0.01)
+            else:
+                sigma2_0 = jnp.maximum(jnp.mean(nn2), min_sigma2 * 0.01)
+        elif masked:
+            ssum = ys_t @ smask
+            tsum = xs_t @ tmask
+            s2m = jnp.sum(jnp.sum(ys_t * ys_t, axis=0) * smask)
+            t2m = jnp.sum(x2[0] * tmask)
+            sigma2_0 = jnp.maximum(
+                (s2m * n + t2m * m - 2.0 * ssum @ tsum) / (m * dim * n),
+                min_sigma2)
         else:
             sigma2_0 = jnp.maximum(
                 mu.squared_kernel_sum(source, target), min_sigma2)
@@ -222,6 +247,8 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)               # (M, N)
         k = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) * inv2s2)
+        if masked:
+            k = k * kmask
         mom = jax.lax.dot_general(
             v_t, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -662,6 +689,28 @@ def _run_em_rigid_batch(sources, targets, normals, sigma2_0, *,
     return jax.vmap(run)(sources, targets, normals)
 
 
+@partial(jax.jit, static_argnames=(
+    "objective_type", "update_sigma2", "w", "maxiter", "tol", "min_sigma2",
+    "sigma2_decay", "auto_sigma2"))
+def _run_em_rigid_ragged_batch(sources, targets, normals, smasks, tmasks,
+                               sigma2_0, *, objective_type, update_sigma2,
+                               w, maxiter, tol, min_sigma2, sigma2_decay,
+                               auto_sigma2):
+    dim = sources.shape[-1]
+    rot0 = jnp.eye(dim, dtype=sources.dtype)
+    t0 = jnp.zeros((dim,), sources.dtype)
+
+    def run(src, tgt, nrm, sm, tm):
+        return _run_em_rigid(
+            src, tgt, nrm, rot0, t0, sigma2_0,
+            objective_type=objective_type, update_sigma2=update_sigma2,
+            w=w, maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2,
+            smask=sm, tmask=tm)
+
+    return jax.vmap(run)(sources, targets, normals, smasks, tmasks)
+
+
 def registration_filterreg_batch(
     sources,
     targets,
@@ -685,31 +734,52 @@ def registration_filterreg_batch(
     masking via vmap). Ideal TPU serving shape; see
     ``cpd.registration_cpd_batch`` for the CPD analogue.
 
+    Ragged batches: ``sources`` / ``targets`` (and ``target_normals``) may
+    be Python lists of clouds with different point counts — zero-padded and
+    registered through a masked E-step exactly equivalent to unpadded.
+
     Returns a list of ``MstepResult``.
     """
-    sources = _as_jnp(sources)
-    targets = _as_jnp(targets)
-    if objective_type == "pt2pl":
-        if target_normals is None:
-            raise ValueError("pt2pl requires target_normals.")
-        normals = _as_jnp(target_normals)
-    elif objective_type == "pt2pt":
-        normals = None
-    else:
+    if objective_type not in ("pt2pt", "pt2pl"):
         raise ValueError("Unknown objective_type: %s." % objective_type)
+    if objective_type == "pt2pl" and target_normals is None:
+        raise ValueError("pt2pl requires target_normals.")
     auto = sigma2 is None
-    res = _run_em_rigid_batch(
-        sources, targets, normals,
-        np.float32(0.0 if auto else sigma2),
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    kwargs = dict(
         objective_type=objective_type, update_sigma2=bool(update_sigma2),
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
         auto_sigma2=auto)
+    if ragged:
+        dt = _config.config.dtype
+        src_p, smask = interop.pad_ragged(list(sources), dt)
+        tgt_p, tmask = interop.pad_ragged(list(targets), dt)
+        if objective_type == "pt2pl":
+            nrm_p, _ = interop.pad_ragged(list(target_normals), dt)
+            nrm_p = jnp.asarray(nrm_p)
+        else:
+            nrm_p = None
+        nb = src_p.shape[0]
+        res = _run_em_rigid_ragged_batch(
+            jnp.asarray(src_p), jnp.asarray(tgt_p), nrm_p,
+            jnp.asarray(smask), jnp.asarray(tmask),
+            np.float32(0.0 if auto else sigma2), **kwargs)
+    else:
+        sources = _as_jnp(sources)
+        targets = _as_jnp(targets)
+        normals = _as_jnp(target_normals) \
+            if objective_type == "pt2pl" else None
+        nb = sources.shape[0]
+        res = _run_em_rigid_batch(
+            sources, targets, normals,
+            np.float32(0.0 if auto else sigma2), **kwargs)
     rot, t = res.transformation.rot, res.transformation.t
     return [
         MstepResult(tf.RigidTransformation(rot[b], t[b]),
                     res.sigma2[b], res.q[b])
-        for b in range(sources.shape[0])
+        for b in range(nb)
     ]
 
 

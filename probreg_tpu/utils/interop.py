@@ -43,6 +43,23 @@ def as_points(x: Any, dtype=np.float32) -> np.ndarray:
     return np.asarray(x, dtype=dtype)
 
 
+def pad_ragged(clouds, dtype=np.float32):
+    """Stack variable-length clouds into (B, max_N, D) + (B, max_N) masks.
+
+    The padded rows are zeros with mask 0; batch registration entry points
+    route masked inputs through E-steps where padded points carry no
+    posterior mass (exactly equivalent to registering each pair unpadded).
+    """
+    arrs = [np.asarray(as_points(c), dtype=dtype) for c in clouds]
+    nmax = max(a.shape[0] for a in arrs)
+    out = np.zeros((len(arrs), nmax, arrs[0].shape[1]), dtype)
+    mask = np.zeros((len(arrs), nmax), dtype)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0]] = a
+        mask[i, : a.shape[0]] = 1.0
+    return out, mask
+
+
 def as_normals(x: Optional[Any], dtype=np.float32) -> Optional[np.ndarray]:
     if x is None:
         return None

@@ -141,6 +141,56 @@ def test_batch_filterreg_pt2pl(horse_cloud):
                                    atol=1e-2)
 
 
+def test_batch_filterreg_ragged(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 10.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = filterreg.registration_filterreg_batch(
+        sources, targets, maxiter=50, tol=1e-5)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=2e-1)
+
+
+def test_batch_filterreg_ragged_masked_matches_unpadded(horse_cloud):
+    src_small = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    src_big = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    for w in (0.0, 0.2):
+        ragged = filterreg.registration_filterreg_batch(
+            [src_small, src_big], [src_small @ rot.T, src_big @ rot.T],
+            w=w, maxiter=40, tol=1e-6)
+        plain = filterreg.registration_filterreg_batch(
+            src_small[None], (src_small @ rot.T)[None],
+            w=w, maxiter=40, tol=1e-6)[0]
+        np.testing.assert_allclose(
+            np.asarray(ragged[0].transformation.rot),
+            np.asarray(plain.transformation.rot), atol=1e-4)
+        np.testing.assert_allclose(
+            float(ragged[0].sigma2), float(plain.sigma2),
+            rtol=1e-3, atol=1e-7)
+
+
+def test_batch_filterreg_ragged_pt2pl(horse_cloud):
+    from tests.test_filterreg import estimate_normals_pca
+
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 8.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    normals = [estimate_normals_pca(t) for t in targets]
+    results = filterreg.registration_filterreg_batch(
+        sources, targets, target_normals=normals, objective_type="pt2pl",
+        maxiter=50, tol=1e-6)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=2e-1)
+
+
 def test_batch_gmmtree(horse_cloud):
     src = np.asarray(horse_cloud, dtype=np.float32)
     angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 8.0])]
