@@ -149,11 +149,17 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
             u_hat, sigma_out, alpha, sigma2)
 
 
-def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1):
+def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
+                m_eff=None):
     """CombinedBCPD M-step in transposed (D, M) layout, from psum-able
     E-step moments (px_t, nu, s1). Shared by the single-device VI loop and
-    the sharded runner (parallel/sharded.py). ``gmat`` dense or (u, lam)."""
+    the sharded runner (parallel/sharded.py). ``gmat`` dense or (u, lam).
+    ``m_eff``: true source count when padded (ragged batch) — feeds the
+    Dirichlet digamma normalizer; everything else is inert to padding
+    because padded rows have nu = 0."""
     dim, m = ys_t.shape
+    if m_eff is None:
+        m_eff = m
     low_rank = isinstance(gmat, (tuple, list))
     n_p = jnp.maximum(jnp.sum(nu), _EPS)
     x_hat_t = px_t / jnp.maximum(nu, _EPS)[None, :]             # (D, M)
@@ -177,7 +183,7 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1):
             precision=jax.lax.Precision.HIGHEST)                # (D, M)
     u_hat_t = ys_t + v_new_t
     alpha_new = jnp.exp(jax.scipy.special.digamma(k + nu)
-                        - jax.scipy.special.digamma(k * m + n_p))
+                        - jax.scipy.special.digamma(k * m_eff + n_p))
     x_m = x_hat_t @ nu / n_p                                    # (D,)
     sigma2_m = jnp.sum(nu * sigma_diag_new) / n_p
     u_m = u_hat_t @ nu / n_p
@@ -211,7 +217,7 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1):
 
 @partial(jax.jit, static_argnames=("w", "block"))
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
-              block=None):
+              block=None, smask=None, tmask=None):
     """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.
 
     (M, 3)-layout ops inside TPU loops cost ~0.25 ms each in lane relayouts
@@ -233,6 +239,9 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     """
     m, dim = source.shape
     n = target.shape[0]
+    masked = smask is not None
+    m_eff = jnp.sum(smask) if masked else m
+    n_eff = jnp.sum(tmask) if masked else n
     ys_t = source.T                                        # (D, M)
     xs_t = target.T                                        # (D, N)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
@@ -246,9 +255,10 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     blocked = n > block
     if blocked:
         pad = (-n) % block
+        base_mask = tmask[None, :] if masked \
+            else jnp.ones((1, n), xs_t.dtype)
         cmask = jnp.concatenate(
-            [jnp.ones((1, n), xs_t.dtype), jnp.zeros((1, pad), xs_t.dtype)],
-            axis=1)
+            [base_mask, jnp.zeros((1, pad), xs_t.dtype)], axis=1)
         if pad:
             xs_p = jnp.concatenate(
                 [xs_t, jnp.zeros((dim, pad), xs_t.dtype)], axis=1)
@@ -273,7 +283,7 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         g = jnp.exp(-d2 / (2.0 * sigma2)) \
             / (2.0 * jnp.pi * sigma2) ** (dim * 0.5) * mask_b
         pmat = g * row[:, None]
-        den = w / n + jnp.sum(pmat, axis=0, keepdims=True)
+        den = w / n_eff + jnp.sum(pmat, axis=0, keepdims=True)
         den = jnp.where(den == 0.0, _EPS, den)
         pmat = pmat / den
         mom = jax.lax.dot_general(
@@ -290,6 +300,8 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]        # (M, 1)
         row = (1.0 - w) * alpha * jnp.exp(
             -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
+        if masked:
+            row = row * smask
         if blocked:
             def eblk(carry, blk):
                 mom_acc, min_acc = carry
@@ -302,19 +314,24 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
                     jnp.full((m,), jnp.inf, source.dtype))
             (mom, minrow), _ = jax.lax.scan(
                 eblk, init, (xs_blocks, v_blocks, m_blocks))
-            rmse = jnp.mean(jnp.sqrt(minrow))
         else:
-            mom, dmin = _estep_cols(
+            mom, minrow = _estep_cols(
                 t_src_t, y2, row, sigma2, xs_t, v_chan,
-                jnp.ones((1, n), xs_t.dtype))
-            rmse = jnp.mean(jnp.sqrt(dmin))
+                tmask[None, :] if masked
+                else jnp.ones((1, n), xs_t.dtype))
+        if masked:
+            rmse = jnp.sum(
+                jnp.where(smask > 0, jnp.sqrt(minrow), 0.0)) / m_eff
+        else:
+            rmse = jnp.mean(jnp.sqrt(minrow))
         px_t = mom[:dim]                                        # (D, M)
         nu = mom[dim]                                           # (M,)
         s1 = jnp.sum(mom[dim + 1])
 
         (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
          sigma2_new) = _vi_mstep_t(
-            ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1)
+            ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
+            m_eff=m_eff if masked else None)
         return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
                 alpha_new, sigma2_new, rmse, state[7], i + 1)
 
@@ -325,7 +342,8 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
             jnp.logical_or(i < 2, jnp.abs(rmse - rmse_prev) >= tol),
         )
 
-    alpha0 = jnp.full((m,), 1.0 / m, source.dtype)
+    alpha0 = smask / m_eff if masked \
+        else jnp.full((m,), 1.0 / m, source.dtype)
     state = (
         jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
         jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
@@ -529,6 +547,22 @@ def registration_bcpd(
 
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
+def _run_bcpd_ragged_batch(sources, targets, smasks, tmasks, sigma2_0s,
+                           lmd, k, *, w, maxiter, tol, rank, block):
+    def run(src, tgt, sm, tm, s0):
+        if rank is None:
+            gmat = mu.inverse_multiquadric_kernel(src, src)
+        else:
+            gmat = tuple(_lowrank.lowrank_imq(src, 1.0, rank, valid=sm))
+        transf, *_ = _run_bcpd(
+            src, tgt, gmat, lmd, k, s0,
+            w=w, maxiter=maxiter, tol=tol, block=block, smask=sm, tmask=tm)
+        return transf
+
+    return jax.vmap(run)(sources, targets, smasks, tmasks, sigma2_0s)
+
+
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
 def _run_bcpd_batch(sources, targets, lmd, k, gamma, *, w, maxiter, tol,
                     rank, block):
     def run(src, tgt):
@@ -565,8 +599,18 @@ def registration_bcpd_batch(
     normalization (see :func:`registration_bcpd`) happens host-side on the
     tiny centroid/scale statistics; everything else is one XLA program.
 
+    Ragged batches: ``sources`` / ``targets`` may be Python lists of clouds
+    with different point counts per pair — zero-padded and run through a
+    masked E-step (padded points carry no posterior mass; the Dirichlet /
+    outlier normalizers and the Nystrom landmarks use true counts). Each
+    returned transformation's ``v`` field is sliced back to its true size.
+
     Returns a list of ``tf.CombinedTransformation``.
     """
+    if isinstance(sources, (list, tuple)) or isinstance(targets, (list, tuple)):
+        return _registration_bcpd_ragged(
+            list(sources), list(targets), w=w, maxiter=maxiter, tol=tol,
+            lmd=lmd, k=k, gamma=gamma, rank=rank, normalize=normalize)
     src = np.asarray(interop.as_points(sources), dtype=np.float64)
     tgt = np.asarray(interop.as_points(targets), dtype=np.float64)
     b, m, dim = src.shape
@@ -602,4 +646,54 @@ def registration_bcpd_batch(
             rot[i], scale[i] * tvec[i] + centroid[i], s[i],
             scale[i] * v[i] - centroid[i])
         for i in range(b)
+    ]
+
+
+def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
+                              gamma, rank, normalize):
+    """Ragged-batch BCPD: per-pair normalization on host, masked VI on
+    device (one dispatch), denormalize + slice v back to true sizes."""
+    srcs = [np.asarray(interop.as_points(s), dtype=np.float64)
+            for s in sources]
+    tgts = [np.asarray(interop.as_points(t), dtype=np.float64)
+            for t in targets]
+    dim = srcs[0].shape[1]
+    cents, scales, sig0s = [], [], []
+    for sr, tg in zip(srcs, tgts):
+        m, n = sr.shape[0], tg.shape[0]
+        if normalize:
+            c0 = np.concatenate([sr, tg], axis=0).mean(axis=0)
+        else:
+            c0 = np.zeros(dim)
+        sh, th = sr - c0, tg - c0
+        skc = ((sh ** 2).sum() * n + (th ** 2).sum() * m
+               - 2.0 * float(sh.sum(0) @ th.sum(0))) / (m * dim * n)
+        sc = max(np.sqrt(skc), 1e-12) if normalize else 1.0
+        cents.append(c0)
+        scales.append(sc)
+        # sigma2_0 = gamma * squared_kernel_sum of the (normalized) pair;
+        # exactly gamma when normalize (that's what the rescale enforces).
+        sig0s.append(gamma if normalize else gamma * skc)
+    dt = _config.config.dtype
+    src_p, smask = interop.pad_ragged(
+        [(sr - c0) / sc for sr, c0, sc in zip(srcs, cents, scales)], dt)
+    tgt_p, tmask = interop.pad_ragged(
+        [(tg - c0) / sc for tg, c0, sc in zip(tgts, cents, scales)], dt)
+    transf = _run_bcpd_ragged_batch(
+        jnp.asarray(src_p), jnp.asarray(tgt_p),
+        jnp.asarray(smask), jnp.asarray(tmask),
+        jnp.asarray(np.asarray(sig0s), dt),
+        jnp.asarray(lmd, dt), jnp.asarray(k, dt),
+        w=float(w), maxiter=int(maxiter), tol=float(tol),
+        rank=None if rank is None else int(rank),
+        block=int(_config.config.estep_chunk))
+    rot = np.asarray(transf.rigid_trans.rot)
+    tvec = np.asarray(transf.rigid_trans.t)
+    s = np.asarray(transf.rigid_trans.scale)
+    v = np.asarray(transf.v)
+    return [
+        tf.CombinedTransformation(
+            rot[i], scales[i] * tvec[i] + cents[i], s[i],
+            scales[i] * v[i, : srcs[i].shape[0]] - cents[i])
+        for i in range(len(srcs))
     ]

@@ -36,7 +36,8 @@ from . import pairwise
 _EPS = 1e-7
 
 
-def nystrom_eig(points: jax.Array, kernel_fn, rank: int, oversample: float = 2.0):
+def nystrom_eig(points: jax.Array, kernel_fn, rank: int,
+                oversample: float = 2.0, valid=None):
     """Rank-``rank`` eigenfactorization G ~= U diag(lam) U^T of a Gram matrix.
 
     ``kernel_fn(a, b) -> (len(a), len(b))`` must be a PSD kernel map.
@@ -54,7 +55,14 @@ def nystrom_eig(points: jax.Array, kernel_fn, rank: int, oversample: float = 2.0
     m = points.shape[0]
     rank = min(int(rank), m)
     ell = min(int(np.ceil(rank * oversample)), m)
-    idx = jnp.round(jnp.linspace(0, m - 1, ell)).astype(jnp.int32)
+    if valid is None:
+        idx = jnp.round(jnp.linspace(0, m - 1, ell)).astype(jnp.int32)
+    else:
+        # Ragged padding: valid points come first (utils.interop.pad_ragged),
+        # so a traced-stride over [0, m_valid) picks only valid landmarks.
+        m_valid = jnp.sum(valid)
+        idx = jnp.round(
+            jnp.linspace(0.0, 1.0, ell) * (m_valid - 1.0)).astype(jnp.int32)
     landmarks = points[idx]
     kmk = kernel_fn(points, landmarks)                     # (M, L)
     kkk = kernel_fn(landmarks, landmarks)                  # (L, L)
@@ -64,6 +72,10 @@ def nystrom_eig(points: jax.Array, kernel_fn, rank: int, oversample: float = 2.0
     # negligible weight in phi rather than an exploding one.
     e = jnp.maximum(e, _EPS * jnp.max(e))
     phi = kmk @ (v / jnp.sqrt(e)[None, :])                 # (M, L), G ~= phi phi^T
+    if valid is not None:
+        # Zero padded rows BEFORE the SVD: the factors then approximate the
+        # valid block of G exactly, with u identically zero on padded rows.
+        phi = phi * valid[:, None]
     u, s, _ = jnp.linalg.svd(phi, full_matrices=False)
     return u[:, :rank], (s * s)[:rank]
 
@@ -75,10 +87,11 @@ def lowrank_rbf(points: jax.Array, beta: float, rank: int):
 
 
 @partial(jax.jit, static_argnames=("rank",))
-def lowrank_imq(points: jax.Array, c: float, rank: int):
+def lowrank_imq(points: jax.Array, c: float, rank: int, valid=None):
     """Low-rank factors of the inverse-multiquadric Gram matrix (BCPD's G)."""
     return nystrom_eig(
-        points, lambda a, b: pairwise.inverse_multiquadric_kernel(a, b, c), rank)
+        points, lambda a, b: pairwise.inverse_multiquadric_kernel(a, b, c),
+        rank, valid=valid)
 
 
 def gram_apply(u: jax.Array, lam: jax.Array, x: jax.Array) -> jax.Array:

@@ -237,6 +237,61 @@ def test_batch_bcpd(horse_cloud):
         assert nn_rmse(moved, tgt) < 0.5 * nn_rmse(src, tgt)
 
 
+def test_batch_bcpd_ragged(horse_cloud):
+    def nn_rmse(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(axis=1).mean()))
+
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([8.0, -4.0, 6.0]), np.deg2rad([0.0, 0.0, 10.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = bcpd.registration_bcpd_batch(sources, targets, maxiter=100,
+                                           tol=0.0, lmd=10.0)
+    assert len(results) == 2
+    for res, s, t in zip(results, sources, targets):
+        assert np.asarray(res.v).shape == s.shape  # sliced to true size
+        moved = np.asarray(res.transform(s))
+        assert nn_rmse(moved, t) < 0.5 * nn_rmse(s, t)
+
+
+def test_batch_bcpd_ragged_masked_matches_unpadded_early(horse_cloud):
+    """Mask inertness: before the VI trajectory chaos decorrelates runs
+    (~15 iterations, see below), a padded pair must track the unpadded one."""
+    src_small = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    src_big = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    ragged = bcpd.registration_bcpd_batch(
+        [src_small, src_big], [src_small @ rot.T, src_big @ rot.T],
+        maxiter=10, tol=0.0, lmd=10.0)[0]
+    plain = bcpd.registration_bcpd_batch(
+        src_small[None], (src_small @ rot.T)[None],
+        maxiter=10, tol=0.0, lmd=10.0)[0]
+    np.testing.assert_allclose(
+        np.asarray(ragged.transform(src_small)),
+        np.asarray(plain.transform(src_small)), atol=1e-3)
+
+
+def test_batch_bcpd_ragged_lowrank(horse_cloud):
+    def nn_rmse(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(axis=1).mean()))
+
+    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    # Different sizes per pair; rank-40 masked Nystrom factors. (A 2x
+    # decimated fish does not register with these hyperparams in ANY path,
+    # single or batch — a 70-point prefix does.)
+    sources, targets = [src, src[:70]], [tgt, tgt[:70]]
+    results = bcpd.registration_bcpd_batch(
+        sources, targets, maxiter=50, tol=1e-6, rank=40)
+    for res, s, t in zip(results, sources, targets):
+        moved = np.asarray(res.transform(s))
+        assert nn_rmse(moved, t) < 0.25 * nn_rmse(s, t)
+
+
 def test_batch_bcpd_lowrank_quality_fish():
     """Batch low-rank BCPD in the regime tests/test_lowrank.py validates.
 
