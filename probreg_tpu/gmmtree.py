@@ -99,15 +99,27 @@ def _complexity(cov):
 
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_d"))
-def _build(points, key, *, max_level, lambda_s, lambda_d):
-    """buildGmmTree (gmmtree.cc:98-123): per-level EM to convergence."""
+def _build(points, key, *, max_level, lambda_s, lambda_d, smask=None):
+    """buildGmmTree (gmmtree.cc:98-123): per-level EM to convergence.
+
+    ``smask``: optional (N,) validity mask for ragged-batch padding — the
+    leaf init draws only valid indices (padding sits at the tail), every
+    responsibility row of a padded point is zeroed, and the log-likelihood /
+    pi normalizers use the true count. Exactly the unpadded build.
+    """
     n, dim = points.shape
     n_total = _n_total(max_level)
+    masked = smask is not None
+    n_eff = jnp.sum(smask) if masked else n
 
     # --- initializeNodes (gmmtree.cc:46-75)
     n_leaf = N_NODE ** max_level
     lf = _level_start(max_level - 1)
-    idxs = jax.random.randint(key, (n_leaf,), 0, n)
+    if masked:
+        idxs = jax.random.randint(
+            key, (n_leaf,), 0, jnp.maximum(n_eff.astype(jnp.int32), 1))
+    else:
+        idxs = jax.random.randint(key, (n_leaf,), 0, n)
     pi = jnp.zeros((n_total,), points.dtype)
     mu = jnp.zeros((n_total, dim), points.dtype)
     cov = jnp.zeros((n_total, dim, dim), points.dtype)
@@ -115,7 +127,11 @@ def _build(points, key, *, max_level, lambda_s, lambda_d):
     leaf_mu = points[idxs]
     mu = mu.at[lf:lf + n_leaf].set(leaf_mu)
     diff = points[None, :, :] - leaf_mu[:, None, :]        # (n_leaf, n, 3)
-    leaf_cov = jnp.einsum("kni,knj->kij", diff, diff) / n
+    if masked:
+        leaf_cov = jnp.einsum(
+            "kni,knj->kij", diff * smask[None, :, None], diff) / n_eff
+    else:
+        leaf_cov = jnp.einsum("kni,knj->kij", diff, diff) / n
     cov = cov.at[lf:lf + n_leaf].set(leaf_cov)
     for l in range(max_level - 2, -1, -1):
         pidx, cidx = _level_start(l), _level_start(l + 1)
@@ -141,11 +157,14 @@ def _build(points, key, *, max_level, lambda_s, lambda_d):
                 jnp.broadcast_to(mu[lb:le], (n, le - lb, dim)),
                 jnp.broadcast_to(inv, (n, le - lb, dim, dim)),
                 jnp.broadcast_to(norm, (n, le - lb)))
-            return jnp.sum(jnp.log(jnp.maximum(jnp.sum(p, axis=1), _EPS)))
+            ll = jnp.log(jnp.maximum(jnp.sum(p, axis=1), _EPS))
+            return jnp.sum(ll * smask) if masked else jnp.sum(ll)
 
         def em_once(pi, mu, cov, parent_idx):
             inv, norm, _ = _log_pdf_terms(cov)
             gamma, cidx = _gamma_children(points, parent_idx, pi, mu, inv, norm)
+            if masked:
+                gamma = gamma * smask[:, None]
             flat_g = gamma.reshape(-1)
             flat_i = cidx.reshape(-1)
             pts_rep = jnp.repeat(points, N_NODE, axis=0)
@@ -153,7 +172,7 @@ def _build(points, key, *, max_level, lambda_s, lambda_d):
             # mlEstimator (gmmtree.cc:84-97) on this level only.
             sl = slice(lb, le)
             keep = m0[sl] >= lambda_d
-            new_pi = jnp.where(keep, m0[sl] / n, 0.0)
+            new_pi = jnp.where(keep, m0[sl] / n_eff, 0.0)
             m0s = jnp.maximum(m0[sl], _EPS)
             new_mu = jnp.where(keep[:, None], m1[sl] / m0s[:, None], 0.0)
             new_cov = jnp.where(
@@ -313,7 +332,7 @@ def _estep_t_factory(pi, mu, cov, max_level, lambda_c):
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_c"))
 def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
-                      maxiter, tol):
+                      maxiter, tol, tmask=None):
     """Whole registration loop in transposed (D, N) layout.
 
     Per-iteration (N, 3)-layout ops cost ~0.25 ms each on TPU in lane
@@ -328,10 +347,11 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
     lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
     xs_t0 = target.T                                        # (3, N)
     estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
-    ones_mask = jnp.ones((1, n), target.dtype)
+    col_mask = tmask[None, :] if tmask is not None \
+        else jnp.ones((1, n), target.dtype)
 
     def estep_t(x_t):
-        return estep_core(x_t, ones_mask)
+        return estep_core(x_t, col_mask)
 
     def body(state):
         rot, t, q, _, i = state
@@ -485,6 +505,25 @@ def _run_registration_batch(sources, targets, keys, *, max_level, lambda_s,
     return jax.vmap(run)(sources, targets, keys)
 
 
+@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
+                                   "maxiter", "tol"))
+def _run_registration_ragged_batch(sources, targets, smasks, tmasks, keys, *,
+                                   max_level, lambda_s, lambda_c, maxiter,
+                                   tol):
+    dim = sources.shape[-1]
+    rot0 = jnp.eye(dim, dtype=sources.dtype)
+    t0 = jnp.zeros((dim,), sources.dtype)
+
+    def run(src, tgt, sm, tm, key):
+        pi, mu, cov = _build(src, key, max_level=max_level,
+                             lambda_s=lambda_s, lambda_d=1.0e-4, smask=sm)
+        return _run_registration(tgt, pi, mu, cov, rot0, t0,
+                                 max_level=max_level, lambda_c=lambda_c,
+                                 maxiter=maxiter, tol=tol, tmask=tm)
+
+    return jax.vmap(run)(sources, targets, smasks, tmasks, keys)
+
+
 def registration_gmmtree_batch(
     sources,
     targets,
@@ -503,8 +542,28 @@ def registration_gmmtree_batch(
     Same target-transform/inverse-return convention as
     :func:`registration_gmmtree`. See ``cpd.registration_cpd_batch``.
 
+    Ragged batches: ``sources`` / ``targets`` may be Python lists of clouds
+    with different point counts — zero-padded and run through a masked tree
+    build + registration descent exactly equivalent to unpadded.
+
     Returns a list of ``MstepResult``.
     """
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    if ragged:
+        dt = _config.config.dtype
+        src_p, smask = interop.pad_ragged(list(sources), dt)
+        tgt_p, tmask = interop.pad_ragged(list(targets), dt)
+        keys = jax.random.split(jax.random.PRNGKey(seed), src_p.shape[0])
+        rot, t, q = _run_registration_ragged_batch(
+            jnp.asarray(src_p), jnp.asarray(tgt_p),
+            jnp.asarray(smask), jnp.asarray(tmask), keys,
+            max_level=int(tree_level), lambda_s=float(lambda_s),
+            lambda_c=float(lambda_c), maxiter=int(maxiter), tol=float(tol))
+        return [
+            MstepResult(tf.RigidTransformation(rot[b], t[b]).inverse(), q[b])
+            for b in range(src_p.shape[0])
+        ]
     sources = jnp.asarray(interop.as_points(sources, dtype=_config.config.dtype))
     targets = jnp.asarray(interop.as_points(targets, dtype=_config.config.dtype))
     keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])

@@ -219,6 +219,38 @@ def test_batch_gmmtree_matches_single(horse_cloud):
         np.asarray(single.transformation.rot), atol=5e-3)
 
 
+def test_batch_gmmtree_ragged(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([0.0, 0.0, 8.0])]
+    sources = [src, src[::2]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = gmmtree.registration_gmmtree_batch(sources, targets,
+                                                 maxiter=30, tol=1e-6)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(res.transformation.t), 0.0,
+                                   atol=5e-3)
+
+
+def test_batch_gmmtree_ragged_masked_matches_unpadded(horse_cloud):
+    """A padded pair must produce exactly the unpadded registration (the
+    masked leaf init draws the same indices: same key, same valid range)."""
+    src_small = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    src_big = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    ragged = gmmtree.registration_gmmtree_batch(
+        [src_small, src_big], [src_small @ rot.T, src_big @ rot.T],
+        maxiter=30, tol=1e-6)[0]
+    plain = gmmtree.registration_gmmtree_batch(
+        src_small[None], (src_small @ rot.T)[None], maxiter=30, tol=1e-6)[0]
+    np.testing.assert_allclose(
+        np.asarray(ragged.transformation.rot),
+        np.asarray(plain.transformation.rot), atol=1e-3)
+
+
 def test_batch_bcpd(horse_cloud):
     def nn_rmse(a, b):
         d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
