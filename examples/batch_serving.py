@@ -35,7 +35,12 @@ def main():
     ])
 
     def run(name, fn, result_rot, **kw):
-        fn(sources, targets, **kw)  # compile
+        warm = fn(sources, targets, **kw)  # compile
+        # Force a host fetch before timing: the remote-TPU transport starts
+        # in a pipelined mode where block_until_ready returns early; the
+        # first fetch switches it to sync (see CLAUDE.md).
+        tr0 = getattr(warm[0], "transformation", warm[0])
+        np.asarray(tr0.transform(sources[0][:1]))
         start = time.perf_counter()
         results = fn(sources, targets, **kw)
         elapsed = time.perf_counter() - start

@@ -47,16 +47,28 @@ class Feature(abc.ABC):
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("k", "kmeans_iters", "em_iters"))
-def _fit_spherical_gmm(key, x, k, kmeans_iters=10, em_iters=40):
+def _fit_spherical_gmm(key, x, k, kmeans_iters=10, em_iters=40, smask=None):
+    """``smask``: optional (N,) validity mask for ragged-batch padding —
+    padded points never seed a center, carry zero responsibility, and the
+    mixing-weight normalizer is the true count (k must be <= every true
+    count in the batch for the maskless-size seeding draw)."""
     n, d = x.shape
-    # Seed centers: random distinct-ish subset.
-    idx = jax.random.choice(key, n, (k,), replace=False)
+    masked = smask is not None
+    n_eff = jnp.sum(smask) if masked else n
+    # Seed centers: random distinct-ish subset (valid points only if masked).
+    if masked:
+        idx = jax.random.choice(key, n, (k,), replace=False,
+                                p=smask / n_eff)
+    else:
+        idx = jax.random.choice(key, n, (k,), replace=False)
     mu = x[idx]
 
     def lloyd(mu, _):
         d2 = sqdist(x, mu)                     # (n, k)
         assign = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)
+        if masked:
+            onehot = onehot * smask[:, None]
         counts = jnp.maximum(onehot.sum(0), 1.0)
         mu_new = (onehot.T @ x) / counts[:, None]
         return mu_new, None
@@ -64,7 +76,13 @@ def _fit_spherical_gmm(key, x, k, kmeans_iters=10, em_iters=40):
     mu, _ = jax.lax.scan(lloyd, mu, None, length=kmeans_iters)
 
     pi = jnp.full((k,), 1.0 / k, x.dtype)
-    var = jnp.full((k,), jnp.mean(jnp.var(x, axis=0)), x.dtype)
+    if masked:
+        xbar = smask @ x / n_eff
+        var0 = jnp.sum(
+            smask[:, None] * (x - xbar[None, :]) ** 2) / (n_eff * d)
+    else:
+        var0 = jnp.mean(jnp.var(x, axis=0))
+    var = jnp.full((k,), var0, x.dtype)
 
     def em(carry, _):
         mu, var, pi = carry
@@ -72,11 +90,13 @@ def _fit_spherical_gmm(key, x, k, kmeans_iters=10, em_iters=40):
         log_p = -0.5 * d2 / var - 0.5 * d * jnp.log(2.0 * jnp.pi * var) + jnp.log(pi)
         log_r = log_p - jax.scipy.special.logsumexp(log_p, axis=1, keepdims=True)
         r = jnp.exp(log_r)                      # (n, k)
+        if masked:
+            r = r * smask[:, None]
         nk = jnp.maximum(r.sum(0), 1e-10)
         mu_new = (r.T @ x) / nk[:, None]
         d2_new = sqdist(x, mu_new)
         var_new = jnp.maximum((r * d2_new).sum(0) / (d * nk), 1e-12)
-        pi_new = nk / n
+        pi_new = nk / n_eff
         return (mu_new, var_new, pi_new), None
 
     (mu, var, pi), _ = jax.lax.scan(em, (mu, var, pi), None, length=em_iters)
@@ -113,10 +133,10 @@ class GMM(Feature):
         return (jax.random.PRNGKey(self._seed + self._counter),)
 
     @staticmethod
-    def fused_fit(x, static, dynamic):
+    def fused_fit(x, static, dynamic, smask=None):
         k, em_iters = static
         (key,) = dynamic
-        return _fit_spherical_gmm(key, x, k, em_iters=em_iters)
+        return _fit_spherical_gmm(key, x, k, em_iters=em_iters, smask=smask)
 
 
 # --------------------------------------------------------------------------
@@ -124,15 +144,23 @@ class GMM(Feature):
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("iters",))
-def _fit_ocsvm_dual(x, gamma, nu, iters=300):
+def _fit_ocsvm_dual(x, gamma, nu, iters=300, smask=None):
     """Solve min 1/2 a^T K a  s.t. 0 <= a_i <= 1/(nu n), sum a = 1.
 
     Projected gradient with a box-simplex projection by bisection.
     Returns alpha scaled to libsvm's convention (sum = nu * n).
+    ``smask``: optional validity mask (ragged-batch padding) — padded
+    points are zeroed out of K and pinned at alpha = 0 by the masked
+    projection; all normalizers use the true count.
     """
     n = x.shape[0]
+    masked = smask is not None
+    n_eff = jnp.sum(smask) if masked else n
     k = jnp.exp(-gamma * sqdist(x, x))
-    c = 1.0 / (nu * n)
+    if masked:
+        k = k * smask[:, None] * smask[None, :]
+    c = 1.0 / (nu * n_eff)
+    pmask = smask if masked else jnp.ones((n,), x.dtype)
 
     def project(v):
         # Exact one-shot projection onto {0 <= a <= c, sum a = 1}: tau solves
@@ -141,27 +169,29 @@ def _fit_ocsvm_dual(x, gamma, nu, iters=300):
         # ALL 2n breakpoints in parallel (one (2n, n) clip+reduce — same
         # O(n^2) cost as the PG step's matvec) and interpolate the crossing
         # segment. Replaces a 50-step sequential bisection whose latency
-        # chain dominated the whole dual solve on TPU.
+        # chain dominated the whole dual solve on TPU. When masked, padded
+        # entries are excluded from every sum and end at exactly 0.
         b = jnp.concatenate([v, v - c])
-        s = jnp.sum(jnp.clip(v[None, :] - b[:, None], 0.0, c), axis=1)
+        s = jnp.sum(pmask[None, :] * jnp.clip(v[None, :] - b[:, None],
+                                              0.0, c), axis=1)
         valid = s >= 1.0  # s(min v - c) = c n >= 1 for nu <= 1; s(max v) = 0
         b_lo = jnp.max(jnp.where(valid, b, -jnp.inf))
-        s_lo = jnp.sum(jnp.clip(v - b_lo, 0.0, c))
+        s_lo = jnp.sum(pmask * jnp.clip(v - b_lo, 0.0, c))
         b_hi = jnp.min(jnp.where(valid, jnp.inf, b))
-        s_hi = jnp.sum(jnp.clip(v - b_hi, 0.0, c))
+        s_hi = jnp.sum(pmask * jnp.clip(v - b_hi, 0.0, c))
         tau = b_lo + (s_lo - 1.0) * (b_hi - b_lo) / jnp.maximum(
             s_lo - s_hi, 1e-30)
-        return jnp.clip(v - tau, 0.0, c)
+        return pmask * jnp.clip(v - tau, 0.0, c)
 
     eta = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=1))  # 1 / ||K||_inf
-    alpha = project(jnp.full((n,), 1.0 / n, x.dtype))
+    alpha = project(jnp.full((n,), 1.0 / n_eff, x.dtype) * pmask)
 
     def pg(alpha, _):
         g = k @ alpha
         return project(alpha - eta * g), None
 
     alpha, _ = jax.lax.scan(pg, alpha, None, length=iters)
-    return alpha * (nu * n)
+    return alpha * (nu * n_eff)
 
 
 class OneClassSVM(Feature):
@@ -208,10 +238,10 @@ class OneClassSVM(Feature):
                 jnp.asarray(z, jnp.float32))
 
     @staticmethod
-    def fused_fit(x, static, dynamic):
+    def fused_fit(x, static, dynamic, smask=None):
         del static
         gamma, nu, z = dynamic
-        alpha = _fit_ocsvm_dual(x, gamma, nu)
+        alpha = _fit_ocsvm_dual(x, gamma, nu, smask=smask)
         return x, alpha * z * (alpha > 1e-8)
 
 

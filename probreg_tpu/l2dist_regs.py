@@ -72,7 +72,8 @@ def _bfgs_solve(obj, x0, args, opt_maxiter, opt_tol):
     return r.x * scale, r.fun / c
 
 
-def _rescore_and_polish(xs, src, tgt, sigma, opt_maxiter, opt_tol):
+def _rescore_and_polish(xs, src, tgt, sigma, opt_maxiter, opt_tol,
+                        smask=None, tmask=None):
     """Select among multistart BFGS results by RAW-point mixture L2.
 
     The per-start objective values come from the fitted features (GMM /
@@ -87,10 +88,16 @@ def _rescore_and_polish(xs, src, tgt, sigma, opt_maxiter, opt_tol):
     import jax
     import jax.numpy as jnp
 
-    s = src[::max(1, -(-src.shape[0] // _RESCORE_MAX_POINTS))]
-    t = tgt[::max(1, -(-tgt.shape[0] // _RESCORE_MAX_POINTS))]
-    phi_s = jnp.full((s.shape[0],), 1.0 / s.shape[0], s.dtype)
-    phi_t = jnp.full((t.shape[0],), 1.0 / t.shape[0], t.dtype)
+    ss = max(1, -(-src.shape[0] // _RESCORE_MAX_POINTS))
+    st = max(1, -(-tgt.shape[0] // _RESCORE_MAX_POINTS))
+    s, t = src[::ss], tgt[::st]
+    if smask is None:
+        phi_s = jnp.full((s.shape[0],), 1.0 / s.shape[0], s.dtype)
+        phi_t = jnp.full((t.shape[0],), 1.0 / t.shape[0], t.dtype)
+    else:
+        sm, tm = smask[::ss], tmask[::st]
+        phi_s = sm / jnp.maximum(jnp.sum(sm), 1.0)
+        phi_t = tm / jnp.maximum(jnp.sum(tm), 1.0)
     robj = cf.RigidCostFunction.pure_objective
     args = (s, phi_s, t, phi_t, sigma)
     scores = jax.vmap(lambda x: robj(x, *args))(xs)
@@ -375,9 +382,16 @@ _JAX_BATCH_CACHE = {}
 
 
 def _batched_l2dist_program(feat_cls, static_s, static_t,
-                            opt_maxiter: int, opt_tol: float, dyn_axes):
-    """vmapped whole-round program: B (fit+fit+BFGS) rounds, one dispatch."""
-    key = (feat_cls, static_s, static_t, opt_maxiter, opt_tol, dyn_axes)
+                            opt_maxiter: int, opt_tol: float, dyn_axes,
+                            masked: bool = False):
+    """vmapped whole-round program: B (fit+fit+BFGS) rounds, one dispatch.
+
+    ``masked``: ragged-batch variant taking per-pair (M,)/(N,) validity
+    masks — the feature fits exclude padded points (features.py masked
+    paths) and zero-weight mixture components are inert in the L2 cost.
+    """
+    key = (feat_cls, static_s, static_t, opt_maxiter, opt_tol, dyn_axes,
+           masked)
     run = _JAX_BATCH_CACHE.get(key)
     if run is None:
         import jax
@@ -387,26 +401,38 @@ def _batched_l2dist_program(feat_cls, static_s, static_t,
 
         import jax.numpy as jnp
 
-        @jax.jit
-        def run(x0s, srcs, tgts, sigmas, dynamic):
-            def one(src, tgt, sigma, dyn):
-                mu_s, phi_s = fit(src, static_s, dyn)
-                mu_t, phi_t = fit(tgt, static_t, dyn)
+        def one(src, tgt, sm, tm, sigma, dyn, x0s):
+            mu_s, phi_s = fit(src, static_s, dyn, smask=sm)
+            mu_t, phi_t = fit(tgt, static_t, dyn, smask=tm)
 
-                def solve(x0):
-                    return _bfgs_solve(
-                        obj, x0, (mu_s, phi_s, mu_t, phi_t, sigma),
-                        opt_maxiter, opt_tol)
+            def solve(x0):
+                return _bfgs_solve(
+                    obj, x0, (mu_s, phi_s, mu_t, phi_t, sigma),
+                    opt_maxiter, opt_tol)
 
-                xs, fs = jax.vmap(solve)(x0s)
-                if x0s.shape[0] > 1:
-                    return _rescore_and_polish(
-                        xs, src, tgt, sigma, opt_maxiter, opt_tol)
-                i = jnp.argmin(fs)
-                return xs[i], fs[i]
+            xs, fs = jax.vmap(solve)(x0s)
+            if x0s.shape[0] > 1:
+                return _rescore_and_polish(
+                    xs, src, tgt, sigma, opt_maxiter, opt_tol,
+                    smask=sm, tmask=tm)
+            i = jnp.argmin(fs)
+            return xs[i], fs[i]
 
-            return jax.vmap(one, in_axes=(0, 0, 0, dyn_axes))(
-                srcs, tgts, sigmas, dynamic)
+        if masked:
+            @jax.jit
+            def run(x0s, srcs, tgts, smasks, tmasks, sigmas, dynamic):
+                return jax.vmap(
+                    lambda s, t, sm, tm, sg, dy: one(s, t, sm, tm, sg, dy,
+                                                     x0s),
+                    in_axes=(0, 0, 0, 0, 0, dyn_axes))(
+                    srcs, tgts, smasks, tmasks, sigmas, dynamic)
+        else:
+            @jax.jit
+            def run(x0s, srcs, tgts, sigmas, dynamic):
+                return jax.vmap(
+                    lambda s, t, sg, dy: one(s, t, None, None, sg, dy, x0s),
+                    in_axes=(0, 0, 0, dyn_axes))(
+                    srcs, tgts, sigmas, dynamic)
 
         _JAX_BATCH_CACHE[key] = run
     return run
@@ -428,20 +454,36 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
     import jax
     import jax.numpy as jnp
 
-    sources = np.asarray(interop.as_points(sources), np.float32)
-    targets = np.asarray(interop.as_points(targets), np.float32)
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    if ragged:
+        raw_sources = [np.asarray(interop.as_points(s), np.float32)
+                       for s in sources]
+        sources, smask = interop.pad_ragged(raw_sources, np.float32)
+        targets, tmask = interop.pad_ragged(list(targets), np.float32)
+        min_m = min(s.shape[0] for s in raw_sources)
+    else:
+        sources = np.asarray(interop.as_points(sources), np.float32)
+        targets = np.asarray(interop.as_points(targets), np.float32)
     if sources.ndim != 3 or targets.ndim != 3:
         raise ValueError("batch registration expects (B, N, D) stacks")
     b, n_s, d = sources.shape
     n_t = targets.shape[1]
     if use_estimated_sigma:
-        sigmas = _batch_estimated_sigmas(sources)
+        if ragged:
+            sigmas = np.asarray([
+                _batch_estimated_sigmas(s[None])[0] for s in raw_sources])
+        else:
+            sigmas = _batch_estimated_sigmas(sources)
     else:
         sigmas = np.full((b,), sigma, np.float64)
 
     if feature_kind == "gmm":
         feat_cls = ft.GMM
-        proto = ft.GMM(min(n_gmm_components, int(n_s * 0.8)))
+        # Ragged: every pair shares one static component count, so cap it
+        # at the SMALLEST cloud (the masked seeding draws k valid points).
+        cap = int((min_m if ragged else n_s) * 0.8)
+        proto = ft.GMM(min(n_gmm_components, cap))
         static_s = proto.fused_static(n_s)
         static_t = proto.fused_static(n_t)
         # The same key the single-pair fused round uses (counter=1), shared
@@ -463,11 +505,18 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
         raise ValueError("unknown feature kind %s" % feature_kind)
 
     run = _batched_l2dist_program(feat_cls, static_s, static_t,
-                                  opt_maxiter, opt_tol, dyn_axes)
+                                  opt_maxiter, opt_tol, dyn_axes,
+                                  masked=ragged)
     x0s = cf.RigidCostFunction.initial_multistart(max(1, n_starts))
-    rx, _ = run(jnp.asarray(x0s, jnp.float32),
-                jnp.asarray(sources), jnp.asarray(targets),
-                jnp.asarray(sigmas, jnp.float32), dynamic)
+    if ragged:
+        rx, _ = run(jnp.asarray(x0s, jnp.float32),
+                    jnp.asarray(sources), jnp.asarray(targets),
+                    jnp.asarray(smask), jnp.asarray(tmask),
+                    jnp.asarray(sigmas, jnp.float32), dynamic)
+    else:
+        rx, _ = run(jnp.asarray(x0s, jnp.float32),
+                    jnp.asarray(sources), jnp.asarray(targets),
+                    jnp.asarray(sigmas, jnp.float32), dynamic)
     rx = np.asarray(jax.device_get(rx), np.float64)
     cost = cf.RigidCostFunction()
     return [cost.to_transformation(rx[i]) for i in range(b)]

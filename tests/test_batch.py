@@ -345,6 +345,40 @@ def test_batch_bcpd_lowrank_quality_fish():
     assert nn_rmse(moved, tgt) < 0.2 * nn_rmse(src, tgt)
 
 
+def test_batch_l2dist_ragged(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([6.0, -2.0, 3.0]), np.deg2rad([0.0, 0.0, 10.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    for results in (
+        l2dist_regs.registration_gmmreg_batch(sources, targets,
+                                              n_gmm_components=100),
+        l2dist_regs.registration_svr_batch(sources, targets),
+    ):
+        for res, ang in zip(results, angs):
+            rec = np.asarray(se3_op.mat2euler(res.rot))
+            np.testing.assert_allclose(rec, ang, atol=1e-1)
+            np.testing.assert_allclose(np.asarray(res.t), 0.0, atol=1e-2)
+
+
+def test_batch_svr_ragged_masked_matches_unpadded(horse_cloud):
+    """SVR's dual solve is deterministic, so a padded pair must reproduce
+    the unpadded registration (the masked simplex projection pins padded
+    alphas at exactly 0). GMM can't be tested this way: its masked seeding
+    draws different centers than the unmasked one."""
+    src_small = np.asarray(horse_cloud, dtype=np.float32)[::4]
+    src_big = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([4.0, 1.0, -5.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    ragged = l2dist_regs.registration_svr_batch(
+        [src_small, src_big], [src_small @ rot.T, src_big @ rot.T])[0]
+    plain = l2dist_regs.registration_svr_batch(
+        src_small[None], (src_small @ rot.T)[None])[0]
+    np.testing.assert_allclose(np.asarray(ragged.rot),
+                               np.asarray(plain.rot), atol=1e-3)
+
+
 def test_gmmreg_nonrigid_fish():
     src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
     tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
