@@ -546,14 +546,17 @@ def registration_bcpd(
     return tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw)
 
 
-@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block",
+                                   "min_m"))
 def _run_bcpd_ragged_batch(sources, targets, smasks, tmasks, sigma2_0s,
-                           lmd, k, *, w, maxiter, tol, rank, block):
+                           lmd, k, *, w, maxiter, tol, rank, block,
+                           min_m=None):
     def run(src, tgt, sm, tm, s0):
         if rank is None:
             gmat = mu.inverse_multiquadric_kernel(src, src)
         else:
-            gmat = tuple(_lowrank.lowrank_imq(src, 1.0, rank, valid=sm))
+            gmat = tuple(_lowrank.lowrank_imq(src, 1.0, rank, valid=sm,
+                                              max_landmarks=min_m))
         transf, *_ = _run_bcpd(
             src, tgt, gmat, lmd, k, s0,
             w=w, maxiter=maxiter, tol=tol, block=block, smask=sm, tmask=tm)
@@ -679,6 +682,11 @@ def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
         [(sr - c0) / sc for sr, c0, sc in zip(srcs, cents, scales)], dt)
     tgt_p, tmask = interop.pad_ragged(
         [(tg - c0) / sc for tg, c0, sc in zip(tgts, cents, scales)], dt)
+    min_m = min(sr.shape[0] for sr in srcs)
+    if rank is not None and int(rank) > min_m:
+        raise ValueError(
+            "rank=%d exceeds the smallest source cloud (%d points) in the "
+            "ragged batch" % (int(rank), min_m))
     transf = _run_bcpd_ragged_batch(
         jnp.asarray(src_p), jnp.asarray(tgt_p),
         jnp.asarray(smask), jnp.asarray(tmask),
@@ -686,7 +694,8 @@ def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
         jnp.asarray(lmd, dt), jnp.asarray(k, dt),
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         rank=None if rank is None else int(rank),
-        block=int(_config.config.estep_chunk))
+        block=int(_config.config.estep_chunk),
+        min_m=None if rank is None else min_m)
     rot = np.asarray(transf.rigid_trans.rot)
     tvec = np.asarray(transf.rigid_trans.t)
     s = np.asarray(transf.rigid_trans.scale)

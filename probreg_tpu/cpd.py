@@ -975,7 +975,6 @@ def _run_em_t_ragged_batch(sources, targets, smasks, tmasks, *, kind, w,
     return jax.vmap(run)(sources, targets, smasks, tmasks)
 
 
-_pad_ragged = interop.pad_ragged
 
 
 def registration_cpd_batch(
@@ -1007,8 +1006,8 @@ def registration_cpd_batch(
     ragged = isinstance(sources, (list, tuple)) \
         or isinstance(targets, (list, tuple))
     if ragged:
-        src_p, smask = _pad_ragged(list(sources), _config.config.dtype)
-        tgt_p, tmask = _pad_ragged(list(targets), _config.config.dtype)
+        src_p, smask = interop.pad_ragged(list(sources), _config.config.dtype)
+        tgt_p, tmask = interop.pad_ragged(list(targets), _config.config.dtype)
         nb = src_p.shape[0]
         lin, t, scale, sigma2, q = _run_em_t_ragged_batch(
             jnp.asarray(src_p), jnp.asarray(tgt_p),

@@ -46,6 +46,19 @@ class Feature(abc.ABC):
 # Spherical GMM (EM) in JAX
 # --------------------------------------------------------------------------
 
+def np_prng_key(seed: int) -> np.ndarray:
+    """threefry2x32 key data as plain numpy — no eager device op.
+
+    Bitwise-identical to ``jax.random.PRNGKey(seed)`` (verified against
+    choice/split), but constructing it costs zero device round-trips
+    (CLAUDE.md: every eager jnp op through the remote-TPU transport is an
+    RTT). jax.random functions accept raw uint32 (2,) keys directly.
+    """
+    seed = int(seed)
+    return np.asarray([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                      np.uint32)
+
+
 @partial(jax.jit, static_argnames=("k", "kmeans_iters", "em_iters"))
 def _fit_spherical_gmm(key, x, k, kmeans_iters=10, em_iters=40, smask=None):
     """``smask``: optional (N,) validity mask for ragged-batch padding —
@@ -120,7 +133,7 @@ class GMM(Feature):
     def compute(self, data):
         x = jnp.asarray(data, jnp.float32)
         k = min(self._n_gmm_components, x.shape[0])
-        key = jax.random.PRNGKey(self._seed + self._counter)
+        key = np_prng_key(self._seed + self._counter)
         mu, pi = _fit_spherical_gmm(key, x, k, em_iters=self._em_iters)
         return mu, pi
 
@@ -130,7 +143,7 @@ class GMM(Feature):
         return (min(self._n_gmm_components, n), self._em_iters)
 
     def fused_dynamic(self):
-        return (jax.random.PRNGKey(self._seed + self._counter),)
+        return (np_prng_key(self._seed + self._counter),)
 
     @staticmethod
     def fused_fit(x, static, dynamic, smask=None):

@@ -489,11 +489,14 @@ def registration_gmmtree(
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
                                    "maxiter", "tol"))
-def _run_registration_batch(sources, targets, keys, *, max_level, lambda_s,
+def _run_registration_batch(sources, targets, seed, *, max_level, lambda_s,
                             lambda_c, maxiter, tol):
     dim = sources.shape[-1]
     rot0 = jnp.eye(dim, dtype=sources.dtype)
     t0 = jnp.zeros((dim,), sources.dtype)
+    # Key derivation INSIDE the program: eager PRNGKey/split would cost two
+    # device round-trips per call (CLAUDE.md performance rules).
+    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
 
     def run(src, tgt, key):
         pi, mu, cov = _build(src, key, max_level=max_level,
@@ -507,12 +510,13 @@ def _run_registration_batch(sources, targets, keys, *, max_level, lambda_s,
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
                                    "maxiter", "tol"))
-def _run_registration_ragged_batch(sources, targets, smasks, tmasks, keys, *,
+def _run_registration_ragged_batch(sources, targets, smasks, tmasks, seed, *,
                                    max_level, lambda_s, lambda_c, maxiter,
                                    tol):
     dim = sources.shape[-1]
     rot0 = jnp.eye(dim, dtype=sources.dtype)
     t0 = jnp.zeros((dim,), sources.dtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
 
     def run(src, tgt, sm, tm, key):
         pi, mu, cov = _build(src, key, max_level=max_level,
@@ -554,10 +558,10 @@ def registration_gmmtree_batch(
         dt = _config.config.dtype
         src_p, smask = interop.pad_ragged(list(sources), dt)
         tgt_p, tmask = interop.pad_ragged(list(targets), dt)
-        keys = jax.random.split(jax.random.PRNGKey(seed), src_p.shape[0])
         rot, t, q = _run_registration_ragged_batch(
             jnp.asarray(src_p), jnp.asarray(tgt_p),
-            jnp.asarray(smask), jnp.asarray(tmask), keys,
+            jnp.asarray(smask), jnp.asarray(tmask),
+            np.uint32(seed),
             max_level=int(tree_level), lambda_s=float(lambda_s),
             lambda_c=float(lambda_c), maxiter=int(maxiter), tol=float(tol))
         return [
@@ -566,9 +570,8 @@ def registration_gmmtree_batch(
         ]
     sources = jnp.asarray(interop.as_points(sources, dtype=_config.config.dtype))
     targets = jnp.asarray(interop.as_points(targets, dtype=_config.config.dtype))
-    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
     rot, t, q = _run_registration_batch(
-        sources, targets, keys, max_level=int(tree_level),
+        sources, targets, np.uint32(seed), max_level=int(tree_level),
         lambda_s=float(lambda_s), lambda_c=float(lambda_c),
         maxiter=int(maxiter), tol=float(tol))
     return [

@@ -459,9 +459,15 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
     if ragged:
         raw_sources = [np.asarray(interop.as_points(s), np.float32)
                        for s in sources]
+        raw_targets = [np.asarray(interop.as_points(t), np.float32)
+                       for t in targets]
         sources, smask = interop.pad_ragged(raw_sources, np.float32)
-        targets, tmask = interop.pad_ragged(list(targets), np.float32)
-        min_m = min(s.shape[0] for s in raw_sources)
+        targets, tmask = interop.pad_ragged(raw_targets, np.float32)
+        # The GMM component count is a shared static: it must not exceed
+        # ANY cloud in the batch (source or target), or the masked seeding
+        # would be forced to draw padded points as centers.
+        min_m = min(min(s.shape[0] for s in raw_sources),
+                    min(t.shape[0] for t in raw_targets))
     else:
         sources = np.asarray(interop.as_points(sources), np.float32)
         targets = np.asarray(interop.as_points(targets), np.float32)
@@ -489,7 +495,7 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
         # The same key the single-pair fused round uses (counter=1), shared
         # across the batch: clouds differ per element, and batch-of-1 then
         # reproduces the single path exactly.
-        dynamic = (jax.random.PRNGKey(seed + 1),)
+        dynamic = (ft.np_prng_key(seed + 1),)
         dyn_axes = (None,)
     elif feature_kind == "svm":
         feat_cls = ft.OneClassSVM

@@ -37,7 +37,7 @@ _EPS = 1e-7
 
 
 def nystrom_eig(points: jax.Array, kernel_fn, rank: int,
-                oversample: float = 2.0, valid=None):
+                oversample: float = 2.0, valid=None, max_landmarks=None):
     """Rank-``rank`` eigenfactorization G ~= U diag(lam) U^T of a Gram matrix.
 
     ``kernel_fn(a, b) -> (len(a), len(b))`` must be a PSD kernel map.
@@ -55,6 +55,13 @@ def nystrom_eig(points: jax.Array, kernel_fn, rank: int,
     m = points.shape[0]
     rank = min(int(rank), m)
     ell = min(int(np.ceil(rank * oversample)), m)
+    if max_landmarks is not None:
+        # Ragged batches: ell is a shared static, so cap it by the batch's
+        # smallest TRUE count — a traced stride over fewer valid points than
+        # ell would emit duplicate landmarks (singular K_kk, degraded
+        # factors). The smallest pair then gets exactly its unpadded
+        # landmark set; larger pairs get (at most) slightly fewer landmarks.
+        ell = min(ell, int(max_landmarks))
     if valid is None:
         idx = jnp.round(jnp.linspace(0, m - 1, ell)).astype(jnp.int32)
     else:
@@ -86,12 +93,13 @@ def lowrank_rbf(points: jax.Array, beta: float, rank: int):
     return nystrom_eig(points, lambda a, b: pairwise.rbf_kernel(a, b, beta), rank)
 
 
-@partial(jax.jit, static_argnames=("rank",))
-def lowrank_imq(points: jax.Array, c: float, rank: int, valid=None):
+@partial(jax.jit, static_argnames=("rank", "max_landmarks"))
+def lowrank_imq(points: jax.Array, c: float, rank: int, valid=None,
+                max_landmarks=None):
     """Low-rank factors of the inverse-multiquadric Gram matrix (BCPD's G)."""
     return nystrom_eig(
         points, lambda a, b: pairwise.inverse_multiquadric_kernel(a, b, c),
-        rank, valid=valid)
+        rank, valid=valid, max_landmarks=max_landmarks)
 
 
 def gram_apply(u: jax.Array, lam: jax.Array, x: jax.Array) -> jax.Array:

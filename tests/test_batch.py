@@ -6,6 +6,11 @@ from probreg_tpu import bcpd, cpd, filterreg, gmmtree, l2dist_regs
 from probreg_tpu.utils import se3_op
 
 
+def nn_rmse(a, b):
+    d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+    return float(np.sqrt(d2.min(axis=1).mean()))
+
+
 def test_batch_rigid_registration(horse_cloud, rng):
     src = np.asarray(horse_cloud, dtype=np.float32)[::2]
     angs = [np.deg2rad([5.0, -3.0, 4.0]), np.deg2rad([-6.0, 2.0, -8.0]),
@@ -252,10 +257,6 @@ def test_batch_gmmtree_ragged_masked_matches_unpadded(horse_cloud):
 
 
 def test_batch_bcpd(horse_cloud):
-    def nn_rmse(a, b):
-        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
-        return float(np.sqrt(d2.min(axis=1).mean()))
-
     src = np.asarray(horse_cloud, dtype=np.float32)[::2]
     angs = [np.deg2rad([8.0, -4.0, 6.0]), np.deg2rad([0.0, 0.0, 10.0])]
     sources = np.stack([src] * 2)
@@ -270,10 +271,6 @@ def test_batch_bcpd(horse_cloud):
 
 
 def test_batch_bcpd_ragged(horse_cloud):
-    def nn_rmse(a, b):
-        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
-        return float(np.sqrt(d2.min(axis=1).mean()))
-
     src = np.asarray(horse_cloud, dtype=np.float32)
     angs = [np.deg2rad([8.0, -4.0, 6.0]), np.deg2rad([0.0, 0.0, 10.0])]
     sources = [src[::2], src[::3]]
@@ -307,10 +304,6 @@ def test_batch_bcpd_ragged_masked_matches_unpadded_early(horse_cloud):
 
 
 def test_batch_bcpd_ragged_lowrank(horse_cloud):
-    def nn_rmse(a, b):
-        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
-        return float(np.sqrt(d2.min(axis=1).mean()))
-
     src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
     tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
     # Different sizes per pair; rank-40 masked Nystrom factors. (A 2x
@@ -332,10 +325,6 @@ def test_batch_bcpd_lowrank_quality_fish():
     differences between batched and unbatched XLA programs decorrelate the
     trajectories after ~15 iterations — so quality is the criterion, as in
     the reference's own convergence test, bcpd.py:95-99.)"""
-
-    def nn_rmse(a, b):
-        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
-        return float(np.sqrt(d2.min(axis=1).mean()))
 
     src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
     tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
@@ -360,6 +349,22 @@ def test_batch_l2dist_ragged(horse_cloud):
             rec = np.asarray(se3_op.mat2euler(res.rot))
             np.testing.assert_allclose(rec, ang, atol=1e-1)
             np.testing.assert_allclose(np.asarray(res.t), 0.0, atol=1e-2)
+
+
+def test_batch_gmmreg_ragged_small_target(horse_cloud):
+    """Regression: the shared GMM component cap must respect the smallest
+    cloud on EITHER side — a target smaller than k used to get padded
+    origin points drawn as centers, silently corrupting that pair."""
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([5.0, -3.0, 4.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    small = src[::16]  # ~60 points, far below n_gmm_components
+    results = l2dist_regs.registration_gmmreg_batch(
+        [src[::2], small], [src[::2] @ rot.T, small @ rot.T],
+        n_gmm_components=200)
+    for res in results:
+        rec = np.asarray(se3_op.mat2euler(res.rot))
+        np.testing.assert_allclose(rec, ang, atol=1e-1)
 
 
 def test_batch_svr_ragged_masked_matches_unpadded(horse_cloud):
