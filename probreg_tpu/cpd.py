@@ -631,12 +631,16 @@ class RigidCPD(CoherentPointDrift):
 
     def __init__(self, source=None, update_scale: bool = True,
                  tf_init_params: Optional[Dict] = None, use_cuda: bool = False,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, n_starts: int = 1):
         super().__init__(source, use_cuda, use_pallas)
         self._tf_type = tf.RigidTransformation
         self._update_scale = update_scale
         self._tf_init_params = dict(tf_init_params or {})
         self._tf_init_params.pop("xp", None)
+        # n_starts > 1: vmapped EM restarts over a coarse orientation grid,
+        # best final sigma2 wins — recovers rotations the identity start
+        # cannot (new capability vs the reference; cf. l2dist n_starts).
+        self._n_starts = int(n_starts)
 
     def _initial_tf(self):
         dim = self._source.shape[1]
@@ -660,6 +664,17 @@ class RigidCPD(CoherentPointDrift):
             # _run_em_t materializes the (M, N) posterior; fall back to the
             # streaming-E-step loop (generic _run_em path).
             return None
+        if self._n_starts > 1:
+            if p:
+                raise ValueError("n_starts > 1 and tf_init_params are "
+                                 "mutually exclusive")
+            inits = _multistart_inits(self._n_starts, dim)
+            lin, t, scale, sigma2, q = _run_em_t_multistart_jit(
+                self._source, target, jnp.asarray(inits),
+                w=float(w), maxiter=int(maxiter), tol=float(tol),
+                update_scale=bool(self._update_scale))
+            return MstepResult(tf.RigidTransformation(lin, t, scale),
+                               sigma2, q)
         if (not p and dim == 3
                 and _config.config.use_fused_em
                 and self._use_pallas is not False
@@ -891,6 +906,52 @@ def _run_em_t_batch(sources, targets, *, kind, w, maxiter, tol,
     return jax.vmap(run)(sources, targets)
 
 
+def _multistart_inits(n_starts: int, dim: int) -> np.ndarray:
+    """(S, D*D+D+1) packed (rot, t, scale) EM starts on the same coarse
+    orientation grid l2dist multistart uses (identity, then 180/90/-90 deg
+    about each axis — cost_functions.initial_multistart)."""
+    from . import cost_functions as cf
+    from .utils import se3_op as so
+
+    if dim != 3:
+        raise ValueError("n_starts > 1 supports 3-D clouds only")
+    quats = cf.RigidCostFunction.initial_multistart(n_starts)[:, :4]
+    out = np.zeros((len(quats), dim * dim + dim + 1), np.float32)
+    for i, qt in enumerate(quats):
+        out[i, : dim * dim] = np.asarray(
+            so.quat2mat_np(qt), np.float32).ravel()
+        out[i, -1] = 1.0
+    return out
+
+
+def _run_em_t_multistart(source, target, inits, *, w, maxiter, tol,
+                         update_scale):
+    run = partial(_run_em_t, kind="rigid", w=w, maxiter=maxiter, tol=tol,
+                  update_scale=update_scale, default_init=False)
+    lin, t, scale, sigma2, q = jax.vmap(
+        lambda x0: run(source, target, x0))(inits)
+    # Select by final sigma2: the EM variance IS the alignment residual and
+    # is directly comparable across restarts on the same pair. (q mixes
+    # n_p and log-sigma2 terms whose sign flips with the data scale.)
+    i = jnp.argmin(sigma2)
+    return lin[i], t[i], scale[i], sigma2[i], q[i]
+
+
+@partial(jax.jit, static_argnames=("w", "update_scale"))
+def _run_em_t_multistart_jit(source, target, inits, *, w, maxiter, tol,
+                             update_scale):
+    return _run_em_t_multistart(source, target, inits, w=w, maxiter=maxiter,
+                                tol=tol, update_scale=update_scale)
+
+
+@partial(jax.jit, static_argnames=("w", "update_scale"))
+def _run_em_t_multistart_batch(sources, targets, inits, *, w, maxiter, tol,
+                               update_scale):
+    run = partial(_run_em_t_multistart, w=w, maxiter=maxiter, tol=tol,
+                  update_scale=update_scale)
+    return jax.vmap(lambda s, t: run(s, t, inits))(sources, targets)
+
+
 def _run_em_t_masked(source, target, smask, tmask, *, kind, w, maxiter, tol,
                      update_scale=True):
     """_run_em_t with per-point validity masks (ragged-batch padding).
@@ -985,6 +1046,7 @@ def registration_cpd_batch(
     maxiter: int = 50,
     tol: float = 0.001,
     update_scale: bool = True,
+    n_starts: int = 1,
 ):
     """Register B cloud pairs in one compiled program (vmap over the batch).
 
@@ -1005,6 +1067,24 @@ def registration_cpd_batch(
         raise ValueError("batch registration supports 'rigid' and 'affine'")
     ragged = isinstance(sources, (list, tuple)) \
         or isinstance(targets, (list, tuple))
+    if n_starts > 1:
+        if tf_type_name != "rigid" or ragged:
+            raise ValueError("n_starts > 1 supports non-ragged rigid "
+                             "batches only")
+        sources = jnp.asarray(
+            interop.as_points(sources, dtype=_config.config.dtype))
+        targets = jnp.asarray(
+            interop.as_points(targets, dtype=_config.config.dtype))
+        inits = _multistart_inits(int(n_starts), int(sources.shape[-1]))
+        lin, t, scale, sigma2, q = _run_em_t_multistart_batch(
+            sources, targets, jnp.asarray(inits), w=float(w),
+            maxiter=int(maxiter), tol=float(tol),
+            update_scale=bool(update_scale))
+        return [
+            MstepResult(tf.RigidTransformation(lin[b], t[b], scale[b]),
+                        sigma2[b], q[b])
+            for b in range(sources.shape[0])
+        ]
     if ragged:
         src_p, smask = interop.pad_ragged(list(sources), _config.config.dtype)
         tgt_p, tmask = interop.pad_ragged(list(targets), _config.config.dtype)
@@ -1060,6 +1140,11 @@ def registration_cpd(
         tol: Convergence tolerance on the likelihood q.
         callbacks: Called with the current Transformation each iteration.
         use_cuda: Ignored (JAX targets the attached accelerator).
+
+    Keyword Args:
+        n_starts (int): Rigid only — vmapped EM restarts over a coarse
+            orientation grid (up to 10), best final sigma2 wins. Recovers
+            large rotations the identity start cannot (new vs reference).
 
     Returns:
         MstepResult: (transformation, sigma2, q).

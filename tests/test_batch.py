@@ -43,6 +43,26 @@ def test_batch_matches_single(horse_cloud):
         np.asarray(single.transformation.rot), atol=5e-3)
 
 
+def test_cpd_multistart_large_rotation(horse_cloud):
+    """n_starts > 1: EM restarts over the orientation grid recover rotations
+    far outside the identity start's basin (new capability vs reference)."""
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([0.0, 0.0, 120.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    # Identity start fails at 120 deg...
+    res0 = cpd.registration_cpd(src, tgt, maxiter=80, tol=1e-6)
+    rec0 = np.asarray(se3_op.mat2euler(res0.transformation.rot))
+    assert np.abs(rec0 - ang).max() > 0.5
+    # ...the 10-start grid recovers it, single and batch.
+    res = cpd.registration_cpd(src, tgt, maxiter=80, tol=1e-6, n_starts=10)
+    rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=1e-2)
+    batch = cpd.registration_cpd_batch(src[None], tgt[None], maxiter=80,
+                                       tol=1e-6, n_starts=10)[0]
+    rec_b = np.asarray(se3_op.mat2euler(batch.transformation.rot))
+    np.testing.assert_allclose(rec_b, ang, atol=1e-2)
+
+
 def test_batch_ragged_rigid(horse_cloud):
     """Pairs with different point counts in one program (masked padding)."""
     src = np.asarray(horse_cloud, dtype=np.float32)
