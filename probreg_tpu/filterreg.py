@@ -416,9 +416,34 @@ class FilterReg(abc.ABC):
                      objective_type: str = "pt2pt", maxiter: int = 50,
                      tol: float = 0.001, min_sigma2: float = 1.0e-4,
                      feature_fn: Callable = lambda x: x,
-                     sigma2_decay: float = 1.0) -> MstepResult:
+                     sigma2_decay: float = 1.0,
+                     n_starts: int = 1) -> MstepResult:
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
+        if n_starts > 1:
+            if (not isinstance(self, RigidFilterReg) or self._callbacks
+                    or self._estep_method != "dense"
+                    or not _is_identity_feature(feature_fn)):
+                raise ValueError("n_starts > 1 requires the rigid dense "
+                                 "no-callback path")
+            normals = self._target_normals \
+                if objective_type == "pt2pl" else None
+            if objective_type == "pt2pl" and normals is None:
+                raise ValueError("pt2pl requires target_normals.")
+            auto = self._sigma2 is None
+            res = _run_em_rigid_multistart_jit(
+                self._source, target, normals,
+                jnp.asarray(_multistart_rots(
+                    int(n_starts), int(self._source.shape[1]))),
+                np.float32(0.0 if auto else self._sigma2),
+                objective_type=objective_type,
+                update_sigma2=self._update_sigma2,
+                w=float(w), maxiter=int(maxiter), tol=float(tol),
+                min_sigma2=float(min_sigma2),
+                sigma2_decay=float(sigma2_decay), auto_sigma2=auto)
+            self._tf_result = res.transformation
+            self._sigma2 = float(res.sigma2)
+            return res
 
         fast = (
             isinstance(self, RigidFilterReg)
@@ -689,6 +714,67 @@ def _run_em_rigid_batch(sources, targets, normals, sigma2_0, *,
     return jax.vmap(run)(sources, targets, normals)
 
 
+def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
+    """(S, D, D) rotation starts on the shared coarse orientation grid."""
+    from . import cost_functions as cf
+
+    if dim != 3:
+        raise ValueError("n_starts > 1 supports 3-D clouds only")
+    quats = cf.RigidCostFunction.initial_multistart(n_starts)[:, :4]
+    return np.stack([np.asarray(so.quat2mat_np(q), np.float32)
+                     for q in quats])
+
+
+def _run_em_rigid_multistart(source, target, normals, rots0, sigma2_0, *,
+                             objective_type, update_sigma2, w, maxiter, tol,
+                             min_sigma2, sigma2_decay, auto_sigma2):
+    t0 = jnp.zeros((source.shape[1],), source.dtype)
+
+    def run(rot0):
+        return _run_em_rigid(
+            source, target, normals, rot0, t0, sigma2_0,
+            objective_type=objective_type, update_sigma2=update_sigma2,
+            w=w, maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2)
+
+    res = jax.vmap(run)(rots0)
+    # Selection: with update_sigma2 the final variance is the alignment
+    # residual; otherwise sigma2 is identical across starts and the EM
+    # criterion q (weighted residual sum) decides.
+    score = res.sigma2 if update_sigma2 else res.q
+    i = jnp.argmin(score)
+    return MstepResult(
+        tf.RigidTransformation(res.transformation.rot[i],
+                               res.transformation.t[i]),
+        res.sigma2[i], res.q[i])
+
+
+@partial(jax.jit, static_argnames=(
+    "objective_type", "update_sigma2", "w", "maxiter", "tol", "min_sigma2",
+    "sigma2_decay", "auto_sigma2"))
+def _run_em_rigid_multistart_jit(source, target, normals, rots0, sigma2_0,
+                                 **kw):
+    return _run_em_rigid_multistart(source, target, normals, rots0,
+                                    sigma2_0, **kw)
+
+
+@partial(jax.jit, static_argnames=(
+    "objective_type", "update_sigma2", "w", "maxiter", "tol", "min_sigma2",
+    "sigma2_decay", "auto_sigma2"))
+def _run_em_rigid_multistart_batch(sources, targets, normals, rots0,
+                                   sigma2_0, *, objective_type,
+                                   update_sigma2, w, maxiter, tol,
+                                   min_sigma2, sigma2_decay, auto_sigma2):
+    def run(src, tgt, nrm):
+        return _run_em_rigid_multistart(
+            src, tgt, nrm, rots0, sigma2_0,
+            objective_type=objective_type, update_sigma2=update_sigma2,
+            w=w, maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2)
+
+    return jax.vmap(run)(sources, targets, normals)
+
+
 @partial(jax.jit, static_argnames=(
     "objective_type", "update_sigma2", "w", "maxiter", "tol", "min_sigma2",
     "sigma2_decay", "auto_sigma2"))
@@ -723,6 +809,7 @@ def registration_filterreg_batch(
     tol: float = 0.001,
     min_sigma2: float = 1.0e-4,
     sigma2_decay: float = 1.0,
+    n_starts: int = 1,
 ) -> List[MstepResult]:
     """Register B cloud pairs with rigid FilterReg in ONE compiled program.
 
@@ -752,6 +839,24 @@ def registration_filterreg_batch(
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
         auto_sigma2=auto)
+    if n_starts > 1:
+        if ragged:
+            raise ValueError("n_starts > 1 supports non-ragged batches only")
+        sources = _as_jnp(sources)
+        targets = _as_jnp(targets)
+        normals = _as_jnp(target_normals) \
+            if objective_type == "pt2pl" else None
+        res = _run_em_rigid_multistart_batch(
+            sources, targets, normals,
+            jnp.asarray(_multistart_rots(
+                int(n_starts), int(sources.shape[-1]))),
+            np.float32(0.0 if auto else sigma2), **kwargs)
+        rot, t = res.transformation.rot, res.transformation.t
+        return [
+            MstepResult(tf.RigidTransformation(rot[b], t[b]),
+                        res.sigma2[b], res.q[b])
+            for b in range(sources.shape[0])
+        ]
     if ragged:
         dt = _config.config.dtype
         src_p, smask = interop.pad_ragged(list(sources), dt)
@@ -797,6 +902,7 @@ def registration_filterreg(
     feature_fn: Callable = lambda x: x,
     callbacks: List[Callable] = [],
     sigma2_decay: float = 1.0,
+    n_starts: int = 1,
     **kwargs: Any,
 ) -> MstepResult:
     """FilterReg registration — drop-in for reference filterreg.py:269-317.
@@ -832,4 +938,5 @@ def registration_filterreg(
     return frg.registration(
         interop.as_points(target), w=w, objective_type=objective_type,
         maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
-        feature_fn=feature_fn, sigma2_decay=sigma2_decay)
+        feature_fn=feature_fn, sigma2_decay=sigma2_decay,
+        n_starts=n_starts)

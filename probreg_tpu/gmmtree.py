@@ -373,6 +373,49 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
     return rot, t, q
 
 
+def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
+    """(S, D, D) rotation starts on the shared coarse orientation grid."""
+    from . import cost_functions as cf
+
+    if dim != 3:
+        raise ValueError("n_starts > 1 supports 3-D clouds only")
+    quats = cf.RigidCostFunction.initial_multistart(n_starts)[:, :4]
+    return np.stack([np.asarray(so.quat2mat_np(q), np.float32)
+                     for q in quats])
+
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_c"))
+def _run_registration_multistart(target, pi, mu, cov, rots0, *, max_level,
+                                 lambda_c, maxiter, tol):
+    n, dim = target.shape
+    t0 = jnp.zeros((dim,), target.dtype)
+    xs_t0 = target.T
+    estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
+    ones_mask = jnp.ones((1, n), target.dtype)
+
+    def run(rot0):
+        rot, t, q = _run_registration(target, pi, mu, cov, rot0, t0,
+                                      max_level=max_level, lambda_c=lambda_c,
+                                      maxiter=maxiter, tol=tol)
+        # Basin selection CANNOT use the twist residual q: a start where no
+        # node matches (all m0 < eps) zeroes the lstsq system and reports
+        # q = 0 — the worst outcome scoring as the best. Rescore the final
+        # pose by the m0-weighted distance of each node's assigned-point
+        # centroid to the node mean, with unmatched mass scored infinite.
+        m0, m1 = estep_core(rot @ xs_t0 + t[:, None], ones_mask)
+        m0s = jnp.maximum(m0, _EPS)
+        d2 = jnp.sum((m1 / m0s[:, None] - mu) ** 2, axis=1)
+        mass = jnp.sum(m0)
+        score = jnp.where(mass > 1e-3 * n,
+                          jnp.sum(m0 * d2) / jnp.maximum(mass, _EPS),
+                          jnp.inf)
+        return rot, t, q, score
+
+    rot, t, q, score = jax.vmap(run)(rots0)
+    i = jnp.argmin(jnp.where(jnp.isnan(score), jnp.inf, score))
+    return rot[i], t[i], q[i]
+
+
 class GMMTree:
     """GMM Tree registration (reference gmmtree.py:24-96).
 
@@ -425,9 +468,20 @@ class GMMTree:
         return MstepResult(tf.RigidTransformation(rot, t), q)
 
     def registration(self, target, maxiter: int = 20,
-                     tol: float = 1.0e-4) -> MstepResult:
+                     tol: float = 1.0e-4, n_starts: int = 1) -> MstepResult:
         target = jnp.asarray(interop.as_points(target, dtype=_config.config.dtype))
         pi, mu, cov = self._nodes
+        if n_starts > 1:
+            if self._callbacks:
+                raise ValueError("n_starts > 1 requires no callbacks")
+            rot, t, q = _run_registration_multistart(
+                target, pi, mu, cov,
+                jnp.asarray(_multistart_rots(int(n_starts),
+                                             int(target.shape[1]))),
+                max_level=self._tree_level, lambda_c=float(self._lambda_c),
+                maxiter=int(maxiter), tol=float(tol))
+            self._tf_result = tf.RigidTransformation(rot, t)
+            return MstepResult(self._tf_result.inverse(), q)
         if not self._callbacks:
             rot, t, q = _run_registration(
                 target, pi, mu, cov, self._tf_result.rot, self._tf_result.t,
@@ -457,6 +511,7 @@ def registration_gmmtree(
     maxiter: int = 20,
     tol: float = 1.0e-4,
     callbacks: List[Callable] = [],
+    n_starts: int = 1,
     **kwargs: Any,
 ) -> MstepResult:
     """GMMTree registration — drop-in for reference gmmtree.py:99-129.
@@ -484,7 +539,8 @@ def registration_gmmtree(
     """
     gt = GMMTree(interop.as_points(source), **kwargs)
     gt.set_callbacks(callbacks)
-    return gt.registration(interop.as_points(target), maxiter, tol)
+    return gt.registration(interop.as_points(target), maxiter, tol,
+                           n_starts=n_starts)
 
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
@@ -504,6 +560,23 @@ def _run_registration_batch(sources, targets, seed, *, max_level, lambda_s,
         return _run_registration(tgt, pi, mu, cov, rot0, t0,
                                  max_level=max_level, lambda_c=lambda_c,
                                  maxiter=maxiter, tol=tol)
+
+    return jax.vmap(run)(sources, targets, keys)
+
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
+                                   "maxiter", "tol"))
+def _run_gmmtree_multistart_batch(sources, targets, rots0, seed, *,
+                                  max_level, lambda_s, lambda_c, maxiter,
+                                  tol):
+    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
+
+    def run(src, tgt, key):
+        pi, mu, cov = _build(src, key, max_level=max_level,
+                             lambda_s=lambda_s, lambda_d=1.0e-4)
+        return _run_registration_multistart(
+            tgt, pi, mu, cov, rots0, max_level=max_level,
+            lambda_c=lambda_c, maxiter=maxiter, tol=tol)
 
     return jax.vmap(run)(sources, targets, keys)
 
@@ -537,6 +610,7 @@ def registration_gmmtree_batch(
     lambda_c: float = 0.01,
     lambda_s: float = 0.001,
     seed: int = 0,
+    n_starts: int = 1,
 ) -> List[MstepResult]:
     """Register B cloud pairs with GMMTree in ONE compiled program.
 
@@ -554,6 +628,23 @@ def registration_gmmtree_batch(
     """
     ragged = isinstance(sources, (list, tuple)) \
         or isinstance(targets, (list, tuple))
+    if n_starts > 1:
+        if ragged:
+            raise ValueError("n_starts > 1 supports non-ragged batches only")
+        sources = jnp.asarray(
+            interop.as_points(sources, dtype=_config.config.dtype))
+        targets = jnp.asarray(
+            interop.as_points(targets, dtype=_config.config.dtype))
+        rots0 = jnp.asarray(_multistart_rots(int(n_starts),
+                                             int(sources.shape[-1])))
+        rot, t, q = _run_gmmtree_multistart_batch(
+            sources, targets, rots0, np.uint32(seed),
+            max_level=int(tree_level), lambda_s=float(lambda_s),
+            lambda_c=float(lambda_c), maxiter=int(maxiter), tol=float(tol))
+        return [
+            MstepResult(tf.RigidTransformation(rot[b], t[b]).inverse(), q[b])
+            for b in range(sources.shape[0])
+        ]
     if ragged:
         dt = _config.config.dtype
         src_p, smask = interop.pad_ragged(list(sources), dt)

@@ -63,6 +63,34 @@ def test_cpd_multistart_large_rotation(horse_cloud):
     np.testing.assert_allclose(rec_b, ang, atol=1e-2)
 
 
+def test_filterreg_multistart_large_rotation(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([0.0, 0.0, 120.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    res = filterreg.registration_filterreg(src, tgt, maxiter=80, tol=1e-6,
+                                           n_starts=10)
+    rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=2e-1)
+    batch = filterreg.registration_filterreg_batch(
+        src[None], tgt[None], maxiter=80, tol=1e-6, n_starts=10)[0]
+    rec_b = np.asarray(se3_op.mat2euler(batch.transformation.rot))
+    np.testing.assert_allclose(rec_b, ang, atol=2e-1)
+
+
+def test_gmmtree_multistart_large_rotation(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    ang = np.deg2rad([0.0, 0.0, 120.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    res = gmmtree.registration_gmmtree(src, tgt, maxiter=40, tol=1e-6,
+                                       n_starts=10)
+    rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=5e-2)
+    batch = gmmtree.registration_gmmtree_batch(
+        src[None], tgt[None], maxiter=40, tol=1e-6, n_starts=10)[0]
+    rec_b = np.asarray(se3_op.mat2euler(batch.transformation.rot))
+    np.testing.assert_allclose(rec_b, ang, atol=5e-2)
+
+
 def test_batch_ragged_rigid(horse_cloud):
     """Pairs with different point counts in one program (masked padding)."""
     src = np.asarray(horse_cloud, dtype=np.float32)
