@@ -352,9 +352,9 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         jnp.asarray(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2 = state[:7]
+    rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, rmse = state[:8]
     return (tf.CombinedTransformation(rot, t, scale, v_hat_t.T),
-            sigma_diag, alpha, sigma2)
+            sigma_diag, alpha, sigma2, rmse)
 
 
 class BayesianCoherentPointDrift(abc.ABC):
@@ -456,7 +456,7 @@ class CombinedBCPD(BayesianCoherentPointDrift):
     def _registration_jit(self, target, w, maxiter, tol):
         self._initialize(target)
         sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
-        transf, _, _, _ = _run_bcpd(
+        transf, *_ = _run_bcpd(
             self._source, target, self.gmat,
             jnp.asarray(self.lmd, self._source.dtype),
             jnp.asarray(self.k, self._source.dtype),
@@ -522,6 +522,15 @@ def registration_bcpd(
     """
     src = np.asarray(interop.as_points(source), dtype=np.float64)
     tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    n_starts = int(kwargs.pop("n_starts", 1))
+    if n_starts > 1:
+        if callbacks or not normalize:
+            raise ValueError("n_starts > 1 requires the normalized "
+                             "no-callback path")
+        results = _registration_bcpd_multistart_batch(
+            [src], [tgt], w=w, maxiter=maxiter, tol=tol,
+            n_starts=n_starts, **kwargs)
+        return results[0]
     if not normalize:
         bc = CombinedBCPD(src, **kwargs)
         bc.set_callbacks(callbacks)
@@ -544,6 +553,46 @@ def registration_bcpd(
     v_raw = scale * res.v - centroid
     t_raw = scale * rt.t + centroid
     return tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw)
+
+
+def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,
+                         maxiter, tol, rank, block):
+    """VI restarts over the orientation grid: rotate the SOURCE by each grid
+    rotation (the IMQ Gram matrix is rotation-invariant, so it is computed
+    once), run the VI loop vmapped, select by the final NN-RMSE the loop
+    already tracks, and compose the winner back into the original frame:
+    T(R0 y) = s(R R0)(y + R0^T v) + t."""
+    if rank is None:
+        gmat = mu.inverse_multiquadric_kernel(source, source)
+    else:
+        gmat = tuple(_lowrank.lowrank_imq(source, 1.0, rank))
+
+    def run(rot0):
+        src_r = source @ rot0.T
+        sigma2_0 = gamma * mu.squared_kernel_sum(src_r, target)
+        transf, _, _, s2, rmse = _run_bcpd(
+            src_r, target, gmat, lmd, k, sigma2_0,
+            w=w, maxiter=maxiter, tol=tol, block=block)
+        rt = transf.rigid_trans
+        return rt.rot @ rot0, rt.t, rt.scale, transf.v @ rot0, s2, rmse
+
+    rot, t, scale, v, s2, rmse = jax.vmap(run)(rots0)
+    i = jnp.argmin(jnp.where(jnp.isnan(rmse), jnp.inf, rmse))
+    return tf.CombinedTransformation(rot[i], t[i], scale[i], v[i])
+
+
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
+def _run_bcpd_multistart_jit(source, target, gamma, lmd, k, rots0, **kw):
+    return _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, **kw)
+
+
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
+def _run_bcpd_multistart_batch(sources, targets, gamma, lmd, k, rots0, *,
+                               w, maxiter, tol, rank, block):
+    run = partial(_run_bcpd_multistart, gamma=gamma, lmd=lmd, k=k,
+                  rots0=rots0, w=w, maxiter=maxiter, tol=tol, rank=rank,
+                  block=block)
+    return jax.vmap(lambda s, t: run(s, t))(sources, targets)
 
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block",
@@ -574,7 +623,7 @@ def _run_bcpd_batch(sources, targets, lmd, k, gamma, *, w, maxiter, tol,
         else:
             gmat = tuple(_lowrank.lowrank_imq(src, 1.0, rank))
         sigma2 = gamma * mu.squared_kernel_sum(src, tgt)
-        transf, _, _, _ = _run_bcpd(
+        transf, *_ = _run_bcpd(
             src, tgt, gmat, lmd, k, sigma2,
             w=w, maxiter=maxiter, tol=tol, block=block)
         return transf
@@ -593,6 +642,7 @@ def registration_bcpd_batch(
     gamma: float = 1.0,
     rank=None,
     normalize: bool = True,
+    n_starts: int = 1,
 ) -> List[tf.Transformation]:
     """Register B cloud pairs with BCPD in ONE compiled program.
 
@@ -610,6 +660,14 @@ def registration_bcpd_batch(
 
     Returns a list of ``tf.CombinedTransformation``.
     """
+    if n_starts > 1:
+        if isinstance(sources, (list, tuple)) \
+                or isinstance(targets, (list, tuple)) or not normalize:
+            raise ValueError("n_starts > 1 supports non-ragged normalized "
+                             "batches only")
+        return _registration_bcpd_multistart_batch(
+            sources, targets, w=w, maxiter=maxiter, tol=tol,
+            n_starts=n_starts, lmd=lmd, k=k, gamma=gamma, rank=rank)
     if isinstance(sources, (list, tuple)) or isinstance(targets, (list, tuple)):
         return _registration_bcpd_ragged(
             list(sources), list(targets), w=w, maxiter=maxiter, tol=tol,
@@ -638,6 +696,53 @@ def registration_bcpd_batch(
         jnp.asarray(src_n, dt), jnp.asarray(tgt_n, dt),
         jnp.asarray(lmd, dt), jnp.asarray(k, dt), jnp.asarray(gamma, dt),
         w=float(w), maxiter=int(maxiter), tol=float(tol),
+        rank=None if rank is None else int(rank),
+        block=int(_config.config.estep_chunk))
+    rot = np.asarray(transf.rigid_trans.rot)
+    tvec = np.asarray(transf.rigid_trans.t)
+    s = np.asarray(transf.rigid_trans.scale)
+    v = np.asarray(transf.v)
+    return [
+        tf.CombinedTransformation(
+            rot[i], scale[i] * tvec[i] + centroid[i], s[i],
+            scale[i] * v[i] - centroid[i])
+        for i in range(b)
+    ]
+
+
+def _registration_bcpd_multistart_batch(sources, targets, *, w, maxiter,
+                                        tol, n_starts, lmd=2.0, k=1.0e20,
+                                        gamma=1.0, rank=None):
+    """Normalized multistart BCPD over a (stacked or listed) equal-size
+    batch: one dispatch runs B pairs x S orientation-grid starts."""
+    from . import cost_functions as cf
+
+    src = np.stack([np.asarray(interop.as_points(s), np.float64)
+                    for s in sources]) if isinstance(sources, (list, tuple)) \
+        else np.asarray(interop.as_points(sources), np.float64)
+    tgt = np.stack([np.asarray(interop.as_points(t), np.float64)
+                    for t in targets]) if isinstance(targets, (list, tuple)) \
+        else np.asarray(interop.as_points(targets), np.float64)
+    b, m, dim = src.shape
+    n = tgt.shape[1]
+    if dim != 3:
+        raise ValueError("n_starts > 1 supports 3-D clouds only")
+    centroid = (src.sum(axis=1) + tgt.sum(axis=1)) / (m + n)
+    src_h = src - centroid[:, None]
+    tgt_h = tgt - centroid[:, None]
+    skc = ((src_h ** 2).sum(axis=(1, 2)) * n
+           + (tgt_h ** 2).sum(axis=(1, 2)) * m
+           - 2.0 * np.einsum("bd,bd->b", src_h.sum(axis=1),
+                             tgt_h.sum(axis=1))) / (m * dim * n)
+    scale = np.maximum(np.sqrt(skc), 1e-12)
+    dt = _config.config.dtype
+    rots0 = jnp.asarray(
+        cf.RigidCostFunction.initial_multistart_rots(int(n_starts)), dt)
+    transf = _run_bcpd_multistart_batch(
+        jnp.asarray(src_h / scale[:, None, None], dt),
+        jnp.asarray(tgt_h / scale[:, None, None], dt),
+        jnp.asarray(gamma, dt), jnp.asarray(lmd, dt), jnp.asarray(k, dt),
+        rots0, w=float(w), maxiter=int(maxiter), tol=float(tol),
         rank=None if rank is None else int(rank),
         block=int(_config.config.estep_chunk))
     rot = np.asarray(transf.rigid_trans.rot)

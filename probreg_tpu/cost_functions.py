@@ -129,6 +129,16 @@ class RigidCostFunction(CostFunction):
             raise ValueError(f"n_starts <= {len(quats)}")
         return x0s[:n_starts]
 
+    @staticmethod
+    def initial_multistart_rots(n_starts: int) -> np.ndarray:
+        """(S, 3, 3) rotation-matrix view of the orientation grid, shared by
+        the CPD/FilterReg/GMMTree/BCPD n_starts restarts."""
+        from .utils import se3_op as so
+
+        quats = RigidCostFunction.initial_multistart(n_starts)[:, :4]
+        return np.stack([np.asarray(so.quat2mat_np(q), np.float32)
+                         for q in quats])
+
     def __call__(self, theta, *args):
         mu_source, phi_source, mu_target, phi_target, sigma = args
         f, g = _rigid_vg(

@@ -379,9 +379,7 @@ def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
 
     if dim != 3:
         raise ValueError("n_starts > 1 supports 3-D clouds only")
-    quats = cf.RigidCostFunction.initial_multistart(n_starts)[:, :4]
-    return np.stack([np.asarray(so.quat2mat_np(q), np.float32)
-                     for q in quats])
+    return cf.RigidCostFunction.initial_multistart_rots(n_starts)
 
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_c"))

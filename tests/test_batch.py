@@ -91,6 +91,19 @@ def test_gmmtree_multistart_large_rotation(horse_cloud):
     np.testing.assert_allclose(rec_b, ang, atol=5e-2)
 
 
+def test_bcpd_multistart_large_rotation(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([0.0, 0.0, 120.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    base = nn_rmse(src, tgt)
+    res = bcpd.registration_bcpd(src, tgt, maxiter=100, tol=0.0, lmd=10.0,
+                                 n_starts=10)
+    assert nn_rmse(np.asarray(res.transform(src)), tgt) < 0.25 * base
+    batch = bcpd.registration_bcpd_batch(src[None], tgt[None], maxiter=100,
+                                         tol=0.0, lmd=10.0, n_starts=10)[0]
+    assert nn_rmse(np.asarray(batch.transform(src)), tgt) < 0.25 * base
+
+
 def test_batch_ragged_rigid(horse_cloud):
     """Pairs with different point counts in one program (masked padding)."""
     src = np.asarray(horse_cloud, dtype=np.float32)
