@@ -130,11 +130,18 @@ class RigidCostFunction(CostFunction):
         return x0s[:n_starts]
 
     @staticmethod
-    def initial_multistart_rots(n_starts: int) -> np.ndarray:
-        """(S, 3, 3) rotation-matrix view of the orientation grid, shared by
-        the CPD/FilterReg/GMMTree/BCPD n_starts restarts."""
+    def initial_multistart_rots(n_starts: int, dim: int = 3) -> np.ndarray:
+        """(S, D, D) rotation-matrix view of the orientation grid, shared by
+        the CPD/FilterReg/GMMTree/BCPD n_starts restarts. 3-D: identity +
+        180/90/-90 deg about each axis (<=10). 2-D: n_starts angles evenly
+        spaced on the circle starting at identity."""
         from .utils import se3_op as so
 
+        if dim == 2:
+            angs = 2.0 * np.pi * np.arange(n_starts) / n_starts
+            return np.stack([
+                np.asarray([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]],
+                           np.float32) for a in angs])
         quats = RigidCostFunction.initial_multistart(n_starts)[:, :4]
         return np.stack([np.asarray(so.quat2mat_np(q), np.float32)
                          for q in quats])

@@ -907,20 +907,15 @@ def _run_em_t_batch(sources, targets, *, kind, w, maxiter, tol,
 
 
 def _multistart_inits(n_starts: int, dim: int) -> np.ndarray:
-    """(S, D*D+D+1) packed (rot, t, scale) EM starts on the same coarse
-    orientation grid l2dist multistart uses (identity, then 180/90/-90 deg
-    about each axis — cost_functions.initial_multistart)."""
+    """(S, D*D+D+1) packed (rot, t, scale) EM starts on the shared coarse
+    orientation grid (cost_functions.initial_multistart_rots; 3-D: identity
+    + 180/90/-90 deg about each axis, 2-D: evenly spaced circle)."""
     from . import cost_functions as cf
-    from .utils import se3_op as so
 
-    if dim != 3:
-        raise ValueError("n_starts > 1 supports 3-D clouds only")
-    quats = cf.RigidCostFunction.initial_multistart(n_starts)[:, :4]
-    out = np.zeros((len(quats), dim * dim + dim + 1), np.float32)
-    for i, qt in enumerate(quats):
-        out[i, : dim * dim] = np.asarray(
-            so.quat2mat_np(qt), np.float32).ravel()
-        out[i, -1] = 1.0
+    rots = cf.RigidCostFunction.initial_multistart_rots(n_starts, dim)
+    out = np.zeros((len(rots), dim * dim + dim + 1), np.float32)
+    out[:, : dim * dim] = rots.reshape(len(rots), -1)
+    out[:, -1] = 1.0
     return out
 
 

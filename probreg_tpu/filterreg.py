@@ -718,9 +718,7 @@ def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
     """(S, D, D) rotation starts on the shared coarse orientation grid."""
     from . import cost_functions as cf
 
-    if dim != 3:
-        raise ValueError("n_starts > 1 supports 3-D clouds only")
-    return cf.RigidCostFunction.initial_multistart_rots(n_starts)
+    return cf.RigidCostFunction.initial_multistart_rots(n_starts, dim)
 
 
 def _run_em_rigid_multistart(source, target, normals, rots0, sigma2_0, *,

@@ -63,6 +63,18 @@ def test_cpd_multistart_large_rotation(horse_cloud):
     np.testing.assert_allclose(rec_b, ang, atol=1e-2)
 
 
+def test_cpd_multistart_2d():
+    """2-D clouds get an evenly-spaced circle grid instead of the 3-D one."""
+    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    a = np.deg2rad(140.0)
+    rot = np.asarray([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]],
+                     np.float32)
+    tgt = src @ rot.T
+    res = cpd.registration_cpd(src, tgt, maxiter=80, tol=1e-6, n_starts=8)
+    np.testing.assert_allclose(np.asarray(res.transformation.rot), rot,
+                               atol=1e-3)
+
+
 def test_filterreg_multistart_large_rotation(horse_cloud):
     src = np.asarray(horse_cloud, dtype=np.float32)[::2]
     ang = np.deg2rad([0.0, 0.0, 120.0])
