@@ -183,18 +183,29 @@ def constrained_nonrigid_maximization_step(
 # ones-row yields p1 for free). Measured on v5e at bunny size: 0.002 ms/iter
 # vs 0.3 ms/iter for the (M, 3) layout.
 
-def _estep_t(t_src_t, xs_t, xs_ext, x2, sigma2, w):
-    """Transposed E-step: returns (pt1 (N,), p1 (M,), px_t (D, M), n_p, xx)."""
+def _estep_t(t_src_t, xs_t, xs_ext, x2, sigma2, w, kmask=None, m_eff=None,
+             n_eff=None):
+    """Transposed E-step: returns (pt1 (N,), p1 (M,), px_t (D, M), n_p, xx).
+
+    ``kmask``/``m_eff``/``n_eff``: ragged-batch padding — padded rows and
+    columns are zeroed out of the kernel matrix (they then carry no
+    posterior mass anywhere downstream) and the outlier constant uses the
+    true counts.
+    """
     dim, m = t_src_t.shape
     n = xs_t.shape[1]
+    if m_eff is None:
+        m_eff, n_eff = m, n
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, t_src_t.dtype)
-    c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
+    c = estep_ops.outlier_constant(sigma2, w, m_eff, n_eff, dim)
     y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]       # (M, 1)
     xy = jax.lax.dot_general(
         t_src_t, xs_t, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)               # (M, N)
     g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) / (2.0 * sigma2))
+    if kmask is not None:
+        g = g * kmask
     den_raw = jnp.sum(g, axis=0, keepdims=True)            # (1, N)
     den = jnp.where(den_raw == 0.0, eps, den_raw) + c
     pt1 = (den_raw / den)[0]
@@ -266,17 +277,22 @@ def _affine_mstep_t(ys_t, p1, px_t, n_p, xx):
 @partial(jax.jit, static_argnames=("kind", "w",
                                    "update_scale", "default_init"))
 def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
-              update_scale=True, default_init=True):
+              update_scale=True, default_init=True, smask=None, tmask=None):
     """Whole-EM while_loop in transposed layout (rigid / affine).
 
     Everything — the (D, M) relayout, the sigma2_0 / q0 initialization, the
     loop — is ONE jit call: a registration is a single host->device dispatch
     (each eager op costs a full RTT through remote-TPU transports).
+
+    ``smask``/``tmask``: optional (M,)/(N,) validity masks (ragged-batch
+    padding). Padded rows/columns carry no posterior mass and every
+    normalizer uses the true counts — EXACTLY the unpadded registration.
     """
     ys_t = source.T
     xs_t = target.T
     dim, m = ys_t.shape
     n = xs_t.shape[1]
+    masked = smask is not None
     if default_init:
         lin0 = jnp.eye(dim, dtype=source.dtype)
         t0 = jnp.zeros(dim, dtype=source.dtype)
@@ -287,15 +303,23 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
         t0 = init[dim * dim: dim * dim + dim]
         scale0 = init[dim * dim + dim]
     # sigma2_0 = squared_kernel_sum in closed form (O(M+N), math_utils.py:28).
-    sigma2_0 = mu.squared_kernel_sum(source, target)
-    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
+    if masked:
+        m_eff, n_eff = jnp.sum(smask), jnp.sum(tmask)
+        kmask = smask[:, None] * tmask[None, :]            # (M, N)
+        sigma2_0 = mu.masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask)
+    else:
+        m_eff, n_eff, kmask = None, n, None
+        sigma2_0 = mu.squared_kernel_sum(source, target)
+    q0 = 1.0 + n_eff * dim * 0.5 * jnp.log(sigma2_0)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
     xs_ext = jnp.concatenate(
         [xs_t, jnp.ones((1, n), xs_t.dtype)], axis=0)      # (D+1, N)
 
     def step(lin, t, scale, sigma2):
         t_src = scale * lin @ ys_t + t[:, None]
-        _, p1, px_t, n_p, xx = _estep_t(t_src, xs_t, xs_ext, x2, sigma2, w)
+        _, p1, px_t, n_p, xx = _estep_t(
+            t_src, xs_t, xs_ext, x2, sigma2, w,
+            kmask, m_eff, n_eff if masked else None)
         if kind == "rigid":
             return _rigid_mstep_t(ys_t, p1, px_t, n_p, xx, update_scale)
 
@@ -947,90 +971,14 @@ def _run_em_t_multistart_batch(sources, targets, inits, *, w, maxiter, tol,
     return jax.vmap(lambda s, t: run(s, t, inits))(sources, targets)
 
 
-def _run_em_t_masked(source, target, smask, tmask, *, kind, w, maxiter, tol,
-                     update_scale=True):
-    """_run_em_t with per-point validity masks (ragged-batch padding).
-
-    Padded rows/columns are zeroed out of the Gaussian kernel matrix, so
-    they carry no posterior mass: p1/px vanish for padded sources, pt1/xx
-    for padded targets, and every M-step reduction is weighted by those
-    moments — the result is EXACTLY the unpadded registration. The true
-    per-pair counts (mask sums) feed the outlier constant c = w/(1-w)·M/N
-    and the sigma2_0 / q0 initializers.
-    """
-    ys_t = source.T
-    xs_t = target.T
-    dim = ys_t.shape[0]
-    m_true = jnp.sum(smask)
-    n_true = jnp.sum(tmask)
-    lin0 = jnp.eye(dim, dtype=source.dtype)
-    t0 = jnp.zeros(dim, dtype=source.dtype)
-    scale0 = jnp.asarray(1.0, source.dtype)
-    # Masked squared_kernel_sum in closed form (cf. ops/pairwise.sqdist_sum).
-    ssum = ys_t @ smask
-    tsum = xs_t @ tmask
-    s2 = jnp.sum(jnp.sum(ys_t * ys_t, axis=0) * smask)
-    t2 = jnp.sum(jnp.sum(xs_t * xs_t, axis=0) * tmask)
-    sigma2_0 = (s2 * n_true + t2 * m_true - 2.0 * ssum @ tsum) \
-        / (m_true * dim * n_true)
-    q0 = 1.0 + n_true * dim * 0.5 * jnp.log(sigma2_0)
-    x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
-    xs_ext = jnp.concatenate(
-        [xs_t, jnp.ones((1, xs_t.shape[1]), xs_t.dtype)], axis=0)
-    kmask = smask[:, None] * tmask[None, :]                # (M, N)
-    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
-
-    def step(lin, t, scale, sigma2):
-        t_src = scale * lin @ ys_t + t[:, None]
-        c = estep_ops.outlier_constant(sigma2, w, m_true, n_true, dim)
-        y2 = jnp.sum(t_src * t_src, axis=0)[:, None]
-        xy = jax.lax.dot_general(
-            t_src, xs_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)
-                    / (2.0 * sigma2)) * kmask
-        den_raw = jnp.sum(g, axis=0, keepdims=True)
-        den = jnp.where(den_raw == 0.0, eps, den_raw) + c
-        pt1 = (den_raw / den)[0]
-        pmat = g / den
-        pxp = jax.lax.dot_general(
-            xs_ext, pmat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        px_t, p1 = pxp[:dim], pxp[dim]
-        n_p = jnp.sum(p1)
-        xx = jnp.sum(pt1 * x2[0])
-        if kind == "rigid":
-            return _rigid_mstep_t(ys_t, p1, px_t, n_p, xx, update_scale)
-        b, t_new, s2_new, q = _affine_mstep_t(ys_t, p1, px_t, n_p, xx)
-        return b, t_new, jnp.asarray(1.0, ys_t.dtype), s2_new, q
-
-    def cond(state):
-        _, _, _, _, q, q_prev, i = state
-        return jnp.logical_and(
-            i < maxiter,
-            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
-
-    def body(state):
-        lin, t, scale, sigma2, q, _, i = state
-        lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
-        return (lin, t, scale, sigma2, q_new, q, i + 1)
-
-    state = (lin0, t0, scale0, sigma2_0, q0,
-             jnp.asarray(jnp.inf, q0.dtype), jnp.asarray(0))
-    lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
-    return lin, t, scale, sigma2, q
-
-
 @partial(jax.jit, static_argnames=("kind", "w", "update_scale"))
 def _run_em_t_ragged_batch(sources, targets, smasks, tmasks, *, kind, w,
                            maxiter, tol, update_scale=True):
-    run = partial(_run_em_t_masked, kind=kind, w=w, maxiter=maxiter,
-                  tol=tol, update_scale=update_scale)
+    def run(src, tgt, sm, tm):
+        return _run_em_t(src, tgt, kind=kind, w=w, maxiter=maxiter, tol=tol,
+                         update_scale=update_scale, smask=sm, tmask=tm)
+
     return jax.vmap(run)(sources, targets, smasks, tmasks)
-
-
 
 
 def registration_cpd_batch(

@@ -227,12 +227,8 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
             else:
                 sigma2_0 = jnp.maximum(jnp.mean(nn2), min_sigma2 * 0.01)
         elif masked:
-            ssum = ys_t @ smask
-            tsum = xs_t @ tmask
-            s2m = jnp.sum(jnp.sum(ys_t * ys_t, axis=0) * smask)
-            t2m = jnp.sum(x2[0] * tmask)
             sigma2_0 = jnp.maximum(
-                (s2m * n + t2m * m - 2.0 * ssum @ tsum) / (m * dim * n),
+                mu.masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask),
                 min_sigma2)
         else:
             sigma2_0 = jnp.maximum(

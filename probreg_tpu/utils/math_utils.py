@@ -47,6 +47,23 @@ def squared_kernel_sum(x: jax.Array, y: jax.Array) -> jax.Array:
     return pairwise.sqdist_sum(x, y) / float(x.shape[0] * x.shape[1] * y.shape[0])
 
 
+def masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask) -> jax.Array:
+    """squared_kernel_sum over masked transposed clouds, in closed form.
+
+    Ragged-batch padding: the sums run over valid points only and the
+    normalizer uses the true counts — exactly squared_kernel_sum of the
+    unpadded pair. O(M+N), shared by the cpd / filterreg masked E-steps.
+    """
+    dim = ys_t.shape[0]
+    m = jnp.sum(smask)
+    n = jnp.sum(tmask)
+    ssum = ys_t @ smask
+    tsum = xs_t @ tmask
+    s2 = jnp.sum(jnp.sum(ys_t * ys_t, axis=0) * smask)
+    t2 = jnp.sum(jnp.sum(xs_t * xs_t, axis=0) * tmask)
+    return (s2 * n + t2 * m - 2.0 * ssum @ tsum) / (m * dim * n)
+
+
 def compute_rmse(source: jax.Array, target) -> jax.Array:
     """Mean nearest-neighbor distance from source to target.
 
