@@ -63,6 +63,22 @@ def test_cpd_multistart_large_rotation(horse_cloud):
     np.testing.assert_allclose(rec_b, ang, atol=1e-2)
 
 
+def test_cpd_multistart_noise_outliers(horse_cloud, rng):
+    """Multistart selection (min final sigma2) must still pick the right
+    basin with measurement noise and uniform outliers in the target."""
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([0.0, 0.0, 120.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    tgt = tgt + 0.002 * rng.standard_normal(tgt.shape).astype(np.float32)
+    lo, hi = tgt.min(0), tgt.max(0)
+    outliers = (lo + (hi - lo) * rng.random((40, 3))).astype(np.float32)
+    tgt = np.concatenate([tgt, outliers])
+    res = cpd.registration_cpd(src, tgt, w=0.2, maxiter=80, tol=1e-6,
+                               n_starts=10)
+    rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+    np.testing.assert_allclose(rec, ang, atol=5e-2)
+
+
 def test_cpd_multistart_2d():
     """2-D clouds get an evenly-spaced circle grid instead of the 3-D one."""
     src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
