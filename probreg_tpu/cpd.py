@@ -944,9 +944,10 @@ def _multistart_inits(n_starts: int, dim: int) -> np.ndarray:
 
 
 def _run_em_t_multistart(source, target, inits, *, w, maxiter, tol,
-                         update_scale):
+                         update_scale, smask=None, tmask=None):
     run = partial(_run_em_t, kind="rigid", w=w, maxiter=maxiter, tol=tol,
-                  update_scale=update_scale, default_init=False)
+                  update_scale=update_scale, default_init=False,
+                  smask=smask, tmask=tmask)
     lin, t, scale, sigma2, q = jax.vmap(
         lambda x0: run(source, target, x0))(inits)
     # Select by final sigma2: the EM variance IS the alignment residual and
@@ -969,6 +970,17 @@ def _run_em_t_multistart_batch(sources, targets, inits, *, w, maxiter, tol,
     run = partial(_run_em_t_multistart, w=w, maxiter=maxiter, tol=tol,
                   update_scale=update_scale)
     return jax.vmap(lambda s, t: run(s, t, inits))(sources, targets)
+
+
+@partial(jax.jit, static_argnames=("w", "update_scale"))
+def _run_em_t_multistart_ragged_batch(sources, targets, smasks, tmasks,
+                                      inits, *, w, maxiter, tol,
+                                      update_scale):
+    run = partial(_run_em_t_multistart, w=w, maxiter=maxiter, tol=tol,
+                  update_scale=update_scale)
+    return jax.vmap(
+        lambda s, t, sm, tm: run(s, t, inits, smask=sm, tmask=tm))(
+        sources, targets, smasks, tmasks)
 
 
 @partial(jax.jit, static_argnames=("kind", "w", "update_scale"))
@@ -1011,22 +1023,35 @@ def registration_cpd_batch(
     ragged = isinstance(sources, (list, tuple)) \
         or isinstance(targets, (list, tuple))
     if n_starts > 1:
-        if tf_type_name != "rigid" or ragged:
-            raise ValueError("n_starts > 1 supports non-ragged rigid "
-                             "batches only")
-        sources = jnp.asarray(
-            interop.as_points(sources, dtype=_config.config.dtype))
-        targets = jnp.asarray(
-            interop.as_points(targets, dtype=_config.config.dtype))
-        inits = _multistart_inits(int(n_starts), int(sources.shape[-1]))
-        lin, t, scale, sigma2, q = _run_em_t_multistart_batch(
-            sources, targets, jnp.asarray(inits), w=float(w),
-            maxiter=int(maxiter), tol=float(tol),
-            update_scale=bool(update_scale))
+        if tf_type_name != "rigid":
+            raise ValueError("n_starts > 1 supports rigid batches only")
+        if ragged:
+            src_p, smask = interop.pad_ragged(
+                list(sources), _config.config.dtype)
+            tgt_p, tmask = interop.pad_ragged(
+                list(targets), _config.config.dtype)
+            inits = _multistart_inits(int(n_starts), int(src_p.shape[-1]))
+            lin, t, scale, sigma2, q = _run_em_t_multistart_ragged_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p),
+                jnp.asarray(smask), jnp.asarray(tmask), jnp.asarray(inits),
+                w=float(w), maxiter=int(maxiter), tol=float(tol),
+                update_scale=bool(update_scale))
+            nb = src_p.shape[0]
+        else:
+            sources = jnp.asarray(
+                interop.as_points(sources, dtype=_config.config.dtype))
+            targets = jnp.asarray(
+                interop.as_points(targets, dtype=_config.config.dtype))
+            inits = _multistart_inits(int(n_starts), int(sources.shape[-1]))
+            lin, t, scale, sigma2, q = _run_em_t_multistart_batch(
+                sources, targets, jnp.asarray(inits), w=float(w),
+                maxiter=int(maxiter), tol=float(tol),
+                update_scale=bool(update_scale))
+            nb = sources.shape[0]
         return [
             MstepResult(tf.RigidTransformation(lin[b], t[b], scale[b]),
                         sigma2[b], q[b])
-            for b in range(sources.shape[0])
+            for b in range(nb)
         ]
     if ragged:
         src_p, smask = interop.pad_ragged(list(sources), _config.config.dtype)

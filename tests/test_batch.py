@@ -63,6 +63,20 @@ def test_cpd_multistart_large_rotation(horse_cloud):
     np.testing.assert_allclose(rec_b, ang, atol=1e-2)
 
 
+def test_cpd_multistart_ragged(horse_cloud):
+    """n_starts composes with ragged batches (both live in _run_em_t)."""
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([0.0, 0.0, 120.0]), np.deg2rad([5.0, -3.0, 4.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = cpd.registration_cpd_batch(sources, targets, maxiter=80,
+                                         tol=1e-6, n_starts=10)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=1e-2)
+
+
 def test_cpd_multistart_noise_outliers(horse_cloud, rng):
     """Multistart selection (min final sigma2) must still pick the right
     basin with measurement noise and uniform outliers in the target."""
