@@ -293,7 +293,8 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         return mom, dmin
 
     def body(state):
-        rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
+        (rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev,
+         i, best) = state
         t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]   # (D, M)
 
         # --- E-step (bcpd_estep in transposed layout)
@@ -332,11 +333,23 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
          sigma2_new) = _vi_mstep_t(
             ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
             m_eff=m_eff if masked else None)
+        # Track the best state VISITED (by the loop's own NN-RMSE
+        # criterion): the VI trajectory keeps trading scale against v after
+        # convergence (chaotic in f32), so the LAST iterate can be worse
+        # than one it already passed through. `rmse` scores the incoming
+        # (rot, t, scale, v) state.
+        b_rot, b_t, b_scale, b_v, b_s2, b_rmse = best
+        better = rmse < b_rmse
+        best = (jnp.where(better, rot, b_rot), jnp.where(better, t, b_t),
+                jnp.where(better, scale, b_scale),
+                jnp.where(better, v_hat_t, b_v),
+                jnp.where(better, sigma2, b_s2),
+                jnp.minimum(rmse, b_rmse))
         return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
-                alpha_new, sigma2_new, rmse, state[7], i + 1)
+                alpha_new, sigma2_new, rmse, state[7], i + 1, best)
 
     def cond(state):
-        _, _, _, _, _, _, _, rmse, rmse_prev, i = state
+        _, _, _, _, _, _, _, rmse, rmse_prev, i, _ = state
         return jnp.logical_and(
             i < maxiter,
             jnp.logical_or(i < 2, jnp.abs(rmse - rmse_prev) >= tol),
@@ -344,15 +357,51 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
 
     alpha0 = smask / m_eff if masked \
         else jnp.full((m,), 1.0 / m, source.dtype)
+    inf = jnp.asarray(jnp.inf, source.dtype)
+    best0 = (jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
+             jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
+             sigma2_0, inf)
     state = (
         jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
         jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
         jnp.ones((m,), source.dtype), alpha0, sigma2_0,
-        jnp.asarray(jnp.inf, source.dtype), jnp.asarray(jnp.inf, source.dtype),
-        jnp.asarray(0),
+        inf, inf, jnp.asarray(0), best0,
     )
     state = jax.lax.while_loop(cond, body, state)
-    rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, rmse = state[:8]
+    rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _ = state[:8]
+    b_rot, b_t, b_scale, b_v, b_s2, b_rmse = state[10]
+
+    # The last iterate was never scored; score it once and keep whichever
+    # of (last, best-visited) has the lower NN-RMSE.
+    t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
+    y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+    row1 = jnp.ones((m,), source.dtype)
+    if blocked:
+        def dblk(carry, blk):
+            xs_b, v_b, mask_b = blk
+            _, dmin = _estep_cols(t_src_t, y2, row1, sigma2_0, xs_b, v_b,
+                                  mask_b)
+            return jnp.minimum(carry, dmin), None
+
+        minrow, _ = jax.lax.scan(
+            dblk, jnp.full((m,), jnp.inf, source.dtype),
+            (xs_blocks, v_blocks, m_blocks))
+    else:
+        _, minrow = _estep_cols(
+            t_src_t, y2, row1, sigma2_0, xs_t, v_chan,
+            tmask[None, :] if masked else jnp.ones((1, n), xs_t.dtype))
+    if masked:
+        rmse_last = jnp.sum(
+            jnp.where(smask > 0, jnp.sqrt(minrow), 0.0)) / m_eff
+    else:
+        rmse_last = jnp.mean(jnp.sqrt(minrow))
+    use_last = rmse_last <= b_rmse
+    rot = jnp.where(use_last, rot, b_rot)
+    t = jnp.where(use_last, t, b_t)
+    scale = jnp.where(use_last, scale, b_scale)
+    v_hat_t = jnp.where(use_last, v_hat_t, b_v)
+    sigma2 = jnp.where(use_last, sigma2, b_s2)
+    rmse = jnp.minimum(rmse_last, b_rmse)
     return (tf.CombinedTransformation(rot, t, scale, v_hat_t.T),
             sigma_diag, alpha, sigma2, rmse)
 
