@@ -647,7 +647,8 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
         return jax.lax.psum(mom, axis), jax.lax.pmin(dmin, axis)
 
     def body(state):
-        rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev, i = state
+        (rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev,
+         i, best) = state
         t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
         row = (1.0 - w) * alpha * jnp.exp(
             -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
@@ -657,8 +658,17 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
         (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
          sigma2_new) = bcpd_mod._vi_mstep_t(
             ys_t, rot, t, scale, sigma2, gram, lmd, k, px_t, nu, s1)
+        # Best-visited tracking — same rationale as bcpd._run_bcpd: the VI
+        # trajectory wanders after convergence, so keep the best iterate by
+        # the loop's own NN-RMSE. `rmse` scores the incoming state.
+        b_rot, b_t, b_scale, b_v, b_rmse = best
+        better = rmse < b_rmse
+        best = (jnp.where(better, rot, b_rot), jnp.where(better, t, b_t),
+                jnp.where(better, scale, b_scale),
+                jnp.where(better, v_hat_t, b_v),
+                jnp.minimum(rmse, b_rmse))
         return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
-                alpha_new, sigma2_new, rmse, state[7], i + 1)
+                alpha_new, sigma2_new, rmse, state[7], i + 1, best)
 
     def cond(state):
         rmse, rmse_prev, i = state[7], state[8], state[9]
@@ -666,16 +676,29 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
             i < maxiter,
             jnp.logical_or(i < 2, jnp.abs(rmse - rmse_prev) >= tol))
 
+    inf = jnp.asarray(jnp.inf, source.dtype)
+    best0 = (jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
+             jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t), inf)
     state = (
         jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
         jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
         jnp.ones((m,), source.dtype),
         jnp.full((m,), 1.0 / m, source.dtype), sigma2_0,
-        jnp.asarray(jnp.inf, source.dtype),
-        jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0),
+        inf, inf, jnp.asarray(0), best0,
     )
     state = jax.lax.while_loop(cond, body, state)
     rot, t, scale, v_hat_t = state[:4]
+    b_rot, b_t, b_scale, b_v, b_rmse = state[10]
+    # Score the last iterate once and keep the better of (last, best).
+    t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
+    _, dmin = estep(t_src_t, xs_t_sh, mask_sh,
+                    jnp.ones((m,), source.dtype), sigma2_0)
+    rmse_last = jnp.mean(jnp.sqrt(dmin))
+    use_last = rmse_last <= b_rmse
+    rot = jnp.where(use_last, rot, b_rot)
+    t = jnp.where(use_last, t, b_t)
+    scale = jnp.where(use_last, scale, b_scale)
+    v_hat_t = jnp.where(use_last, v_hat_t, b_v)
     return rot, t, scale, v_hat_t
 
 
