@@ -319,7 +319,8 @@ class FilterReg(abc.ABC):
     """
 
     def __init__(self, source=None, target_normals=None, sigma2=None,
-                 update_sigma2: bool = False, estep_method: str = "dense"):
+                 update_sigma2: bool = False, estep_method: str = "dense",
+                 use_pallas: Optional[bool] = None):
         self._source = None if source is None else _as_jnp(source)
         self._target_normals = (
             None if target_normals is None
@@ -328,6 +329,8 @@ class FilterReg(abc.ABC):
         self._sigma2 = sigma2
         self._update_sigma2 = update_sigma2
         self._estep_method = estep_method
+        # None: config default; False pins the XLA path (cf. RigidCPD).
+        self._use_pallas = use_pallas
         self._tf_type = None
         self._tf_result = None
         self._callbacks: List[Callable] = []
@@ -463,6 +466,7 @@ class FilterReg(abc.ABC):
             ) if self._source.shape[1] == 3 else False
             if (objective_type == "pt2pt" and identity_init
                     and _config.config.use_fused_em
+                    and self._use_pallas is not False
                     and m * n <= _config.config.fused_em_max_pairs
                     and jax.default_backend() == "tpu"):
                 from .ops import em_pallas
