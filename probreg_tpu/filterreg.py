@@ -723,7 +723,8 @@ def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
 
 def _run_em_rigid_multistart(source, target, normals, rots0, sigma2_0, *,
                              objective_type, update_sigma2, w, maxiter, tol,
-                             min_sigma2, sigma2_decay, auto_sigma2):
+                             min_sigma2, sigma2_decay, auto_sigma2,
+                             smask=None, tmask=None):
     t0 = jnp.zeros((source.shape[1],), source.dtype)
 
     def run(rot0):
@@ -731,7 +732,8 @@ def _run_em_rigid_multistart(source, target, normals, rots0, sigma2_0, *,
             source, target, normals, rot0, t0, sigma2_0,
             objective_type=objective_type, update_sigma2=update_sigma2,
             w=w, maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
-            sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2)
+            sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2,
+            smask=smask, tmask=tmask)
 
     res = jax.vmap(run)(rots0)
     # Selection: with update_sigma2 the final variance is the alignment
@@ -769,6 +771,25 @@ def _run_em_rigid_multistart_batch(sources, targets, normals, rots0,
             sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2)
 
     return jax.vmap(run)(sources, targets, normals)
+
+
+@partial(jax.jit, static_argnames=(
+    "objective_type", "update_sigma2", "w", "maxiter", "tol", "min_sigma2",
+    "sigma2_decay", "auto_sigma2"))
+def _run_em_rigid_multistart_ragged_batch(sources, targets, normals, smasks,
+                                          tmasks, rots0, sigma2_0, *,
+                                          objective_type, update_sigma2, w,
+                                          maxiter, tol, min_sigma2,
+                                          sigma2_decay, auto_sigma2):
+    def run(src, tgt, nrm, sm, tm):
+        return _run_em_rigid_multistart(
+            src, tgt, nrm, rots0, sigma2_0,
+            objective_type=objective_type, update_sigma2=update_sigma2,
+            w=w, maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            sigma2_decay=sigma2_decay, auto_sigma2=auto_sigma2,
+            smask=sm, tmask=tm)
+
+    return jax.vmap(run)(sources, targets, normals, smasks, tmasks)
 
 
 @partial(jax.jit, static_argnames=(
@@ -837,21 +858,35 @@ def registration_filterreg_batch(
         auto_sigma2=auto)
     if n_starts > 1:
         if ragged:
-            raise ValueError("n_starts > 1 supports non-ragged batches only")
-        sources = _as_jnp(sources)
-        targets = _as_jnp(targets)
-        normals = _as_jnp(target_normals) \
-            if objective_type == "pt2pl" else None
-        res = _run_em_rigid_multistart_batch(
-            sources, targets, normals,
-            jnp.asarray(_multistart_rots(
-                int(n_starts), int(sources.shape[-1]))),
-            np.float32(0.0 if auto else sigma2), **kwargs)
+            dt = _config.config.dtype
+            src_p, smask = interop.pad_ragged(list(sources), dt)
+            tgt_p, tmask = interop.pad_ragged(list(targets), dt)
+            nrm_p = jnp.asarray(interop.pad_ragged(
+                list(target_normals), dt)[0]) \
+                if objective_type == "pt2pl" else None
+            nb = src_p.shape[0]
+            res = _run_em_rigid_multistart_ragged_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p), nrm_p,
+                jnp.asarray(smask), jnp.asarray(tmask),
+                jnp.asarray(_multistart_rots(
+                    int(n_starts), int(src_p.shape[-1]))),
+                np.float32(0.0 if auto else sigma2), **kwargs)
+        else:
+            sources = _as_jnp(sources)
+            targets = _as_jnp(targets)
+            normals = _as_jnp(target_normals) \
+                if objective_type == "pt2pl" else None
+            nb = sources.shape[0]
+            res = _run_em_rigid_multistart_batch(
+                sources, targets, normals,
+                jnp.asarray(_multistart_rots(
+                    int(n_starts), int(sources.shape[-1]))),
+                np.float32(0.0 if auto else sigma2), **kwargs)
         rot, t = res.transformation.rot, res.transformation.t
         return [
             MstepResult(tf.RigidTransformation(rot[b], t[b]),
                         res.sigma2[b], res.q[b])
-            for b in range(sources.shape[0])
+            for b in range(nb)
         ]
     if ragged:
         dt = _config.config.dtype

@@ -382,27 +382,29 @@ def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_c"))
 def _run_registration_multistart(target, pi, mu, cov, rots0, *, max_level,
-                                 lambda_c, maxiter, tol):
+                                 lambda_c, maxiter, tol, tmask=None):
     n, dim = target.shape
     t0 = jnp.zeros((dim,), target.dtype)
     xs_t0 = target.T
     estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
-    ones_mask = jnp.ones((1, n), target.dtype)
+    col_mask = tmask[None, :] if tmask is not None \
+        else jnp.ones((1, n), target.dtype)
 
     def run(rot0):
         rot, t, q = _run_registration(target, pi, mu, cov, rot0, t0,
                                       max_level=max_level, lambda_c=lambda_c,
-                                      maxiter=maxiter, tol=tol)
+                                      maxiter=maxiter, tol=tol, tmask=tmask)
         # Basin selection CANNOT use the twist residual q: a start where no
         # node matches (all m0 < eps) zeroes the lstsq system and reports
         # q = 0 — the worst outcome scoring as the best. Rescore the final
         # pose by the m0-weighted distance of each node's assigned-point
         # centroid to the node mean, with unmatched mass scored infinite.
-        m0, m1 = estep_core(rot @ xs_t0 + t[:, None], ones_mask)
+        m0, m1 = estep_core(rot @ xs_t0 + t[:, None], col_mask)
         m0s = jnp.maximum(m0, _EPS)
         d2 = jnp.sum((m1 / m0s[:, None] - mu) ** 2, axis=1)
         mass = jnp.sum(m0)
-        score = jnp.where(mass > 1e-3 * n,
+        n_eff = jnp.sum(tmask) if tmask is not None else n
+        score = jnp.where(mass > 1e-3 * n_eff,
                           jnp.sum(m0 * d2) / jnp.maximum(mass, _EPS),
                           jnp.inf)
         return rot, t, q, score
@@ -579,6 +581,23 @@ def _run_gmmtree_multistart_batch(sources, targets, rots0, seed, *,
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
                                    "maxiter", "tol"))
+def _run_gmmtree_multistart_ragged_batch(sources, targets, smasks, tmasks,
+                                         rots0, seed, *, max_level,
+                                         lambda_s, lambda_c, maxiter, tol):
+    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
+
+    def run(src, tgt, sm, tm, key):
+        pi, mu, cov = _build(src, key, max_level=max_level,
+                             lambda_s=lambda_s, lambda_d=1.0e-4, smask=sm)
+        return _run_registration_multistart(
+            tgt, pi, mu, cov, rots0, max_level=max_level,
+            lambda_c=lambda_c, maxiter=maxiter, tol=tol, tmask=tm)
+
+    return jax.vmap(run)(sources, targets, smasks, tmasks, keys)
+
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
+                                   "maxiter", "tol"))
 def _run_registration_ragged_batch(sources, targets, smasks, tmasks, seed, *,
                                    max_level, lambda_s, lambda_c, maxiter,
                                    tol):
@@ -626,20 +645,34 @@ def registration_gmmtree_batch(
         or isinstance(targets, (list, tuple))
     if n_starts > 1:
         if ragged:
-            raise ValueError("n_starts > 1 supports non-ragged batches only")
-        sources = jnp.asarray(
-            interop.as_points(sources, dtype=_config.config.dtype))
-        targets = jnp.asarray(
-            interop.as_points(targets, dtype=_config.config.dtype))
-        rots0 = jnp.asarray(_multistart_rots(int(n_starts),
-                                             int(sources.shape[-1])))
-        rot, t, q = _run_gmmtree_multistart_batch(
-            sources, targets, rots0, np.uint32(seed),
-            max_level=int(tree_level), lambda_s=float(lambda_s),
-            lambda_c=float(lambda_c), maxiter=int(maxiter), tol=float(tol))
+            dt = _config.config.dtype
+            src_p, smask = interop.pad_ragged(list(sources), dt)
+            tgt_p, tmask = interop.pad_ragged(list(targets), dt)
+            rots0 = jnp.asarray(_multistart_rots(int(n_starts),
+                                                 int(src_p.shape[-1])))
+            rot, t, q = _run_gmmtree_multistart_ragged_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p),
+                jnp.asarray(smask), jnp.asarray(tmask), rots0,
+                np.uint32(seed), max_level=int(tree_level),
+                lambda_s=float(lambda_s), lambda_c=float(lambda_c),
+                maxiter=int(maxiter), tol=float(tol))
+            nb = src_p.shape[0]
+        else:
+            sources = jnp.asarray(
+                interop.as_points(sources, dtype=_config.config.dtype))
+            targets = jnp.asarray(
+                interop.as_points(targets, dtype=_config.config.dtype))
+            rots0 = jnp.asarray(_multistart_rots(int(n_starts),
+                                                 int(sources.shape[-1])))
+            rot, t, q = _run_gmmtree_multistart_batch(
+                sources, targets, rots0, np.uint32(seed),
+                max_level=int(tree_level), lambda_s=float(lambda_s),
+                lambda_c=float(lambda_c), maxiter=int(maxiter),
+                tol=float(tol))
+            nb = sources.shape[0]
         return [
             MstepResult(tf.RigidTransformation(rot[b], t[b]).inverse(), q[b])
-            for b in range(sources.shape[0])
+            for b in range(nb)
         ]
     if ragged:
         dt = _config.config.dtype

@@ -146,6 +146,32 @@ def test_bcpd_multistart_large_rotation(horse_cloud):
     assert nn_rmse(np.asarray(batch.transform(src)), tgt) < 0.25 * base
 
 
+def test_filterreg_multistart_ragged(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([0.0, 0.0, 120.0]), np.deg2rad([5.0, -3.0, 4.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = filterreg.registration_filterreg_batch(
+        sources, targets, maxiter=80, tol=1e-6, n_starts=10)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=2e-1)
+
+
+def test_gmmtree_multistart_ragged(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([0.0, 0.0, 120.0]), np.deg2rad([5.0, -3.0, 4.0])]
+    sources = [src, src[::2]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = gmmtree.registration_gmmtree_batch(
+        sources, targets, maxiter=40, tol=1e-6, n_starts=10)
+    for res, ang in zip(results, angs):
+        rec = np.asarray(se3_op.mat2euler(res.transformation.rot))
+        np.testing.assert_allclose(rec, ang, atol=5e-2)
+
+
 def test_batch_ragged_rigid(horse_cloud):
     """Pairs with different point counts in one program (masked padding)."""
     src = np.asarray(horse_cloud, dtype=np.float32)
