@@ -605,23 +605,30 @@ def registration_bcpd(
 
 
 def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,
-                         maxiter, tol, rank, block):
+                         maxiter, tol, rank, block, smask=None, tmask=None,
+                         min_m=None):
     """VI restarts over the orientation grid: rotate the SOURCE by each grid
     rotation (the IMQ Gram matrix is rotation-invariant, so it is computed
     once), run the VI loop vmapped, select by the final NN-RMSE the loop
     already tracks, and compose the winner back into the original frame:
-    T(R0 y) = s(R R0)(y + R0^T v) + t."""
+    T(R0 y) = s(R R0)(y + R0^T v) + t. Optional masks: ragged padding."""
     if rank is None:
         gmat = mu.inverse_multiquadric_kernel(source, source)
     else:
-        gmat = tuple(_lowrank.lowrank_imq(source, 1.0, rank))
+        gmat = tuple(_lowrank.lowrank_imq(source, 1.0, rank, valid=smask,
+                                          max_landmarks=min_m))
 
     def run(rot0):
         src_r = source @ rot0.T
-        sigma2_0 = gamma * mu.squared_kernel_sum(src_r, target)
+        if smask is None:
+            sigma2_0 = gamma * mu.squared_kernel_sum(src_r, target)
+        else:
+            sigma2_0 = gamma * mu.masked_squared_kernel_sum_t(
+                src_r.T, target.T, smask, tmask)
         transf, _, _, s2, rmse = _run_bcpd(
             src_r, target, gmat, lmd, k, sigma2_0,
-            w=w, maxiter=maxiter, tol=tol, block=block)
+            w=w, maxiter=maxiter, tol=tol, block=block,
+            smask=smask, tmask=tmask)
         rt = transf.rigid_trans
         return rt.rot @ rot0, rt.t, rt.scale, transf.v @ rot0, s2, rmse
 
@@ -642,6 +649,19 @@ def _run_bcpd_multistart_batch(sources, targets, gamma, lmd, k, rots0, *,
                   rots0=rots0, w=w, maxiter=maxiter, tol=tol, rank=rank,
                   block=block)
     return jax.vmap(lambda s, t: run(s, t))(sources, targets)
+
+
+@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block",
+                                   "min_m"))
+def _run_bcpd_multistart_ragged_batch(sources, targets, smasks, tmasks,
+                                      gamma, lmd, k, rots0, *, w, maxiter,
+                                      tol, rank, block, min_m=None):
+    run = partial(_run_bcpd_multistart, gamma=gamma, lmd=lmd, k=k,
+                  rots0=rots0, w=w, maxiter=maxiter, tol=tol, rank=rank,
+                  block=block, min_m=min_m)
+    return jax.vmap(
+        lambda s, t, sm, tm: run(s, t, smask=sm, tmask=tm))(
+        sources, targets, smasks, tmasks)
 
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block",
@@ -709,18 +729,21 @@ def registration_bcpd_batch(
 
     Returns a list of ``tf.CombinedTransformation``.
     """
-    if n_starts > 1:
-        if isinstance(sources, (list, tuple)) \
-                or isinstance(targets, (list, tuple)) or not normalize:
-            raise ValueError("n_starts > 1 supports non-ragged normalized "
-                             "batches only")
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    if n_starts > 1 and not ragged:
+        if not normalize:
+            raise ValueError("n_starts > 1 requires the normalized path")
         return _registration_bcpd_multistart_batch(
             sources, targets, w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, lmd=lmd, k=k, gamma=gamma, rank=rank)
-    if isinstance(sources, (list, tuple)) or isinstance(targets, (list, tuple)):
+    if ragged:
+        if n_starts > 1 and not normalize:
+            raise ValueError("n_starts > 1 requires the normalized path")
         return _registration_bcpd_ragged(
             list(sources), list(targets), w=w, maxiter=maxiter, tol=tol,
-            lmd=lmd, k=k, gamma=gamma, rank=rank, normalize=normalize)
+            lmd=lmd, k=k, gamma=gamma, rank=rank, normalize=normalize,
+            n_starts=n_starts)
     src = np.asarray(interop.as_points(sources), dtype=np.float64)
     tgt = np.asarray(interop.as_points(targets), dtype=np.float64)
     b, m, dim = src.shape
@@ -807,9 +830,10 @@ def _registration_bcpd_multistart_batch(sources, targets, *, w, maxiter,
 
 
 def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
-                              gamma, rank, normalize):
+                              gamma, rank, normalize, n_starts=1):
     """Ragged-batch BCPD: per-pair normalization on host, masked VI on
-    device (one dispatch), denormalize + slice v back to true sizes."""
+    device (one dispatch), denormalize + slice v back to true sizes.
+    ``n_starts > 1``: masked orientation-grid restarts per pair."""
     srcs = [np.asarray(interop.as_points(s), dtype=np.float64)
             for s in sources]
     tgts = [np.asarray(interop.as_points(t), dtype=np.float64)
@@ -841,15 +865,31 @@ def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
         raise ValueError(
             "rank=%d exceeds the smallest source cloud (%d points) in the "
             "ragged batch" % (int(rank), min_m))
-    transf = _run_bcpd_ragged_batch(
-        jnp.asarray(src_p), jnp.asarray(tgt_p),
-        jnp.asarray(smask), jnp.asarray(tmask),
-        jnp.asarray(np.asarray(sig0s), dt),
-        jnp.asarray(lmd, dt), jnp.asarray(k, dt),
-        w=float(w), maxiter=int(maxiter), tol=float(tol),
-        rank=None if rank is None else int(rank),
-        block=int(_config.config.estep_chunk),
-        min_m=None if rank is None else min_m)
+    if n_starts > 1:
+        from . import cost_functions as cf
+
+        rots0 = jnp.asarray(
+            cf.RigidCostFunction.initial_multistart_rots(
+                int(n_starts), src_p.shape[-1]), dt)
+        transf = _run_bcpd_multistart_ragged_batch(
+            jnp.asarray(src_p), jnp.asarray(tgt_p),
+            jnp.asarray(smask), jnp.asarray(tmask),
+            jnp.asarray(gamma, dt), jnp.asarray(lmd, dt),
+            jnp.asarray(k, dt), rots0,
+            w=float(w), maxiter=int(maxiter), tol=float(tol),
+            rank=None if rank is None else int(rank),
+            block=int(_config.config.estep_chunk),
+            min_m=None if rank is None else min_m)
+    else:
+        transf = _run_bcpd_ragged_batch(
+            jnp.asarray(src_p), jnp.asarray(tgt_p),
+            jnp.asarray(smask), jnp.asarray(tmask),
+            jnp.asarray(np.asarray(sig0s), dt),
+            jnp.asarray(lmd, dt), jnp.asarray(k, dt),
+            w=float(w), maxiter=int(maxiter), tol=float(tol),
+            rank=None if rank is None else int(rank),
+            block=int(_config.config.estep_chunk),
+            min_m=None if rank is None else min_m)
     rot = np.asarray(transf.rigid_trans.rot)
     tvec = np.asarray(transf.rigid_trans.t)
     s = np.asarray(transf.rigid_trans.scale)

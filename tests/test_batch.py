@@ -172,6 +172,20 @@ def test_gmmtree_multistart_ragged(horse_cloud):
         np.testing.assert_allclose(rec, ang, atol=5e-2)
 
 
+def test_bcpd_multistart_ragged(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([0.0, 0.0, 120.0]), np.deg2rad([8.0, -4.0, 6.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    results = bcpd.registration_bcpd_batch(sources, targets, maxiter=100,
+                                           tol=0.0, lmd=10.0, n_starts=10)
+    for res, s, t in zip(results, sources, targets):
+        assert np.asarray(res.v).shape == s.shape
+        moved = np.asarray(res.transform(s))
+        assert nn_rmse(moved, t) < 0.3 * nn_rmse(s, t)
+
+
 def test_batch_ragged_rigid(horse_cloud):
     """Pairs with different point counts in one program (masked padding)."""
     src = np.asarray(horse_cloud, dtype=np.float32)
