@@ -510,6 +510,23 @@ def test_batch_gmmreg_ragged_small_target(horse_cloud):
         np.testing.assert_allclose(rec, ang, atol=1e-1)
 
 
+def test_batch_l2dist_ragged_multistart(horse_cloud):
+    src = np.asarray(horse_cloud, dtype=np.float32)
+    angs = [np.deg2rad([0.0, 0.0, 120.0]), np.deg2rad([6.0, -2.0, 3.0])]
+    sources = [src[::2], src[::3]]
+    targets = [s @ np.asarray(se3_op.euler2mat(*a), np.float32).T
+               for s, a in zip(sources, angs)]
+    for results in (
+        l2dist_regs.registration_gmmreg_batch(sources, targets,
+                                              n_gmm_components=100,
+                                              n_starts=10),
+        l2dist_regs.registration_svr_batch(sources, targets, n_starts=10),
+    ):
+        for res, ang in zip(results, angs):
+            rec = np.asarray(se3_op.mat2euler(res.rot))
+            np.testing.assert_allclose(rec, ang, atol=1e-1)
+
+
 def test_batch_svr_ragged_masked_matches_unpadded(horse_cloud):
     """SVR's dual solve is deterministic, so a padded pair must reproduce
     the unpadded registration (the masked simplex projection pins padded
