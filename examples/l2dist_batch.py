@@ -32,7 +32,10 @@ def main():
     for name, fn, kw in (
         ("gmmreg", l2dist_regs.registration_gmmreg_batch,
          dict(n_gmm_components=200, n_starts=4)),
-        ("svr", l2dist_regs.registration_svr_batch, dict()),
+        # maxiter=2 annealing rounds: combined rotations near the +-15 deg
+        # sampling edge need a second (annealed) round, as in the
+        # single-pair path's outer loop.
+        ("svr", l2dist_regs.registration_svr_batch, dict(maxiter=2)),
     ):
         fn(sources, targets, **kw)  # compile
         start = time.perf_counter()

@@ -383,40 +383,61 @@ _JAX_BATCH_CACHE = {}
 
 def _batched_l2dist_program(feat_cls, static_s, static_t,
                             opt_maxiter: int, opt_tol: float, dyn_axes,
-                            masked: bool = False):
+                            masked: bool = False, rounds: int = 1,
+                            delta: float = 0.9):
     """vmapped whole-round program: B (fit+fit+BFGS) rounds, one dispatch.
 
     ``masked``: ragged-batch variant taking per-pair (M,)/(N,) validity
     masks — the feature fits exclude padded points (features.py masked
     paths) and zero-weight mixture components are inert in the L2 cost.
+
+    ``rounds`` > 1: the reference's outer annealing loop, traced into the
+    SAME program — per round the cost sigma scales by ``delta`` and the
+    features refit (GMM: a fresh PRNG key; OCSVM: gamma x10, the feature's
+    annealing default), warm-starting BFGS from the previous round. The
+    single-pair path does this on the host (registration(), maxiter); in
+    the batch program the rounds are unrolled with no early stop.
     """
     key = (feat_cls, static_s, static_t, opt_maxiter, opt_tol, dyn_axes,
-           masked)
+           masked, rounds, delta)
     run = _JAX_BATCH_CACHE.get(key)
     if run is None:
         import jax
 
         obj = cf.RigidCostFunction.pure_objective
         fit = feat_cls.fused_fit
+        is_gmm = feat_cls is ft.GMM
 
         import jax.numpy as jnp
 
         def one(src, tgt, sm, tm, sigma, dyn, x0s):
-            mu_s, phi_s = fit(src, static_s, dyn, smask=sm)
-            mu_t, phi_t = fit(tgt, static_t, dyn, smask=tm)
-
-            def solve(x0):
-                return _bfgs_solve(
-                    obj, x0, (mu_s, phi_s, mu_t, phi_t, sigma),
-                    opt_maxiter, opt_tol)
-
-            xs, fs = jax.vmap(solve)(x0s)
-            if x0s.shape[0] > 1:
-                return _rescore_and_polish(
-                    xs, src, tgt, sigma, opt_maxiter, opt_tol,
-                    smask=sm, tmask=tm)
-            i = jnp.argmin(fs)
-            return xs[i], fs[i]
+            x = fval = None
+            for r in range(rounds):
+                if rounds > 1:
+                    # GMM dyn = (stacked keys (rounds, 2),); OCSVM dyn =
+                    # (gamma, nu, z) with gamma annealing x10 per round.
+                    dyn_r = (dyn[0][r],) if is_gmm else \
+                        (dyn[0] * (10.0 ** r), dyn[1], dyn[2])
+                else:
+                    dyn_r = dyn
+                sigma_r = sigma * (delta ** r)
+                mu_s, phi_s = fit(src, static_s, dyn_r, smask=sm)
+                mu_t, phi_t = fit(tgt, static_t, dyn_r, smask=tm)
+                args = (mu_s, phi_s, mu_t, phi_t, sigma_r)
+                if r == 0:
+                    xs, fs = jax.vmap(lambda x0: _bfgs_solve(
+                        obj, x0, args, opt_maxiter, opt_tol))(x0s)
+                    if x0s.shape[0] > 1:
+                        x, fval = _rescore_and_polish(
+                            xs, src, tgt, sigma_r, opt_maxiter, opt_tol,
+                            smask=sm, tmask=tm)
+                    else:
+                        i = jnp.argmin(fs)
+                        x, fval = xs[i], fs[i]
+                else:
+                    x, fval = _bfgs_solve(obj, x, args, opt_maxiter,
+                                          opt_tol)
+            return x, fval
 
         if masked:
             @jax.jit
@@ -450,7 +471,8 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
                                opt_maxiter: int, opt_tol: float,
                                n_gmm_components: int, gamma, nu,
                                use_estimated_sigma: bool, sigma, seed: int,
-                               n_starts: int = 1) -> List[tf.Transformation]:
+                               n_starts: int = 1, maxiter: int = 1,
+                               delta: float = 0.9) -> List[tf.Transformation]:
     import jax
     import jax.numpy as jnp
 
@@ -495,7 +517,13 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
         # The same key the single-pair fused round uses (counter=1), shared
         # across the batch: clouds differ per element, and batch-of-1 then
         # reproduces the single path exactly.
-        dynamic = (ft.np_prng_key(seed + 1),)
+        if maxiter > 1:
+            # One key PER ANNEALING ROUND, matching the single path's
+            # counter bump (features.GMM.init): key_r = PRNGKey(seed+1+r).
+            dynamic = (np.stack([ft.np_prng_key(seed + 1 + r)
+                                 for r in range(maxiter)]),)
+        else:
+            dynamic = (ft.np_prng_key(seed + 1),)
         dyn_axes = (None,)
     elif feature_kind == "svm":
         feat_cls = ft.OneClassSVM
@@ -512,7 +540,8 @@ def _registration_l2dist_batch(sources, targets, feature_kind: str,
 
     run = _batched_l2dist_program(feat_cls, static_s, static_t,
                                   opt_maxiter, opt_tol, dyn_axes,
-                                  masked=ragged)
+                                  masked=ragged, rounds=int(maxiter),
+                                  delta=float(delta))
     x0s = cf.RigidCostFunction.initial_multistart(max(1, n_starts))
     if ragged:
         rx, _ = run(jnp.asarray(x0s, jnp.float32),
@@ -532,7 +561,8 @@ def registration_gmmreg_batch(sources, targets, n_gmm_components: int = 800,
                               sigma: float = 1.0,
                               use_estimated_sigma: bool = True,
                               opt_maxiter: int = 50, opt_tol: float = 1.0e-3,
-                              seed: int = 0, n_starts: int = 1
+                              seed: int = 0, n_starts: int = 1,
+                              maxiter: int = 1, delta: float = 0.9
                               ) -> List[tf.Transformation]:
     """Rigid GMMReg over B cloud pairs in ONE compiled program.
 
@@ -547,19 +577,24 @@ def registration_gmmreg_batch(sources, targets, n_gmm_components: int = 800,
     """
     return _registration_l2dist_batch(
         sources, targets, "gmm", opt_maxiter, opt_tol, n_gmm_components,
-        None, None, use_estimated_sigma, sigma, seed, n_starts)
+        None, None, use_estimated_sigma, sigma, seed, n_starts,
+        maxiter, delta)
 
 
 def registration_svr_batch(sources, targets, gamma: float = 0.5,
                            nu: float = 0.1, sigma: float = 1.0,
                            use_estimated_sigma: bool = True,
                            opt_maxiter: int = 50, opt_tol: float = 1.0e-3,
-                           n_starts: int = 1) -> List[tf.Transformation]:
+                           n_starts: int = 1, maxiter: int = 1,
+                           delta: float = 0.9) -> List[tf.Transformation]:
     """Rigid SVR over B cloud pairs in ONE compiled program (see
-    :func:`registration_gmmreg_batch`)."""
+    :func:`registration_gmmreg_batch`). ``maxiter`` > 1 unrolls the
+    reference's annealing rounds into the program (sigma x delta, OCSVM
+    gamma x10 per round, warm-started BFGS) — combined rotations near 15-20
+    degrees need 2-3 rounds, exactly as in the single-pair path."""
     return _registration_l2dist_batch(
         sources, targets, "svm", opt_maxiter, opt_tol, 0, gamma, nu,
-        use_estimated_sigma, sigma, 0, n_starts)
+        use_estimated_sigma, sigma, 0, n_starts, maxiter, delta)
 
 
 def registration_gmmreg(source, target, tf_type_name: str = "rigid",

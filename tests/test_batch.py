@@ -477,6 +477,24 @@ def test_batch_bcpd_lowrank_quality_fish():
     assert nn_rmse(moved, tgt) < 0.2 * nn_rmse(src, tgt)
 
 
+def test_batch_l2dist_annealing_rounds(horse_cloud):
+    """maxiter > 1 unrolls the reference's sigma-annealing rounds into the
+    batch program: combined ~17-degree rotations that a single round leaves
+    ~10 degrees off converge in 3 rounds (matches the single-pair path)."""
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([-0.4, 11.7, 13.0])
+    tgt = src @ np.asarray(se3_op.euler2mat(*ang), np.float32).T
+    res = l2dist_regs.registration_svr_batch(src[None], tgt[None],
+                                             maxiter=3)[0]
+    rec = np.asarray(se3_op.mat2euler(res.rot))
+    np.testing.assert_allclose(rec, ang, atol=2e-2)
+    res = l2dist_regs.registration_gmmreg_batch(src[None], tgt[None],
+                                                n_gmm_components=150,
+                                                maxiter=3)[0]
+    rec = np.asarray(se3_op.mat2euler(res.rot))
+    np.testing.assert_allclose(rec, ang, atol=2e-2)
+
+
 def test_batch_l2dist_ragged(horse_cloud):
     src = np.asarray(horse_cloud, dtype=np.float32)
     angs = [np.deg2rad([6.0, -2.0, 3.0]), np.deg2rad([0.0, 0.0, 10.0])]
