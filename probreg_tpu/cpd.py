@@ -753,9 +753,20 @@ class AffineCPD(CoherentPointDrift):
     def _registration_fast(self, target, w, maxiter, tol):
         dim = self._source.shape[1]
         p = self._tf_init_params
-        if self._source.shape[0] * target.shape[0] \
-                > _config.config.transposed_em_max_pairs:
+        m, n = self._source.shape[0], target.shape[0]
+        if m * n > _config.config.transposed_em_max_pairs:
             return None  # see RigidCPD._registration_fast
+        if (not p and dim == 3
+                and _config.config.use_fused_em
+                and self._use_pallas is not False
+                and m * n <= _config.config.fused_em_max_pairs
+                and jax.default_backend() == "tpu"):
+            from .ops import em_pallas
+
+            b, t, sigma2, q = em_pallas.run_em_affine_fused(
+                self._source, target, w=float(w), maxiter=int(maxiter),
+                tol=float(tol))
+            return MstepResult(tf.AffineTransformation(b, t), sigma2, q)
         if not p:
             lin, t, _, sigma2, q = _run_em_t(
                 self._source, target,

@@ -464,7 +464,7 @@ class FilterReg(abc.ABC):
                 np.allclose(np.asarray(self._tf_result.rot), np.eye(3))
                 and np.allclose(np.asarray(self._tf_result.t), 0.0)
             ) if self._source.shape[1] == 3 else False
-            if (objective_type == "pt2pt" and identity_init
+            if (identity_init
                     and _config.config.use_fused_em
                     and self._use_pallas is not False
                     and m * n <= _config.config.fused_em_max_pairs
@@ -472,12 +472,13 @@ class FilterReg(abc.ABC):
                 from .ops import em_pallas
 
                 rot, t, s2, q = em_pallas.run_em_filterreg_fused(
-                    self._source, target,
+                    self._source, target, normals,
                     sigma2_0=0.0 if auto else float(self._sigma2),
                     w=float(w), maxiter=int(maxiter), tol=float(tol),
                     update_sigma2=bool(self._update_sigma2),
                     sigma2_decay=float(sigma2_decay),
-                    min_sigma2=float(min_sigma2), auto_sigma2=auto)
+                    min_sigma2=float(min_sigma2), auto_sigma2=auto,
+                    objective=objective_type)
                 res = MstepResult(tf.RigidTransformation(rot, t), s2, q)
                 self._tf_result = res.transformation
                 self._sigma2 = float(res.sigma2)

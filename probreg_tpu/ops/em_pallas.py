@@ -16,9 +16,13 @@ Design notes:
   normalized posterior gives px (rows 0-2) and p1 (row 3).
 * The rotation update uses Horn's quaternion method instead of the SVD
   (which doesn't exist inside a kernel): the dominant eigenvector of the
-  4x4 K(a^T) matrix — obtained by shifted power iteration — gives exactly
-  the det-corrected optimal PROPER rotation of reference cpd.py:176-178
-  (verified to 1e-15 against SVD+sign-fix including reflection cases).
+  4x4 K(a^T) matrix — obtained by power squaring + Rayleigh-quotient
+  inverse iteration (_dominant_eigvec) — gives exactly the det-corrected
+  optimal PROPER rotation of reference cpd.py:176-178 (matches the XLA
+  SVD path to ~1e-6 at EVERY EM iteration, measured on v5e).
+* The affine M-step solves yp1y B^T = a^T with a bilinear-cofactor 3x3
+  inverse (_inv3_sym); the FilterReg pt2pl M-step solves its 6x6 GN
+  normal equations by a Schur complement over two such inverses.
 * All small-matrix assembly (K from a, R from q q^T, the 8x8 homogeneous
   transform from R/t/scale) is done with constant embedding tensors and
   einsum — no scalar scatters, Mosaic-friendly.
@@ -37,20 +41,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
-_POWER_SQUARINGS = 7
+_POWER_SQUARINGS = 16
+_RQI_STEPS = 2
 
 
 def _dominant_eigvec(kmat):
-    """Unit dominant eigenvector of a symmetric 4x4 via repeated squaring.
+    """Unit dominant eigenvector of a symmetric 4x4, f32, Mosaic-friendly.
 
-    A plain shifted power iteration converges as ((l2+s)/(l1+s))^iters — the
-    PSD shift pushes the ratio toward 1, and 30 iterations leave ~1e-3
-    eigenvector error (enough to drift CPD rotations by degrees). Squaring
-    the shifted matrix k times amplifies the gap to ratio^(2^k): 7
-    squarings give ratio^128 suppression for a handful of 4x4 matmuls.
+    Three stages, all matmuls/reductions (no SVD/eigh exists in-kernel):
+
+    1. Repeated squaring of the Frobenius-normalized PSD shift K/|K|_F + I:
+       squaring k times amplifies the eigenvalue ratio to ratio^(2^k); the
+       tight shift matters — an earlier sum|K| shift pushed the ratio so
+       close to 1 that 2^7 squarings left the top eigenvector unresolved
+       below relative gaps of ~1e-1.
+    2. Initial vector = the largest-norm COLUMN of the squared matrix
+       (selected branch-free with an iota one-hot). The squared matrix is
+       ~ l1^(2^k) v1 v1^T, so its best column has overlap |v1_i| >= 1/2
+       with v1 — unlike `ks @ ones`, which fails completely whenever v1 is
+       near-orthogonal to the ones vector.
+    3. Rayleigh-quotient inverse iteration, cubically convergent, with the
+       4x4 resolvent solve done as Cayley–Hamilton ADJUGATE matvecs
+       adj(B) v = -(B^3 - e1 B^2 + e2 B - e3 I) v (Newton's identities for
+       e_i) — no inverse, no det division: normalization absorbs the
+       scalar, and near-singular B is exactly the convergent regime.
+
+    Verified vs float64 eigh: eigenvector error <= ~eps/gap (the f32
+    floor), Rayleigh-quotient suboptimality <= 2e-7 * l1 even for fully
+    degenerate top eigenvalues.
     """
-    shift = jnp.sum(jnp.abs(kmat))
-    ks = kmat + shift * jnp.eye(4, dtype=jnp.float32)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    nrm = jnp.sqrt(jnp.sum(kmat * kmat))
+    kn = kmat / jnp.maximum(nrm, jnp.float32(1e-30))  # eigs in [-1, 1]
+    ks = kn + jnp.float32(1.0000001) * eye4           # PSD shift
     ks = ks / jnp.sqrt(jnp.sum(ks * ks))
 
     def sq(_, m):
@@ -58,13 +81,35 @@ def _dominant_eigvec(kmat):
         return m / jnp.sqrt(jnp.sum(m * m))
 
     ks = jax.lax.fori_loop(0, _POWER_SQUARINGS, sq, ks)
-    v = jnp.dot(ks, jnp.full((4, 1), 0.5, jnp.float32),
-                preferred_element_type=jnp.float32)
-    # One Rayleigh polish step against the original matrix.
-    v = v / jnp.sqrt(jnp.sum(v * v))
-    v = jnp.dot(kmat + shift * jnp.eye(4, dtype=jnp.float32), v,
-                preferred_element_type=jnp.float32)
-    return v / jnp.sqrt(jnp.sum(v * v))
+
+    coln = jnp.sum(ks * ks, axis=0, keepdims=True)    # (1, 4)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    jbest = jnp.min(jnp.where(coln >= jnp.max(coln), iota, 1000))
+    onehot = jnp.where(iota == jbest, jnp.float32(1.0), jnp.float32(0.0))
+    v = jnp.dot(ks, onehot.T, preferred_element_type=jnp.float32)  # (4, 1)
+    v = v / jnp.sqrt(jnp.maximum(jnp.sum(v * v), jnp.float32(1e-30)))
+
+    def rqi(_, v):
+        mu = jnp.sum(v * jnp.dot(kn, v, preferred_element_type=jnp.float32))
+        b = kn - mu * eye4
+        bv = jnp.dot(b, v, preferred_element_type=jnp.float32)
+        b2 = jnp.dot(b, b, preferred_element_type=jnp.float32)
+        b2v = jnp.dot(b, bv, preferred_element_type=jnp.float32)
+        b3v = jnp.dot(b, b2v, preferred_element_type=jnp.float32)
+        p1 = jnp.sum(b * eye4)
+        p2 = jnp.sum(b * b)
+        p3 = jnp.sum(b2 * b)
+        e1 = p1
+        e2 = (e1 * p1 - p2) * jnp.float32(0.5)
+        e3 = (e2 * p1 - e1 * p2 + p3) * jnp.float32(1.0 / 3.0)
+        w = b3v - e1 * b2v + e2 * bv - e3 * v
+        nw = jnp.sqrt(jnp.sum(w * w))
+        # w ~ 0 iff v is already an exact eigenvector (adj(B) annihilates
+        # only the converged direction's complement) — keep v then.
+        return jnp.where(nw > jnp.float32(1e-25),
+                         w / jnp.maximum(nw, jnp.float32(1e-30)), v)
+
+    return jax.lax.fori_loop(0, _RQI_STEPS, rqi, v)
 
 
 def _flatten_rows(x, rows, cols):
@@ -144,14 +189,73 @@ def _r_from_qq_tensor() -> np.ndarray:
     return t
 
 
+def _cof3_tensor() -> np.ndarray:
+    """(81, 9) T with cof(S).flat = (S ⊗ S).flat @ T for any 3x3 S.
+
+    cof(S)[i,j] = 1/2 eps_{ipq} eps_{jrs} S[p,r] S[q,s] — the cofactor is
+    BILINEAR in S, so the 3x3 inverse needed by the affine M-step reduces
+    to one outer product and one constant matmul (Mosaic-friendly, no
+    scalar indexing). inv(S) = cof(S)^T / det(S); det = sum(S*cof)/3.
+    """
+    e = np.zeros((3, 3, 3), np.float32)
+    for (i, j, k), s in (((0, 1, 2), 1), ((1, 2, 0), 1), ((2, 0, 1), 1),
+                         ((0, 2, 1), -1), ((2, 1, 0), -1), ((1, 0, 2), -1)):
+        e[i, j, k] = s
+    t = np.zeros((81, 9), np.float32)
+    for p in range(3):
+        for r in range(3):
+            for q in range(3):
+                for s_ in range(3):
+                    for i in range(3):
+                        for j in range(3):
+                            val = 0.5 * e[i, p, q] * e[j, r, s_]
+                            if val:
+                                t[(p * 3 + r) * 9 + (q * 3 + s_),
+                                  i * 3 + j] += val
+    return t
+
+
+def _skew_tensor() -> np.ndarray:
+    """(3, 9) T with skew(w).flat = w @ T (skew is linear in w)."""
+    t = np.zeros((3, 3, 3), np.float32)
+    t[0, 1, 2] = -1.0
+    t[0, 2, 1] = 1.0
+    t[1, 0, 2] = 1.0
+    t[1, 2, 0] = -1.0
+    t[2, 0, 1] = -1.0
+    t[2, 1, 0] = 1.0
+    return t.reshape(3, 9)
+
+
 _K_T = _k_from_a_tensor().reshape(9, 16)
 _R_T = _r_from_qq_tensor().reshape(16, 9)
+_COF_T = _cof3_tensor()
+_SK_T = _skew_tensor()
+
+
+def _inv3_sym(s, cof_t):
+    """Inverse of a SYMMETRIC 3x3 via the bilinear cofactor tensor.
+
+    (cof(S) = adj(S)^T; for symmetric S the cofactor matrix is symmetric,
+    so no transpose is needed.)
+    """
+    s9 = _flatten_rows(s, 3, 3)                            # (1, 9)
+    outer = jnp.dot(s9.T, s9, preferred_element_type=jnp.float32)
+    cof9 = jnp.dot(_flatten_rows(outer, 9, 9), cof_t,
+                   preferred_element_type=jnp.float32)     # (1, 9)
+    cof = _unflatten_rows(cof9, 3, 3)
+    det = jnp.sum(s * cof) * jnp.float32(1.0 / 3.0)
+    det = jnp.where(jnp.abs(det) < jnp.float32(1e-30),
+                    jnp.float32(1e-30), det)
+    return cof / det
 
 
 def _em_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, x2_ref, bigy_ref,
-               kt_ref, rt_ref, tmat_ref, out_ref):
+               kt_ref, rt_ref, cof_ref, tmat_ref, out_ref, *, kind="rigid"):
     """consts (SMEM, 8): [wratio, maxiter, tol, update_scale, n_p_dim,
-    sigma2_0, q0, dim]."""
+    sigma2_0, q0, dim]. ``kind`` is trace-time static: "rigid" uses the
+    Horn quaternion rotation solve (reference cpd.py:160-192), "affine"
+    the 3x3 cofactor-inverse solve of yp1y B^T = a^T (cpd.py:219-244)."""
     wratio = consts_ref[0]
     maxiter = consts_ref[1]
     tol = consts_ref[2]
@@ -212,37 +316,52 @@ def _em_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, x2_ref, bigy_ref,
             src_hat, p1, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                   # (3, 1)
         a = a - jnp.dot(mu_x, sh_p1.T, preferred_element_type=jnp.float32)
-
-        # Horn rotation: K = (a -> 4x4), shifted power iteration.
-        kmat = _unflatten_rows(
-            jnp.dot(_flatten_rows(a, 3, 3), k_t,
-                    preferred_element_type=jnp.float32), 4, 4)
-        v = _dominant_eigvec(kmat)
-        qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)  # (4, 4)
-        rot = _unflatten_rows(
-            jnp.dot(_flatten_rows(qq, 4, 4), r_t,
-                    preferred_element_type=jnp.float32), 3, 3)
-
-        tr_atr = jnp.sum(a * rot)
-        tr_yp1y = jnp.sum(p1 * jnp.sum(src_hat * src_hat, axis=0,
-                                       keepdims=True))
-        scale = jnp.where(update_scale > 0.5, tr_atr / tr_yp1y,
-                          jnp.float32(1.0))
-        t_new = mu_x - scale * jnp.dot(rot, mu_y,
-                                       preferred_element_type=jnp.float32)
         tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
-        sigma2_new = jnp.where(
-            update_scale > 0.5,
-            (tr_xp1x - scale * tr_atr) / (n_p * dim),
-            (tr_xp1x - 2.0 * scale * tr_atr + tr_yp1y) / (n_p * dim))
-        sigma2_new = jnp.maximum(sigma2_new, eps)
-        q_new = (tr_xp1x - 2.0 * scale * tr_atr
-                 + scale * scale * tr_yp1y) / (2.0 * sigma2_new) \
-            + dim * n_p * 0.5 * jnp.log(sigma2_new)
 
-        # New homogeneous transform: rows 0-2 [scale*R | t].
+        if kind == "rigid":
+            # Horn rotation: K = (a -> 4x4), dominant eigenvector solve.
+            kmat = _unflatten_rows(
+                jnp.dot(_flatten_rows(a, 3, 3), k_t,
+                        preferred_element_type=jnp.float32), 4, 4)
+            v = _dominant_eigvec(kmat)
+            qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)  # (4, 4)
+            rot = _unflatten_rows(
+                jnp.dot(_flatten_rows(qq, 4, 4), r_t,
+                        preferred_element_type=jnp.float32), 3, 3)
+
+            tr_atr = jnp.sum(a * rot)
+            tr_yp1y = jnp.sum(p1 * jnp.sum(src_hat * src_hat, axis=0,
+                                           keepdims=True))
+            scale = jnp.where(update_scale > 0.5, tr_atr / tr_yp1y,
+                              jnp.float32(1.0))
+            lin = scale * rot
+            t_new = mu_x - jnp.dot(lin, mu_y,
+                                   preferred_element_type=jnp.float32)
+            sigma2_new = jnp.where(
+                update_scale > 0.5,
+                (tr_xp1x - scale * tr_atr) / (n_p * dim),
+                (tr_xp1x - 2.0 * scale * tr_atr + tr_yp1y) / (n_p * dim))
+            sigma2_new = jnp.maximum(sigma2_new, eps)
+            q_new = (tr_xp1x - 2.0 * scale * tr_atr
+                     + scale * scale * tr_yp1y) / (2.0 * sigma2_new) \
+                + dim * n_p * 0.5 * jnp.log(sigma2_new)
+        else:
+            # Affine: B = a @ inv(yp1y) (yp1y symmetric PSD; cpd.py:219-244).
+            yp1y = jax.lax.dot_general(
+                src_hat * p1, src_hat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # (3, 3)
+            lin = jnp.dot(a, _inv3_sym(yp1y, cof_ref[:]),
+                          preferred_element_type=jnp.float32)
+            t_new = mu_x - jnp.dot(lin, mu_y,
+                                   preferred_element_type=jnp.float32)
+            tr_ab = jnp.sum(a * lin)
+            sigma2_new = jnp.maximum((tr_xp1x - tr_ab) / (n_p * dim), eps)
+            q_new = (tr_xp1x - tr_ab) / (2.0 * sigma2_new) \
+                + dim * n_p * 0.5 * jnp.log(sigma2_new)
+
+        # New homogeneous transform: rows 0-2 [lin | t].
         top = jnp.concatenate(
-            [scale * rot, t_new,
+            [lin, t_new,
              jnp.zeros((3, 4), jnp.float32)], axis=1)             # (3, 8)
         tmat_new = jnp.concatenate(
             [top, jnp.eye(8, dtype=jnp.float32)[3:]], axis=0)
@@ -265,13 +384,14 @@ def _em_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, x2_ref, bigy_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("w", "maxiter", "tol", "update_scale",
-                              "interpret"))
-def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
-                       update_scale=True, interpret=False):
-    """Rigid CPD registration as ONE kernel launch.
+                              "kind", "interpret"))
+def _run_em_cpd_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
+                      update_scale=True, kind="rigid", interpret=False):
+    """CPD registration (rigid or affine M-step) as ONE kernel launch.
 
-    Returns (rot (3,3), t (3,), scale, sigma2, q). Sizes must satisfy
-    Mp*Np*4B (posterior tile) << VMEM; use for M, N <= ~1024.
+    Returns (lin (3,3), t (3,), sigma2, q) where lin = scale*R (rigid) or
+    B (affine). Sizes must satisfy Mp*Np*4B (posterior tile) << VMEM; use
+    for M, N <= ~1024.
     """
     source = jnp.asarray(source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -320,17 +440,9 @@ def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
     ])
 
     tmat, out = pl.pallas_call(
-        _em_kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        functools.partial(_em_kernel, kind=kind),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -341,15 +453,43 @@ def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
         ],
         interpret=interpret,
     )(consts, ys, bmat, xs_ext, x2, bigy,
-      jnp.asarray(_K_T), jnp.asarray(_R_T))
+      jnp.asarray(_K_T), jnp.asarray(_R_T), jnp.asarray(_COF_T))
 
     sigma2, q = out[0, 0], out[0, 1]
+    return tmat[:3, :3], tmat[:3, 3], sigma2, q
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "maxiter", "tol", "update_scale",
+                              "interpret"))
+def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
+                       update_scale=True, interpret=False):
+    """Rigid CPD registration as ONE kernel launch.
+
+    Returns (rot (3,3), t (3,), scale, sigma2, q). M, N <= ~1024.
+    """
+    sr, t, sigma2, q = _run_em_cpd_fused(
+        source, target, w=w, maxiter=maxiter, tol=tol,
+        update_scale=update_scale, kind="rigid", interpret=interpret)
     # Recover scale and rot from the homogeneous matrix.
-    sr = tmat[:3, :3]
     scale = jnp.sqrt(jnp.maximum(jnp.sum(sr * sr) / 3.0, 1e-30))
     rot = sr / scale
-    t = tmat[:3, 3]
     return rot, t, scale, sigma2, q
+
+
+@functools.partial(jax.jit, static_argnames=("w", "maxiter", "tol",
+                                             "interpret"))
+def run_em_affine_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
+                        interpret=False):
+    """Affine CPD registration as ONE kernel launch.
+
+    Returns (b (3,3), t (3,), sigma2, q). M, N <= ~1024.
+    Reference semantics: probreg cpd.py:219-244 (affine M-step).
+    """
+    b, t, sigma2, q = _run_em_cpd_fused(
+        source, target, w=w, maxiter=maxiter, tol=tol,
+        update_scale=False, kind="affine", interpret=interpret)
+    return b, t, sigma2, q
 
 
 # --------------------------------------------------------------------------
@@ -363,9 +503,17 @@ def run_em_rigid_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
 # Reference semantics: filterreg.py:78-108 (E-step), :158-196 (M-step).
 
 def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
-                kt_ref, rt_ref, tmat_ref, out_ref):
+                kt_ref, rt_ref, cof_ref, sk_ref, tmat_ref, out_ref, *,
+                objective="pt2pt"):
     """consts (SMEM, 8): [wratio (w/(1-w)*n/m), maxiter, tol, update_sigma2,
-    sigma2_decay, sigma2_0, min_sigma2, unused]."""
+    sigma2_decay, sigma2_0, min_sigma2, unused].
+
+    ``objective`` is trace-time static: "pt2pt" = weighted Kabsch via the
+    Horn solve (kabsch.cc:6-56); "pt2pl" = one Gauss-Newton twist step
+    (point_to_plane.cc:6-32) with the 6x6 normal equations solved by a
+    Schur complement over two symmetric-3x3 cofactor inverses, then an
+    exact Rodrigues update (se3_op.py:20-53). xs_ext rows 5-7 carry the
+    target normals so ONE moment matmul also yields NX."""
     wratio = consts_ref[0]
     maxiter = consts_ref[1]
     tol = consts_ref[2]
@@ -413,40 +561,116 @@ def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
         # and mask * NaN is still NaN.
         m0m0 = m0 / jnp.maximum(m0 + c, eps)
         drxdx = mask * jnp.sqrt(m0m0 / sigma2)                    # (1, Mp)
-
-        # Weighted Kabsch (kabsch.cc:6-56) in-kernel.
         total = jnp.sum(drxdx)
-        safe_total = jnp.where(total == 0.0, 1.0, total)
-        mc = jax.lax.dot_general(
-            t_src, drxdx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) / safe_total      # (3, 1)
-        tc = jax.lax.dot_general(
-            m1m0 * mask, drxdx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) / safe_total
-        w2 = drxdx * drxdx
-        hh = jax.lax.dot_general(
-            (t_src - mc) * w2, (m1m0 - tc) * mask,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                  # (3, 3)
-        # argmax_R tr(R hh) == Horn with a = hh^T.
-        a = hh.T
-        kmat = _unflatten_rows(
-            jnp.dot(_flatten_rows(a, 3, 3), k_t,
-                    preferred_element_type=jnp.float32), 4, 4)
-        v = _dominant_eigvec(kmat)
-        qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
-        dr = _unflatten_rows(
-            jnp.dot(_flatten_rows(qq, 4, 4), r_t,
-                    preferred_element_type=jnp.float32), 3, 3)
         degenerate = total == 0.0
-        dr = jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), dr)
-        dt = jnp.where(degenerate, jnp.zeros((3, 1), jnp.float32),
-                       tc - jnp.dot(dr, mc, preferred_element_type=jnp.float32))
 
-        rx2 = jnp.sum(
-            (drxdx * (t_src - m1m0) * mask) ** 2, axis=0, keepdims=True)
-        q_new = jnp.sum(jnp.sqrt(rx2))
+        if objective == "pt2pt":
+            # Weighted Kabsch (kabsch.cc:6-56) in-kernel.
+            safe_total = jnp.where(degenerate, 1.0, total)
+            mc = jax.lax.dot_general(
+                t_src, drxdx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) / safe_total  # (3, 1)
+            tc = jax.lax.dot_general(
+                m1m0 * mask, drxdx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) / safe_total
+            w2 = drxdx * drxdx
+            hh = jax.lax.dot_general(
+                (t_src - mc) * w2, (m1m0 - tc) * mask,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (3, 3)
+            # argmax_R tr(R hh) == Horn with a = hh^T.
+            a = hh.T
+            kmat = _unflatten_rows(
+                jnp.dot(_flatten_rows(a, 3, 3), k_t,
+                        preferred_element_type=jnp.float32), 4, 4)
+            v = _dominant_eigvec(kmat)
+            qq = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
+            dr = _unflatten_rows(
+                jnp.dot(_flatten_rows(qq, 4, 4), r_t,
+                        preferred_element_type=jnp.float32), 3, 3)
+            dt = tc - jnp.dot(dr, mc, preferred_element_type=jnp.float32)
+            rx2 = jnp.sum(
+                (drxdx * (t_src - m1m0) * mask) ** 2, axis=0, keepdims=True)
+            q_new = jnp.sum(jnp.sqrt(rx2))
+        else:
+            # pt2pl: one GN step on the twist (point_to_plane.cc:6-32,
+            # filterreg.py _pt2pl_t semantics).
+            nxm0 = mom[5:8] / m0s                                 # (3, Mp)
+            resid = jnp.sum(nxm0 * (m1m0 - t_src), axis=0,
+                            keepdims=True)                        # (1, Mp)
+            cxr = t_src[1:2] * nxm0[2:3] - t_src[2:3] * nxm0[1:2]
+            cyr = t_src[2:3] * nxm0[0:1] - t_src[0:1] * nxm0[2:3]
+            czr = t_src[0:1] * nxm0[1:2] - t_src[1:2] * nxm0[0:1]
+            jac = jnp.concatenate(
+                [cxr, cyr, czr, nxm0,
+                 jnp.zeros_like(mom[:2])], axis=0)                # (8, Mp)
+            ata = jax.lax.dot_general(
+                jac * drxdx, jac, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (8, 8)
+            atb = jax.lax.dot_general(
+                jac, drxdx * resid, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # (8, 1)
+            q_new = jnp.sum((drxdx * resid) ** 2)
+
+            eye8 = jnp.eye(8, dtype=jnp.float32)
+            p1m = eye8[0:3]                                       # (3, 8)
+            p2m = eye8[3:6]
+            amat = jnp.dot(jnp.dot(p1m, ata), p1m.T,
+                           preferred_element_type=jnp.float32)
+            bmat3 = jnp.dot(jnp.dot(p1m, ata), p2m.T,
+                            preferred_element_type=jnp.float32)
+            cmat = jnp.dot(jnp.dot(p2m, ata), p2m.T,
+                           preferred_element_type=jnp.float32)
+            b1 = jnp.dot(p1m, atb, preferred_element_type=jnp.float32)
+            b2 = jnp.dot(p2m, atb, preferred_element_type=jnp.float32)
+            # Relative ridge: the Schur solve needs A invertible; the XLA
+            # path's lstsq(rcond=1e-6) min-norm behavior differs only for
+            # near-singular systems (degenerate normal fields).
+            eye3 = jnp.eye(3, dtype=jnp.float32)
+            lam = jnp.float32(1e-7) * (jnp.sum(amat * eye3)
+                                       + jnp.sum(cmat * eye3)) + eps * eps
+            amat = amat + lam * eye3
+            cmat = cmat + lam * eye3
+            ainv = _inv3_sym(amat, cof_ref[:])
+            ainv_b = jnp.dot(ainv, bmat3, preferred_element_type=jnp.float32)
+            smat = cmat - jax.lax.dot_general(
+                bmat3, ainv_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # B^T Ainv B
+            sinv = _inv3_sym(smat, cof_ref[:])
+            rhs2 = b2 - jax.lax.dot_general(
+                bmat3, jnp.dot(ainv, b1, preferred_element_type=jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            u2 = jnp.dot(sinv, rhs2, preferred_element_type=jnp.float32)
+            u1 = jnp.dot(
+                ainv, b1 - jnp.dot(bmat3, u2,
+                                   preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32)               # (3, 1)
+            # Trust region: cap the whole twist by the rotation norm
+            # (filterreg._pt2pl_t).
+            wn2 = jnp.sum(u1 * u1)
+            fac = jnp.minimum(
+                1.0, 0.5 / jnp.sqrt(jnp.maximum(wn2, jnp.float32(1e-24))))
+            u1 = u1 * fac
+            u2 = u2 * fac
+            # Exact Rodrigues (se3_op.twist_trans).
+            twd2 = jnp.sum(u1 * u1)
+            twd = jnp.sqrt(jnp.maximum(twd2, eps))
+            ntw = u1 / twd
+            skewm = _unflatten_rows(
+                jnp.dot(ntw.T, sk_ref[:],
+                        preferred_element_type=jnp.float32), 3, 3)
+            cth = jnp.cos(twd)
+            sth = jnp.sin(twd)
+            nnt = jnp.dot(ntw, ntw.T, preferred_element_type=jnp.float32)
+            dr = cth * eye3 + (1.0 - cth) * nnt + sth * skewm
+            dr = jnp.where(twd2 < eps, eye3, dr)
+            dt = u2
+
+        dr = jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), dr)
+        dt = jnp.where(degenerate, jnp.zeros((3, 1), jnp.float32), dt)
 
         num = m0 * y2 - 2.0 * jnp.sum(t_src * m1_t, axis=0, keepdims=True) + m2
         s2_upd = jnp.sum(mask * num / jnp.maximum(m0 + c, eps)) \
@@ -484,20 +708,24 @@ def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
 @functools.partial(
     jax.jit, static_argnames=("w", "maxiter", "tol", "update_sigma2",
                               "sigma2_decay", "min_sigma2", "auto_sigma2",
-                              "interpret"))
-def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
-                           tol=1e-3, update_sigma2=False, sigma2_decay=1.0,
-                           min_sigma2=1e-4, auto_sigma2=True,
+                              "objective", "interpret"))
+def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
+                           w=0.0, maxiter=50, tol=1e-3, update_sigma2=False,
+                           sigma2_decay=1.0, min_sigma2=1e-4,
+                           auto_sigma2=True, objective="pt2pt",
                            interpret=False):
-    """Rigid pt2pt FilterReg registration as ONE kernel launch.
+    """Rigid FilterReg registration (pt2pt or pt2pl) as ONE kernel launch.
 
-    Returns (rot (3,3), t (3,), sigma2, q). M, N <= ~1024.
+    Returns (rot (3,3), t (3,), sigma2, q). M, N <= ~1024. ``normals``
+    (N, 3) required for objective="pt2pl".
     """
     source = jnp.asarray(source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     m, dim = source.shape
     n = target.shape[0]
     assert dim == 3, "fused FilterReg kernel is 3-D only"
+    assert objective in ("pt2pt", "pt2pl")
+    assert objective == "pt2pt" or normals is not None
     mp = -(-m // 8) * 8
     np_ = -(-n // 128) * 128
 
@@ -509,11 +737,16 @@ def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
     x2_real = jnp.sum(target * target, axis=1)
     x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
     x2z = jnp.where(x2 < _BIG * 0.5, x2, 0.0)
+    if objective == "pt2pl":
+        nrm_rows = jnp.zeros((3, np_), jnp.float32).at[:, :n].set(
+            jnp.asarray(normals, jnp.float32).T)
+    else:
+        nrm_rows = jnp.zeros((3, np_), jnp.float32)
     xs_ext = jnp.concatenate([
         xs[:3],
         jnp.zeros((1, np_), jnp.float32).at[0, :n].set(1.0),
         x2z,
-        jnp.zeros((3, np_), jnp.float32),
+        nrm_rows,
     ], axis=0)
     bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
     bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
@@ -524,9 +757,18 @@ def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
     ], axis=0)
 
     if auto_sigma2:
-        from ..utils import math_utils as _mu
+        if objective == "pt2pl":
+            # Point-spacing init (see filterreg.registration: the
+            # cloud-size squared_kernel_sum scale makes pt2pl diverge).
+            from . import pairwise as _pw
 
-        s2_0 = jnp.maximum(_mu.squared_kernel_sum(source, target), min_sigma2)
+            s2_0 = jnp.maximum(_pw.point_spacing_sq(target),
+                               min_sigma2 * 0.01)
+        else:
+            from ..utils import math_utils as _mu
+
+            s2_0 = jnp.maximum(_mu.squared_kernel_sum(source, target),
+                               min_sigma2)
     else:
         s2_0 = jnp.asarray(sigma2_0, jnp.float32)
 
@@ -543,16 +785,9 @@ def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
     ])
 
     tmat, out = pl.pallas_call(
-        _frg_kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        functools.partial(_frg_kernel, objective=objective),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -562,7 +797,8 @@ def run_em_filterreg_fused(source, target, sigma2_0=0.0, w=0.0, maxiter=50,
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ],
         interpret=interpret,
-    )(consts, ys, bmat, xs_ext, bigy, jnp.asarray(_K_T), jnp.asarray(_R_T))
+    )(consts, ys, bmat, xs_ext, bigy, jnp.asarray(_K_T), jnp.asarray(_R_T),
+      jnp.asarray(_COF_T), jnp.asarray(_SK_T))
 
     sigma2, q = out[0, 0], out[0, 1]
     rot = tmat[:3, :3]

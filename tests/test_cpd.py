@@ -154,12 +154,10 @@ def test_cpd_matches_reference_replica(horse_cloud):
     ref = _reference_cpd_replica(src, tgt, 8)
 
     for i in [3, 8]:
-        # Pin the XLA (SVD) path: on TPU the default takes the fused Pallas
-        # kernel whose Horn rotation solve differs from the reference SVD by
-        # ~1e-3 mid-convergence (covered by test_em_pallas at its own
-        # tolerance); this test measures parity with the reference MATH.
-        res = cpd.registration_cpd(src, tgt, maxiter=i, tol=0.0,
-                                   use_pallas=False)
+        # Runs the default path: on TPU that is the fused Pallas kernel,
+        # whose Horn+RQI rotation solve matches the SVD path to ~1e-6 at
+        # every iteration (measured on v5e; test_em_pallas covers it).
+        res = cpd.registration_cpd(src, tgt, maxiter=i, tol=0.0)
         rot_ref, t_ref, scale_ref, sigma2_ref = ref[i - 1]
         np.testing.assert_allclose(
             np.asarray(res.transformation.rot), rot_ref, atol=1e-4)

@@ -31,8 +31,67 @@ def test_fused_em_matches_xla(rng):
     lin, t2, s2x, sig2, q2 = cpd._run_em_t(
         jnp.asarray(src), jnp.asarray(tgt), kind="rigid", w=0.0,
         maxiter=8, tol=0.0)
-    np.testing.assert_allclose(np.asarray(r), np.asarray(lin), atol=5e-3)
-    np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=5e-3)
+    # The in-kernel Horn solve (power squaring + column init + RQI polish)
+    # tracks the XLA SVD path to f32 precision at every iteration.
+    np.testing.assert_allclose(np.asarray(r), np.asarray(lin), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=1e-4)
+
+
+@tpu_only
+def test_fused_affine_em_matches_xla(rng):
+    from probreg_tpu import cpd
+
+    src = (rng.normal(size=(40, 3)) * 0.3).astype(np.float32)
+    b0 = (np.eye(3) + 0.1 * rng.normal(size=(3, 3))).astype(np.float32)
+    tgt = (src @ b0.T + np.float32([0.02, -0.01, 0.03])).astype(np.float32)
+    b, t, s2, q = em_pallas.run_em_affine_fused(src, tgt, maxiter=8, tol=0.0)
+    lin, t2, _, sig2, q2 = cpd._run_em_t(
+        jnp.asarray(src), jnp.asarray(tgt), kind="affine", w=0.0,
+        maxiter=8, tol=0.0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(lin), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=1e-4)
+
+
+@tpu_only
+def test_fused_filterreg_pt2pl_matches_xla(rng):
+    from probreg_tpu import filterreg
+    from probreg_tpu.utils import se3_op
+
+    # Synthetic curved surface with analytic normals (z = 0.2 sin x cos y).
+    g = np.mgrid[0:8, 0:8].reshape(2, -1).T.astype(np.float32) * 0.125
+    z = 0.2 * np.sin(g[:, 0] * 3) * np.cos(g[:, 1] * 3)
+    src = np.column_stack([g, z]).astype(np.float32)
+    dzdx = 0.6 * np.cos(g[:, 0] * 3) * np.cos(g[:, 1] * 3)
+    dzdy = -0.6 * np.sin(g[:, 0] * 3) * np.sin(g[:, 1] * 3)
+    nrm = np.column_stack([-dzdx, -dzdy, np.ones_like(z)])
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rot0 = np.asarray(se3_op.euler2mat(*np.deg2rad([3.0, -2.0, 4.0])),
+                      np.float32)
+    tgt = (src @ rot0.T).astype(np.float32)
+    nrm_t = (nrm @ rot0.T).astype(np.float32)
+
+    sigma2 = 0.01
+    for i in (2, 6):
+        r, t, s2, q = em_pallas.run_em_filterreg_fused(
+            src, tgt, nrm_t, sigma2_0=sigma2, maxiter=i, tol=0.0,
+            auto_sigma2=False, objective="pt2pl")
+        res = filterreg._run_em_rigid(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(nrm_t),
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            np.float32(sigma2), objective_type="pt2pl",
+            update_sigma2=False, w=0.0, maxiter=i, tol=0.0,
+            min_sigma2=1e-4)
+        # 5e-4: the kernel's one-matmul augmented distance rounds
+        # differently from the XLA path's y2+x2-2xy, and the pt2pl GN
+        # twist feedback compounds that over iterations (measured 2.2e-4
+        # at iter 6 on v5e) — same order as the XLA path's own f32
+        # deviation from the f64 replica (test_filterreg, 2e-4).
+        np.testing.assert_allclose(np.asarray(r),
+                                   np.asarray(res.transformation.rot),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(t),
+                                   np.asarray(res.transformation.t),
+                                   atol=5e-4)
 
 
 def test_em_math_components(rng):
@@ -54,6 +113,46 @@ def test_em_math_components(rng):
         assert abs(tr_gap) < 1e-4, tr_gap
         # proper rotation
         np.testing.assert_allclose(np.linalg.det(rot_h), 1.0, atol=1e-4)
+
+    # Cofactor tensor: the bilinear 3x3 inverse (numpy mirror of
+    # _inv3_sym — pltpu.roll only lowers inside Mosaic) matches
+    # np.linalg.inv on symmetric matrices (the affine M-step's yp1y).
+    for _ in range(50):
+        s = rng.normal(size=(3, 3)).astype(np.float32)
+        s = (s @ s.T + 0.1 * np.eye(3)).astype(np.float32)
+        s9 = s.reshape(1, 9)
+        cof = ((s9.T @ s9).reshape(1, 81) @ em_pallas._COF_T).reshape(3, 3)
+        det = np.sum(s * cof) / 3.0
+        np.testing.assert_allclose(det, np.linalg.det(s.astype(np.float64)),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(cof / det,
+                                   np.linalg.inv(s.astype(np.float64)),
+                                   rtol=2e-3, atol=1e-5)
+
+    # Dominant-eigenvector solve (power squaring + column init + RQI):
+    # f32-floor accuracy across eigengaps, including the two failure modes
+    # of the earlier scheme (dominant eigenvector orthogonal to the ones
+    # vector; relative gap ~1e-2 unresolved by a loose shift).
+    for trial in range(300):
+        q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+        gap = 10.0 ** rng.uniform(-4, 0)
+        lam = np.array([1.0, 1.0 - gap,
+                        rng.uniform(-1, 0.5), rng.uniform(-1, 0.5)])
+        scale = 10.0 ** rng.uniform(-3, 3)
+        k = ((q * (lam * scale)) @ q.T).astype(np.float32)
+        k = (k + k.T) / 2
+        w, vmat = np.linalg.eigh(k.astype(np.float64))
+        vt = vmat[:, -1]
+        v = np.asarray(em_pallas._dominant_eigvec(jnp.asarray(k)))[:, 0]
+        err = min(np.linalg.norm(v - vt), np.linalg.norm(v + vt))
+        # f32 floor is ~eps/gap; suboptimality of the Rayleigh quotient
+        # bounds what the rotation objective can lose.
+        assert err < max(2e-3, 3e-7 / gap), (trial, gap, err)
+        subopt = (w[-1] - v @ k.astype(np.float64) @ v) / abs(w[-1])
+        assert subopt < 1e-6, (trial, gap, subopt)
+    # Degenerate / zero inputs stay finite.
+    v = np.asarray(em_pallas._dominant_eigvec(jnp.zeros((4, 4), jnp.float32)))
+    assert np.all(np.isfinite(v)) and abs(np.linalg.norm(v) - 1) < 1e-5
 
     # Augmented matmul produces squared distances with BIG padding.
     m, n = 5, 7

@@ -93,9 +93,9 @@ def test_filterreg_large_pairs_fallback_matches_fast(horse_cloud):
     src = np.asarray(horse_cloud, dtype=np.float32)[::4]
     rot = np.asarray(se3_op.euler2mat(*np.deg2rad([0.0, 0.0, 8.0])), np.float32)
     tgt = src @ rot.T
-    # use_pallas=False: this test compares the transposed XLA fast path to
-    # the streaming host loop; on TPU the default would take the fused
-    # Pallas kernel whose Horn solve differs ~1e-3 (test_em_pallas covers it).
+    # use_pallas=False: this test specifically compares the transposed XLA
+    # fast path to the streaming host loop (the fused Pallas kernel has its
+    # own equivalence tests in test_em_pallas).
     res_fast = filterreg.registration_filterreg(src, tgt, maxiter=30,
                                                 tol=1e-6, use_pallas=False)
     old = cfg.config.transposed_em_max_pairs
@@ -161,10 +161,10 @@ def test_filterreg_matches_reference_replica(horse_cloud):
     sigma2 = 0.01
     ref = _reference_filterreg_replica(src, tgt, 5, sigma2)
     for i in (2, 5):
-        # use_pallas=False: pin the XLA path the replica mirrors (on TPU
-        # the fused Pallas kernel's Horn solve diverges mid-convergence).
+        # Runs the default path: on TPU that is the fused Pallas kernel,
+        # whose Horn+RQI solve matches the XLA path to ~1e-6 per iteration.
         res = filterreg.registration_filterreg(
-            src, tgt, sigma2=sigma2, maxiter=i, tol=0.0, use_pallas=False)
+            src, tgt, sigma2=sigma2, maxiter=i, tol=0.0)
         rot_ref, t_ref = ref[i - 1]
         np.testing.assert_allclose(
             np.asarray(res.transformation.rot), rot_ref, atol=2e-4)
