@@ -91,8 +91,40 @@ def bench_bunny():
             w=0.0, maxiter=50, tol=0.001, min_sigma2=1e-4, auto_sigma2=True)
         return res.sigma2, res.transformation.rot
 
+    def cpd_affine_one(s, t):
+        if on_tpu:
+            from probreg_tpu.ops import em_pallas
+
+            b, tt, s2, q = em_pallas.run_em_affine_fused(
+                s, t, w=0.0, maxiter=100, tol=0.001)
+            return q, b
+        lin, tt, sc, s2, q = cpd._run_em_t(s, t, kind="affine", w=0.0,
+                                           maxiter=100, tol=0.001)
+        return q, lin
+
+    from probreg_tpu.ops import fpfh as _fpfh
+
+    nrm_d = jax.device_put(np.asarray(_fpfh.estimate_normals(tgt, radius=0.02),
+                                      np.float32))
+    jax.block_until_ready(nrm_d)
+
+    def frg_pt2pl_one(s, t):
+        if on_tpu:
+            from probreg_tpu.ops import em_pallas
+
+            r, tt, s2, q = em_pallas.run_em_filterreg_fused(
+                s, t, nrm_d, maxiter=50, tol=0.001, objective="pt2pl")
+            return q, r
+        res = filterreg._run_em_rigid(
+            s, t, nrm_d, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            np.float32(0.0), objective_type="pt2pl", update_sigma2=False,
+            w=0.0, maxiter=50, tol=0.001, min_sigma2=1e-4, auto_sigma2=True)
+        return res.sigma2, res.transformation.rot
+
     timed_batch("CPD rigid  ", cpd_one, 38.1)
+    timed_batch("CPD affine ", cpd_affine_one, 38.1)
     timed_batch("FilterReg  ", frg_one, 5.1)
+    timed_batch("FRg pt2pl  ", frg_pt2pl_one, 5.1)
 
     # GMMTree: tree build is one-time; time the jitted registration loop.
     gt = gmmtree.GMMTree(src)

@@ -104,9 +104,18 @@ def _dominant_eigvec(kmat):
         e3 = (e2 * p1 - e1 * p2 + p3) * jnp.float32(1.0 / 3.0)
         w = b3v - e1 * b2v + e2 * bv - e3 * v
         nw = jnp.sqrt(jnp.sum(w * w))
-        # w ~ 0 iff v is already an exact eigenvector (adj(B) annihilates
-        # only the converged direction's complement) — keep v then.
-        return jnp.where(nw > jnp.float32(1e-25),
+        # Cancellation guard: adj(B) v is a difference of O(1) terms; when
+        # the true result is below their f32 rounding floor (top eigenvalues
+        # crowded within ~sqrt(eps), or v already converged), w is pure
+        # noise and one step can land on an arbitrary eigenvector — keep v
+        # instead (its Rayleigh quotient is within the crowd's spread of
+        # the optimum, so the rotation objective loses nothing measurable).
+        noise = jnp.float32(16.0 * 1.1920929e-07) * (
+            jnp.sqrt(jnp.sum(b3v * b3v))
+            + jnp.abs(e1) * jnp.sqrt(jnp.sum(b2v * b2v))
+            + jnp.abs(e2) * jnp.sqrt(jnp.sum(bv * bv))
+            + jnp.abs(e3))
+        return jnp.where(nw > noise,
                          w / jnp.maximum(nw, jnp.float32(1e-30)), v)
 
     return jax.lax.fori_loop(0, _RQI_STEPS, rqi, v)

@@ -58,23 +58,55 @@ def outlier_constant(sigma2, w: float, m: int, n: int, dim: int):
     return c * w / (1.0 - w) * m / n
 
 
-def _block_moments(t_source, x_blk, mask, sigma2, c, eps):
-    """Moments of one (M x B) block of the posterior. mask: (B,) validity."""
-    g = jnp.exp(-sqdist(t_source, x_blk) / (2.0 * sigma2))
-    g = g * mask[None, :]
+# Pad value for target blocks: |pad|^2 overwhelms any real exponent, so the
+# Gaussian of a padded column underflows to exactly 0 — no per-pair mask
+# multiply (saves one VPU op per pair in the hottest loop).
+_PAD_BIG = 1e15
+
+
+def _block_moments(t_source, x_blk, sigma2, c, eps):
+    """Moments of one (M x B) block of the posterior.
+
+    Padded columns (coordinates == _PAD_BIG) carry exactly zero Gaussian
+    mass. The per-pair VPU work is minimized for the transcendental-bound
+    regime: operands are pre-scaled by 1/sqrt(2*sigma2) (folds the exponent
+    scale into O((M+B)*D) work), the normalizer is applied as a reciprocal
+    MULTIPLY, and p1 rides the px matmul as an appended ones column (MXU,
+    not a VPU row reduction).
+    """
+    inv_s = jax.lax.rsqrt(2.0 * sigma2).astype(t_source.dtype)
+    ys = t_source * inv_s
+    xs = x_blk * inv_s
+    y2 = jnp.sum(ys * ys, axis=-1)[:, None]
+    x2 = jnp.sum(xs * xs, axis=-1)[None, :]
+    # precision=HIGHEST is load-bearing (see ops/pairwise.sqdist).
+    yx = jax.lax.dot_general(
+        ys.astype(config.matmul_dtype),
+        xs.astype(config.matmul_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(t_source.dtype)
+    g = jnp.exp(jnp.minimum(yx + yx - y2 - x2, 0.0))
     den_raw = jnp.sum(g, axis=0)
-    den = jnp.where(den_raw == 0.0, eps, den_raw) + c
-    pt1 = mask * den_raw / den
-    pmat = g / den[None, :]
-    p1 = jnp.sum(pmat, axis=1)
-    px = jax.lax.dot_general(
+    inv_den = 1.0 / (jnp.where(den_raw == 0.0, eps, den_raw) + c)
+    pt1 = den_raw * inv_den
+    pmat = g * inv_den[None, :]
+    xb_ext = jnp.concatenate(
+        [x_blk, jnp.ones((x_blk.shape[0], 1), x_blk.dtype)], axis=1)
+    # Padded rows of x_blk are _PAD_BIG, but their pmat column is exactly 0
+    # (underflowed), so they contribute nothing here.
+    pxp = jax.lax.dot_general(
         pmat.astype(config.matmul_dtype),
-        x_blk.astype(config.matmul_dtype),
+        xb_ext.astype(config.matmul_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(t_source.dtype)
-    xx = jnp.sum(pt1 * jnp.sum(x_blk * x_blk, axis=1))
+    px = pxp[:, :-1]
+    p1 = pxp[:, -1]
+    x2r = jnp.sum(x_blk * x_blk, axis=1)
+    xx = jnp.sum(pt1 * jnp.where(x2r < _PAD_BIG, x2r, 0.0))
     return pt1, p1, px, xx
 
 
@@ -101,22 +133,18 @@ def estep_xla(
     if block is None:
         block = max(min(config.estep_chunk, n), 1)
     if n <= block:
-        mask = jnp.ones((n,), t_source.dtype)
-        pt1, p1, px, xx = _block_moments(t_source, target, mask, sigma2, c, eps)
+        pt1, p1, px, xx = _block_moments(t_source, target, sigma2, c, eps)
         return EstepMoments(pt1, p1, px, jnp.sum(p1), xx)
 
     pad = (-n) % block
-    tgt = jnp.concatenate([target, jnp.zeros((pad, dim), target.dtype)], axis=0)
+    tgt = jnp.concatenate(
+        [target, jnp.full((pad, dim), _PAD_BIG, target.dtype)], axis=0)
     nb = tgt.shape[0] // block
     blocks = tgt.reshape(nb, block, dim)
-    offs = jnp.arange(nb) * block
-    base = jnp.arange(block)
 
-    def body(carry, inp):
+    def body(carry, x_blk):
         p1_acc, px_acc, xx_acc = carry
-        x_blk, off = inp
-        mask = ((off + base) < n).astype(t_source.dtype)
-        pt1_b, p1_b, px_b, xx_b = _block_moments(t_source, x_blk, mask, sigma2, c, eps)
+        pt1_b, p1_b, px_b, xx_b = _block_moments(t_source, x_blk, sigma2, c, eps)
         return (p1_acc + p1_b, px_acc + px_b, xx_acc + xx_b), pt1_b
 
     init = (
@@ -124,7 +152,7 @@ def estep_xla(
         jnp.zeros((m, dim), t_source.dtype),
         jnp.zeros((), t_source.dtype),
     )
-    (p1, px, xx), pt1_blocks = jax.lax.scan(body, init, (blocks, offs))
+    (p1, px, xx), pt1_blocks = jax.lax.scan(body, init, blocks)
     pt1 = pt1_blocks.reshape(-1)[:n]
     return EstepMoments(pt1, p1, px, jnp.sum(p1), xx)
 

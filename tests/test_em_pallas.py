@@ -150,6 +150,25 @@ def test_em_math_components(rng):
         assert err < max(2e-3, 3e-7 / gap), (trial, gap, err)
         subopt = (w[-1] - v @ k.astype(np.float64) @ v) / abs(w[-1])
         assert subopt < 1e-6, (trial, gap, subopt)
+    # Adversarial: l2 AND l3 crowd l1. The eigenvector is then genuinely
+    # unresolvable in f32 (the RQI adjugate signal sits below the rounding
+    # floor — the cancellation guard must keep the power-iteration seed
+    # rather than jump to noise), but the Rayleigh quotient must stay
+    # within ~1e-3 of the optimum (no catastrophic flips onto the negative
+    # eigenvalue, which an unguarded step produces).
+    for trial in range(200):
+        q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+        g12 = 10.0 ** rng.uniform(-7, 0)
+        g13 = max(g12, 10.0 ** rng.uniform(-7, 0))
+        lam = np.array([1.0, 1.0 - g12, 1.0 - g13, rng.uniform(-1, 0.5)])
+        scale = 10.0 ** rng.uniform(-3, 3)
+        k = ((q * (lam * scale)) @ q.T).astype(np.float32)
+        k = (k + k.T) / 2
+        w, _ = np.linalg.eigh(k.astype(np.float64))
+        v = np.asarray(em_pallas._dominant_eigvec(jnp.asarray(k)))[:, 0]
+        subopt = (w[-1] - v @ k.astype(np.float64) @ v) / abs(w[-1])
+        assert subopt < 2e-3, (trial, g12, g13, subopt)
+
     # Degenerate / zero inputs stay finite.
     v = np.asarray(em_pallas._dominant_eigvec(jnp.zeros((4, 4), jnp.float32)))
     assert np.all(np.isfinite(v)) and abs(np.linalg.norm(v) - 1) < 1e-5
