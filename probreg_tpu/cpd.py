@@ -1013,6 +1013,7 @@ def registration_cpd_batch(
     tol: float = 0.001,
     update_scale: bool = True,
     n_starts: int = 1,
+    use_pallas: Optional[bool] = None,
 ):
     """Register B cloud pairs in one compiled program (vmap over the batch).
 
@@ -1064,15 +1065,39 @@ def registration_cpd_batch(
                         sigma2[b], q[b])
             for b in range(nb)
         ]
+    def _fused_ok(m, n, dim):
+        return (dim == 3 and _config.config.use_fused_em
+                and use_pallas is not False
+                and m * n <= _config.config.fused_em_max_pairs
+                and jax.default_backend() == "tpu")
+
+    def _unpack_fused(lin, t, sigma2):
+        # lin = scale*R for rigid (scale=1 when update_scale=False).
+        if tf_type_name == "rigid":
+            scale = jnp.sqrt(jnp.maximum(
+                jnp.sum(lin * lin, axis=(1, 2)) / 3.0, 1e-30))
+            return lin / scale[:, None, None], t, scale
+        return lin, t, jnp.ones_like(sigma2)
+
     if ragged:
         src_p, smask = interop.pad_ragged(list(sources), _config.config.dtype)
         tgt_p, tmask = interop.pad_ragged(list(targets), _config.config.dtype)
         nb = src_p.shape[0]
-        lin, t, scale, sigma2, q = _run_em_t_ragged_batch(
-            jnp.asarray(src_p), jnp.asarray(tgt_p),
-            jnp.asarray(smask), jnp.asarray(tmask),
-            kind=tf_type_name, w=float(w), maxiter=int(maxiter),
-            tol=float(tol), update_scale=bool(update_scale))
+        if _fused_ok(src_p.shape[1], tgt_p.shape[1], src_p.shape[2]):
+            from .ops import em_pallas
+
+            lin, t, sigma2, q = em_pallas.run_em_cpd_fused_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p),
+                jnp.asarray(smask), jnp.asarray(tmask),
+                kind=tf_type_name, w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=bool(update_scale), masked=True)
+            lin, t, scale = _unpack_fused(lin, t, sigma2)
+        else:
+            lin, t, scale, sigma2, q = _run_em_t_ragged_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p),
+                jnp.asarray(smask), jnp.asarray(tmask),
+                kind=tf_type_name, w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_scale=bool(update_scale))
         out = []
         for b in range(nb):
             if tf_type_name == "rigid":
@@ -1083,10 +1108,19 @@ def registration_cpd_batch(
         return out
     sources = jnp.asarray(interop.as_points(sources, dtype=_config.config.dtype))
     targets = jnp.asarray(interop.as_points(targets, dtype=_config.config.dtype))
-    lin, t, scale, sigma2, q = _run_em_t_batch(
-        sources, targets, kind=tf_type_name, w=float(w),
-        maxiter=int(maxiter), tol=float(tol),
-        update_scale=bool(update_scale))
+    if _fused_ok(sources.shape[1], targets.shape[1], sources.shape[2]):
+        from .ops import em_pallas
+
+        lin, t, sigma2, q = em_pallas.run_em_cpd_fused_batch(
+            sources, targets, kind=tf_type_name, w=float(w),
+            maxiter=int(maxiter), tol=float(tol),
+            update_scale=bool(update_scale))
+        lin, t, scale = _unpack_fused(lin, t, sigma2)
+    else:
+        lin, t, scale, sigma2, q = _run_em_t_batch(
+            sources, targets, kind=tf_type_name, w=float(w),
+            maxiter=int(maxiter), tol=float(tol),
+            update_scale=bool(update_scale))
     out = []
     for b in range(sources.shape[0]):
         if tf_type_name == "rigid":

@@ -815,6 +815,14 @@ def _run_em_rigid_ragged_batch(sources, targets, normals, smasks, tmasks,
     return jax.vmap(run)(sources, targets, normals, smasks, tmasks)
 
 
+def _fused_batch_ok(m, n, dim, use_pallas):
+    """True when the batched fused Pallas runner should take the pairs."""
+    return (dim == 3 and _config.config.use_fused_em
+            and use_pallas is not False
+            and m * n <= _config.config.fused_em_max_pairs
+            and jax.default_backend() == "tpu")
+
+
 def registration_filterreg_batch(
     sources,
     targets,
@@ -828,6 +836,7 @@ def registration_filterreg_batch(
     min_sigma2: float = 1.0e-4,
     sigma2_decay: float = 1.0,
     n_starts: int = 1,
+    use_pallas: Optional[bool] = None,
 ) -> List[MstepResult]:
     """Register B cloud pairs with rigid FilterReg in ONE compiled program.
 
@@ -899,6 +908,24 @@ def registration_filterreg_batch(
         else:
             nrm_p = None
         nb = src_p.shape[0]
+        if _fused_batch_ok(src_p.shape[1], tgt_p.shape[1], src_p.shape[2],
+                           use_pallas):
+            from .ops import em_pallas
+
+            rot, t, sigma2s, qs = em_pallas.run_em_filterreg_fused_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p), nrm_p,
+                jnp.asarray(smask), jnp.asarray(tmask),
+                sigma2_0=0.0 if auto else float(sigma2),
+                objective=objective_type, w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_sigma2=bool(update_sigma2),
+                sigma2_decay=float(sigma2_decay),
+                min_sigma2=float(min_sigma2), auto_sigma2=auto, masked=True,
+                with_normals=objective_type == "pt2pl")
+            return [
+                MstepResult(tf.RigidTransformation(rot[b], t[b]),
+                            sigma2s[b], qs[b])
+                for b in range(nb)
+            ]
         res = _run_em_rigid_ragged_batch(
             jnp.asarray(src_p), jnp.asarray(tgt_p), nrm_p,
             jnp.asarray(smask), jnp.asarray(tmask),
@@ -909,6 +936,23 @@ def registration_filterreg_batch(
         normals = _as_jnp(target_normals) \
             if objective_type == "pt2pl" else None
         nb = sources.shape[0]
+        if _fused_batch_ok(sources.shape[1], targets.shape[1],
+                           sources.shape[2], use_pallas):
+            from .ops import em_pallas
+
+            rot, t, sigma2s, qs = em_pallas.run_em_filterreg_fused_batch(
+                sources, targets, normals,
+                sigma2_0=0.0 if auto else float(sigma2),
+                objective=objective_type, w=float(w), maxiter=int(maxiter),
+                tol=float(tol), update_sigma2=bool(update_sigma2),
+                sigma2_decay=float(sigma2_decay),
+                min_sigma2=float(min_sigma2), auto_sigma2=auto,
+                with_normals=objective_type == "pt2pl")
+            return [
+                MstepResult(tf.RigidTransformation(rot[b], t[b]),
+                            sigma2s[b], qs[b])
+                for b in range(nb)
+            ]
         res = _run_em_rigid_batch(
             sources, targets, normals,
             np.float32(0.0 if auto else sigma2), **kwargs)

@@ -394,19 +394,29 @@ def _em_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, x2_ref, bigy_ref,
 @functools.partial(
     jax.jit, static_argnames=("w", "maxiter", "tol", "update_scale",
                               "kind", "interpret"))
-def _run_em_cpd_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
-                      update_scale=True, kind="rigid", interpret=False):
+def _run_em_cpd_fused(source, target, smask=None, tmask=None, w=0.0,
+                      maxiter=50, tol=1e-3, update_scale=True, kind="rigid",
+                      interpret=False):
     """CPD registration (rigid or affine M-step) as ONE kernel launch.
 
     Returns (lin (3,3), t (3,), sigma2, q) where lin = scale*R (rigid) or
     B (affine). Sizes must satisfy Mp*Np*4B (posterior tile) << VMEM; use
     for M, N <= ~1024.
+
+    ``smask``/``tmask``: optional (M,)/(N,) 0/1 validity masks for
+    ragged-batch padding. Masked points get BIG distance rows/columns (so
+    their Gaussian mass underflows to exactly 0 inside the kernel) and the
+    outlier constant / sigma2_0 / q0 use the true counts — exactly the
+    unpadded registration, with the masks as runtime DATA so one compiled
+    program serves every ragged batch element.
     """
     source = jnp.asarray(source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     m, dim = source.shape
     n = target.shape[0]
     assert dim == 3, "fused EM kernel is 3-D only"
+    assert (smask is None) == (tmask is None)
+    masked = smask is not None
     mp = -(-m // 8) * 8
     np_ = -(-n // 128) * 128
 
@@ -415,11 +425,22 @@ def _run_em_cpd_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
     ys = ys.at[3, :m].set(1.0)
     xs = jnp.zeros((8, np_), jnp.float32)
     xs = xs.at[:3, :n].set(target.T)
-    xs_ext = xs.at[3, :n].set(1.0)
     x2_real = jnp.sum(target * target, axis=1)
-    x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
-    bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
-    bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
+    if masked:
+        smask = jnp.asarray(smask, jnp.float32)
+        tmask = jnp.asarray(tmask, jnp.float32)
+        xs_ext = xs.at[3, :n].set(tmask)
+        x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(
+            jnp.where(tmask > 0, x2_real, _BIG))
+        bigy = jnp.full((1, mp), _BIG, jnp.float32).at[0, :m].set(
+            jnp.where(smask > 0, 0.0, _BIG))
+        bigx_row = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(
+            jnp.where(tmask > 0, 0.0, _BIG))
+    else:
+        xs_ext = xs.at[3, :n].set(1.0)
+        x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
+        bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
+        bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
     ones_n = jnp.zeros((1, np_), jnp.float32).at[0, :].set(1.0)
     bmat = jnp.concatenate([
         -2.0 * xs[:3],                       # pair with t_src rows
@@ -433,10 +454,19 @@ def _run_em_cpd_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
     # sigma2_0 / q0 closed form (reference math_utils.py:28).
     from ..utils import math_utils as _mu
 
-    sigma2_0 = _mu.squared_kernel_sum(source, target)
-    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
+    if masked:
+        m_eff = jnp.sum(smask)
+        n_eff = jnp.sum(tmask)
+        sigma2_0 = _mu.masked_squared_kernel_sum_t(
+            source.T, target.T, smask, tmask)
+        wratio = jnp.where(
+            jnp.asarray(w > 0.0), w / (1.0 - w + 1e-30) * m_eff / n_eff, 0.0)
+    else:
+        m_eff, n_eff = m, n
+        sigma2_0 = _mu.squared_kernel_sum(source, target)
+        wratio = w / (1.0 - w) * m / n if w > 0.0 else 0.0
+    q0 = 1.0 + n_eff * dim * 0.5 * jnp.log(sigma2_0)
 
-    wratio = w / (1.0 - w) * m / n if w > 0.0 else 0.0
     consts = jnp.stack([
         jnp.asarray(wratio, jnp.float32),
         jnp.asarray(float(maxiter), jnp.float32),
@@ -444,7 +474,7 @@ def _run_em_cpd_fused(source, target, w=0.0, maxiter=50, tol=1e-3,
         jnp.asarray(1.0 if update_scale else 0.0, jnp.float32),
         jnp.asarray(0.0, jnp.float32),
         sigma2_0.astype(jnp.float32),
-        q0.astype(jnp.float32),
+        jnp.asarray(q0, jnp.float32),
         jnp.asarray(float(dim), jnp.float32),
     ])
 
@@ -718,7 +748,8 @@ def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
     jax.jit, static_argnames=("w", "maxiter", "tol", "update_sigma2",
                               "sigma2_decay", "min_sigma2", "auto_sigma2",
                               "objective", "interpret"))
-def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
+def run_em_filterreg_fused(source, target, normals=None, smask=None,
+                           tmask=None, sigma2_0=0.0,
                            w=0.0, maxiter=50, tol=1e-3, update_sigma2=False,
                            sigma2_decay=1.0, min_sigma2=1e-4,
                            auto_sigma2=True, objective="pt2pt",
@@ -726,7 +757,9 @@ def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
     """Rigid FilterReg registration (pt2pt or pt2pl) as ONE kernel launch.
 
     Returns (rot (3,3), t (3,), sigma2, q). M, N <= ~1024. ``normals``
-    (N, 3) required for objective="pt2pl".
+    (N, 3) required for objective="pt2pl". ``smask``/``tmask``: optional
+    (M,)/(N,) 0/1 validity masks for ragged-batch padding (see
+    _run_em_cpd_fused).
     """
     source = jnp.asarray(source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -735,6 +768,8 @@ def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
     assert dim == 3, "fused FilterReg kernel is 3-D only"
     assert objective in ("pt2pt", "pt2pl")
     assert objective == "pt2pt" or normals is not None
+    assert (smask is None) == (tmask is None)
+    masked = smask is not None
     mp = -(-m // 8) * 8
     np_ = -(-n // 128) * 128
 
@@ -744,7 +779,21 @@ def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
     xs = jnp.zeros((8, np_), jnp.float32)
     xs = xs.at[:3, :n].set(target.T)
     x2_real = jnp.sum(target * target, axis=1)
-    x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
+    if masked:
+        smask = jnp.asarray(smask, jnp.float32)
+        tmask = jnp.asarray(tmask, jnp.float32)
+        x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(
+            jnp.where(tmask > 0, x2_real, _BIG))
+        bigy = jnp.full((1, mp), _BIG, jnp.float32).at[0, :m].set(
+            jnp.where(smask > 0, 0.0, _BIG))
+        bigx_row = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(
+            jnp.where(tmask > 0, 0.0, _BIG))
+        m0_row = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(tmask)
+    else:
+        x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
+        bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
+        bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
+        m0_row = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(1.0)
     x2z = jnp.where(x2 < _BIG * 0.5, x2, 0.0)
     if objective == "pt2pl":
         nrm_rows = jnp.zeros((3, np_), jnp.float32).at[:, :n].set(
@@ -753,12 +802,10 @@ def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
         nrm_rows = jnp.zeros((3, np_), jnp.float32)
     xs_ext = jnp.concatenate([
         xs[:3],
-        jnp.zeros((1, np_), jnp.float32).at[0, :n].set(1.0),
+        m0_row,
         x2z,
         nrm_rows,
     ], axis=0)
-    bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
-    bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
     ones_n = jnp.ones((1, np_), jnp.float32)
     bmat = jnp.concatenate([
         -2.0 * xs[:3], ones_n, x2z, ones_n, bigx_row,
@@ -771,17 +818,40 @@ def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
             # cloud-size squared_kernel_sum scale makes pt2pl diverge).
             from . import pairwise as _pw
 
-            s2_0 = jnp.maximum(_pw.point_spacing_sq(target),
-                               min_sigma2 * 0.01)
+            if masked:
+                x2c = x2_real
+                d2x = jnp.maximum(
+                    x2c[:, None] + x2c[None, :]
+                    - 2.0 * jnp.dot(target, target.T,
+                                    precision=jax.lax.Precision.HIGHEST),
+                    0.0)
+                d2x = jnp.where(d2x <= 1e-12, jnp.inf, d2x)
+                d2x = jnp.where(tmask[None, :] > 0, d2x, jnp.inf)
+                nn2 = jnp.min(d2x, axis=1)
+                nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0) * tmask
+                s2_0 = jnp.maximum(jnp.sum(nn2) / jnp.sum(tmask),
+                                   min_sigma2 * 0.01)
+            else:
+                s2_0 = jnp.maximum(_pw.point_spacing_sq(target),
+                                   min_sigma2 * 0.01)
         else:
             from ..utils import math_utils as _mu
 
-            s2_0 = jnp.maximum(_mu.squared_kernel_sum(source, target),
-                               min_sigma2)
+            if masked:
+                s2_0 = jnp.maximum(_mu.masked_squared_kernel_sum_t(
+                    source.T, target.T, smask, tmask), min_sigma2)
+            else:
+                s2_0 = jnp.maximum(_mu.squared_kernel_sum(source, target),
+                                   min_sigma2)
     else:
         s2_0 = jnp.asarray(sigma2_0, jnp.float32)
 
-    wratio = w / (1.0 - w) * n / m if w > 0.0 else 0.0
+    if masked:
+        wratio = jnp.where(
+            jnp.asarray(w > 0.0),
+            w / (1.0 - w + 1e-30) * jnp.sum(tmask) / jnp.sum(smask), 0.0)
+    else:
+        wratio = w / (1.0 - w) * n / m if w > 0.0 else 0.0
     consts = jnp.stack([
         jnp.asarray(wratio, jnp.float32),
         jnp.asarray(float(maxiter), jnp.float32),
@@ -813,3 +883,75 @@ def run_em_filterreg_fused(source, target, normals=None, sigma2_0=0.0,
     rot = tmat[:3, :3]
     t = tmat[:3, 3]
     return rot, t, sigma2, q
+
+
+# --------------------------------------------------------------------------
+# Batched fused runners (TPU serving path)
+# --------------------------------------------------------------------------
+#
+# One compiled program, B sequential whole-EM kernel launches (lax.map; the
+# v5e has a single TensorCore, so batch elements are sequential either way).
+# ~1.6x faster per pair than the vmapped XLA EM (each launch keeps every
+# operand in VMEM and each pair still exits its own while_loop at ITS
+# convergence iteration, where the vmapped loop runs every pair until the
+# LAST one converges). Ragged batches ride the mask operands — one program
+# for any mix of point counts.
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "w", "maxiter", "tol", "update_scale",
+                              "masked"))
+def run_em_cpd_fused_batch(sources, targets, smasks=None, tmasks=None, *,
+                           kind="rigid", w=0.0, maxiter=50, tol=1e-3,
+                           update_scale=True, masked=False):
+    """(B, M, 3) x (B, N, 3) [+ (B, M)/(B, N) masks] -> stacked
+    (lin, t, sigma2, q) via one fused kernel launch per pair."""
+
+    def one(args):
+        if masked:
+            s, t, sm, tm = args
+            return _run_em_cpd_fused(s, t, sm, tm, w=w, maxiter=maxiter,
+                                     tol=tol, update_scale=update_scale,
+                                     kind=kind)
+        s, t = args
+        return _run_em_cpd_fused(s, t, w=w, maxiter=maxiter, tol=tol,
+                                 update_scale=update_scale, kind=kind)
+
+    args = (sources, targets, smasks, tmasks) if masked \
+        else (sources, targets)
+    return jax.lax.map(one, args)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("objective", "w", "maxiter", "tol",
+                              "update_sigma2", "sigma2_decay", "min_sigma2",
+                              "auto_sigma2", "masked", "with_normals"))
+def run_em_filterreg_fused_batch(sources, targets, normals=None, smasks=None,
+                                 tmasks=None, sigma2_0=0.0, *,
+                                 objective="pt2pt", w=0.0, maxiter=50,
+                                 tol=1e-3, update_sigma2=False,
+                                 sigma2_decay=1.0, min_sigma2=1e-4,
+                                 auto_sigma2=True, masked=False,
+                                 with_normals=False):
+    """Batched fused FilterReg: stacked (rot, t, sigma2, q)."""
+
+    def one(args):
+        i = 2
+        nrm = None
+        sm = tm = None
+        if with_normals:
+            nrm = args[i]
+            i += 1
+        if masked:
+            sm, tm = args[i], args[i + 1]
+        return run_em_filterreg_fused(
+            args[0], args[1], nrm, sm, tm, sigma2_0=sigma2_0, w=w,
+            maxiter=maxiter, tol=tol, update_sigma2=update_sigma2,
+            sigma2_decay=sigma2_decay, min_sigma2=min_sigma2,
+            auto_sigma2=auto_sigma2, objective=objective)
+
+    args = [sources, targets]
+    if with_normals:
+        args.append(normals)
+    if masked:
+        args += [smasks, tmasks]
+    return jax.lax.map(one, tuple(args))

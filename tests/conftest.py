@@ -26,6 +26,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# NOTE: pytest.ini sets `addopts = -n 4` (xdist). XLA:CPU's LLVM JIT
+# reliably crashes (SIGSEGV/SIGABRT inside backend_compile) after ~180
+# program compilations in one process — whichever test compiles next dies,
+# independent of WHICH programs ran (reproduced with the axon plugin off
+# the path and with arbitrary test subsets; any half of the suite passes,
+# the whole thing never does). Worker processes keep each LLVM JIT well
+# under the cliff and halve wall time. TPU runs (one chip) should pass
+# `-n0` and run in chunks.
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

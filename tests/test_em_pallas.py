@@ -94,6 +94,74 @@ def test_fused_filterreg_pt2pl_matches_xla(rng):
                                    atol=5e-4)
 
 
+@tpu_only
+def test_fused_batch_matches_xla_batch(rng):
+    """Batched fused runners (dense + ragged) vs the vmapped XLA EM, via
+    the public batch entry points (use_pallas toggles the path on TPU)."""
+    from probreg_tpu import cpd, filterreg
+    from probreg_tpu.utils import se3_op
+
+    rots = [np.asarray(se3_op.euler2mat(*np.deg2rad(a)), np.float32)
+            for a in ([4.0, -2.0, 6.0], [-3.0, 5.0, 2.0], [1.0, 2.0, -7.0])]
+    srcs = [(rng.normal(size=(m, 3)) * 0.3).astype(np.float32)
+            for m in (40, 28, 33)]
+    tgts = [(s @ r.T).astype(np.float32) for s, r in zip(srcs, rots)]
+
+    for kind in ("rigid", "affine"):
+        fused = cpd.registration_cpd_batch(srcs, tgts, kind, maxiter=8,
+                                           tol=0.0)
+        xla = cpd.registration_cpd_batch(srcs, tgts, kind, maxiter=8,
+                                         tol=0.0, use_pallas=False)
+        for f, x in zip(fused, xla):
+            lf = f.transformation.rot if kind == "rigid" \
+                else f.transformation.b
+            lx = x.transformation.rot if kind == "rigid" \
+                else x.transformation.b
+            np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                                       atol=5e-4)
+            np.testing.assert_allclose(np.asarray(f.transformation.t),
+                                       np.asarray(x.transformation.t),
+                                       atol=5e-4)
+
+    # Dense (uniform-size) batch, rigid.
+    srcs_d = np.stack([srcs[0], (srcs[0] * 1.1).astype(np.float32)])
+    tgts_d = np.stack([tgts[0], (tgts[0] * 1.1).astype(np.float32)])
+    fused = cpd.registration_cpd_batch(srcs_d, tgts_d, maxiter=8, tol=0.0)
+    xla = cpd.registration_cpd_batch(srcs_d, tgts_d, maxiter=8, tol=0.0,
+                                     use_pallas=False)
+    for f, x in zip(fused, xla):
+        np.testing.assert_allclose(np.asarray(f.transformation.rot),
+                                   np.asarray(x.transformation.rot),
+                                   atol=5e-4)
+
+    # FilterReg pt2pt ragged.
+    fused = filterreg.registration_filterreg_batch(srcs, tgts, sigma2=0.02,
+                                                   maxiter=6, tol=0.0)
+    xla = filterreg.registration_filterreg_batch(srcs, tgts, sigma2=0.02,
+                                                 maxiter=6, tol=0.0,
+                                                 use_pallas=False)
+    for f, x in zip(fused, xla):
+        np.testing.assert_allclose(np.asarray(f.transformation.rot),
+                                   np.asarray(x.transformation.rot),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(f.transformation.t),
+                                   np.asarray(x.transformation.t), atol=5e-4)
+
+    # FilterReg pt2pl ragged (random unit normals exercise the GN solve).
+    nrms = [rng.normal(size=s.shape).astype(np.float32) for s in srcs]
+    nrms = [n / np.linalg.norm(n, axis=1, keepdims=True) for n in nrms]
+    fused = filterreg.registration_filterreg_batch(
+        srcs, tgts, nrms, sigma2=0.02, objective_type="pt2pl", maxiter=4,
+        tol=0.0)
+    xla = filterreg.registration_filterreg_batch(
+        srcs, tgts, nrms, sigma2=0.02, objective_type="pt2pl", maxiter=4,
+        tol=0.0, use_pallas=False)
+    for f, x in zip(fused, xla):
+        np.testing.assert_allclose(np.asarray(f.transformation.rot),
+                                   np.asarray(x.transformation.rot),
+                                   atol=5e-4)
+
+
 def test_em_math_components(rng):
     """Kernel building blocks validated in plain numpy/jnp."""
     # Horn tensor: K from a reproduces the SVD+sign-fix rotation.
