@@ -891,11 +891,14 @@ def run_em_filterreg_fused(source, target, normals=None, smask=None,
 #
 # One compiled program, B sequential whole-EM kernel launches (lax.map; the
 # v5e has a single TensorCore, so batch elements are sequential either way).
-# ~1.6x faster per pair than the vmapped XLA EM (each launch keeps every
-# operand in VMEM and each pair still exits its own while_loop at ITS
-# convergence iteration, where the vmapped loop runs every pair until the
-# LAST one converges). Ragged batches ride the mask operands — one program
-# for any mix of point counts.
+# Each launch keeps every operand in VMEM and each pair exits its own
+# while_loop at ITS convergence iteration, where the vmapped XLA loop runs
+# every pair until the LAST one converges. Measured on v5e (B=8 bunny
+# pairs, heterogeneous rotations/noise): FilterReg 4.19 vs 6.17 ms/pair at
+# n=1000 (1.47x) and ~even at n=390; CPD within +-8% of the vmapped EM at
+# both sizes (the batched matmuls amortize what the early exit saves).
+# Ragged batches ride the mask operands — one program for any mix of point
+# counts.
 
 @functools.partial(
     jax.jit, static_argnames=("kind", "w", "maxiter", "tol", "update_scale",
