@@ -566,14 +566,26 @@ def registration_cpd_batch_sharded(
     (cpd._run_em_t_batch) runs with its batch dimension sharded over the
     devices — each chip registers B/n_dev pairs independently, no
     collectives at all. Pads B up to a multiple of the mesh size (padding
-    pairs are dropped from the result).
+    pairs are dropped from the result). ``sources``/``targets`` may be
+    Python lists of clouds with different point counts per pair (ragged):
+    pairs are zero-padded and run through the masked E-step, exactly
+    equivalent to registering each pair unpadded.
 
     Returns a list of B MstepResult like cpd.registration_cpd_batch.
     """
     if tf_type_name not in ("rigid", "affine"):
         raise ValueError("batch registration supports 'rigid' and 'affine'")
-    srcs = np.asarray(interop.as_points(sources, dtype=config.dtype))
-    tgts = np.asarray(interop.as_points(targets, dtype=config.dtype))
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    if ragged:
+        # Zero-pad each cloud to the batch max (masked E-step is exactly
+        # equivalent to unpadded registration; see cpd._estep_t kmask).
+        srcs, smask = interop.pad_ragged(list(sources), config.dtype)
+        tgts, tmask = interop.pad_ragged(list(targets), config.dtype)
+    else:
+        srcs = np.asarray(interop.as_points(sources, dtype=config.dtype))
+        tgts = np.asarray(interop.as_points(targets, dtype=config.dtype))
+        smask = tmask = None
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
     axis = mesh.axis_names[0]
@@ -582,14 +594,26 @@ def registration_cpd_batch_sharded(
     pad = (-b) % n_dev
     if pad:
         # Repeat the last pair: same compiled shapes, discarded below.
-        srcs = np.concatenate([srcs, np.repeat(srcs[-1:], pad, 0)], axis=0)
-        tgts = np.concatenate([tgts, np.repeat(tgts[-1:], pad, 0)], axis=0)
+        rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+        srcs, tgts = rep(srcs), rep(tgts)
+        if ragged:
+            smask, tmask = rep(smask), rep(tmask)
     sh = NamedSharding(mesh, P(axis, None, None))
     srcs_d = jax.device_put(srcs, sh)
     tgts_d = jax.device_put(tgts, sh)
-    lin, t, scale, sigma2, q = cpd_mod._run_em_t_batch(
-        srcs_d, tgts_d, kind=tf_type_name, w=float(w), maxiter=int(maxiter),
-        tol=float(tol), update_scale=bool(update_scale))
+    if ragged:
+        sh2 = NamedSharding(mesh, P(axis, None))
+        lin, t, scale, sigma2, q = cpd_mod._run_em_t_ragged_batch(
+            srcs_d, tgts_d,
+            jax.device_put(np.asarray(smask), sh2),
+            jax.device_put(np.asarray(tmask), sh2),
+            kind=tf_type_name, w=float(w), maxiter=int(maxiter),
+            tol=float(tol), update_scale=bool(update_scale))
+    else:
+        lin, t, scale, sigma2, q = cpd_mod._run_em_t_batch(
+            srcs_d, tgts_d, kind=tf_type_name, w=float(w),
+            maxiter=int(maxiter), tol=float(tol),
+            update_scale=bool(update_scale))
     out = []
     for i in range(b):
         if tf_type_name == "rigid":

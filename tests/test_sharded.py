@@ -159,6 +159,33 @@ def test_batch_sharded_matches_unsharded(mesh, rng):
                                    atol=1e-2)
 
 
+def test_batch_sharded_ragged_matches_unsharded(mesh, rng):
+    """RAGGED data-parallel batch: lists of different-size clouds sharded
+    over the mesh == the plain masked ragged batch == per-pair results."""
+    from probreg_tpu import cpd as cpd_mod
+
+    sizes = [(40, 55), (32, 40), (48, 61)]
+    rots = [np.asarray(se3_op.euler2mat(0.0, 0.0, a), np.float32)
+            for a in np.linspace(0.05, 0.25, len(sizes))]
+    srcs = [rng.normal(size=(m, 3)).astype(np.float32) * 0.3
+            for m, _ in sizes]
+    tgts = [np.concatenate([s @ r.T,
+                            rng.normal(size=(n - s.shape[0], 3))
+                            .astype(np.float32) * 0.3 @ r.T])
+            for s, r, (_, n) in zip(srcs, rots, sizes)]
+    res_sh = sharded.registration_cpd_batch_sharded(
+        srcs, tgts, maxiter=30, tol=1e-6, mesh=mesh)
+    res_plain = cpd_mod.registration_cpd_batch(
+        srcs, tgts, maxiter=30, tol=1e-6, use_pallas=False)
+    assert len(res_sh) == len(sizes)
+    for a, c in zip(res_sh, res_plain):
+        np.testing.assert_allclose(
+            np.asarray(a.transformation.rot),
+            np.asarray(c.transformation.rot), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a.sigma2), np.asarray(c.sigma2), rtol=1e-4)
+
+
 def test_sharded_bcpd_matches_single(mesh):
     """Sharded BCPD VI (psum'd moments, pmin'd NN-RMSE) == single device,
     for both the dense and the low-rank Sigma paths."""
