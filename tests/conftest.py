@@ -26,6 +26,33 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _ensure_native_io():
+    """Build the optional native IO extension once so its tests run.
+
+    Skipped silently when no compiler is available (the extension is
+    optional); test_aux.py then skips the native-vs-python comparison.
+    """
+    import glob
+    import shutil
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if glob.glob(os.path.join(root, "probreg_tpu", "_io_native*.so")):
+        return
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        return
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=root, check=False, capture_output=True, timeout=300,
+    )
+
+
+def pytest_configure(config):
+    if not hasattr(config, "workerinput"):  # xdist: build in the controller
+        _ensure_native_io()
+
+
 # NOTE: pytest.ini sets `addopts = -n 4` (xdist). XLA:CPU's LLVM JIT
 # reliably crashes (SIGSEGV/SIGABRT inside backend_compile) after ~180
 # program compilations in one process — whichever test compiles next dies,
