@@ -1,5 +1,8 @@
 """Aux subsystems: checkpoint/resume, iteration timing, interop, io."""
 
+import os
+
+import _fixtures
 import numpy as np
 
 from probreg_tpu import cpd
@@ -57,9 +60,8 @@ def test_native_io_matches_python():
         import pytest
 
         pytest.skip("native IO extension not built (run `make native`)")
-    ply = "/root/reference/data/horse.ply"
-    pcd = "/root/reference/examples/bunny.pcd"
-    import os
+    ply = os.path.join(_fixtures.REF_ROOT, "data/horse.ply")
+    pcd = os.path.join(_fixtures.REF_ROOT, "examples/bunny.pcd")
     if os.path.exists(ply):
         a = nat.read_ply(ply)
         # Force the python path for comparison.
@@ -104,8 +106,8 @@ def test_read_batch_matches_single_and_fallback():
     from probreg_tpu.utils import io as pio
 
     paths = []
-    for p in ("/root/reference/data/horse.ply",
-              "/root/reference/examples/bunny.pcd"):
+    for p in (os.path.join(_fixtures.REF_ROOT, "data/horse.ply"),
+              os.path.join(_fixtures.REF_ROOT, "examples/bunny.pcd")):
         if os.path.exists(p):
             paths.append(p)
     if not paths:

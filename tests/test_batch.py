@@ -2,6 +2,8 @@
 
 import numpy as np
 
+import _fixtures
+
 from probreg_tpu import bcpd, cpd, filterreg, gmmtree, l2dist_regs
 from probreg_tpu.utils import se3_op
 
@@ -95,7 +97,7 @@ def test_cpd_multistart_noise_outliers(horse_cloud, rng):
 
 def test_cpd_multistart_2d():
     """2-D clouds get an evenly-spaced circle grid instead of the 3-D one."""
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
+    src = _fixtures.fish_source()
     a = np.deg2rad(140.0)
     rot = np.asarray([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]],
                      np.float32)
@@ -447,8 +449,8 @@ def test_batch_bcpd_ragged_masked_matches_unpadded_early(horse_cloud):
 
 
 def test_batch_bcpd_ragged_lowrank(horse_cloud):
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     # Different sizes per pair; rank-40 masked Nystrom factors. (A 2x
     # decimated fish does not register with these hyperparams in ANY path,
     # single or batch — a 70-point prefix does.)
@@ -469,8 +471,8 @@ def test_batch_bcpd_lowrank_quality_fish():
     trajectories after ~15 iterations — so quality is the criterion, as in
     the reference's own convergence test, bcpd.py:95-99.)"""
 
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     res = bcpd.registration_bcpd_batch(src[None], tgt[None], maxiter=50,
                                        tol=1e-6, rank=40)[0]
     moved = np.asarray(res.transform(src))
@@ -563,8 +565,8 @@ def test_batch_svr_ragged_masked_matches_unpadded(horse_cloud):
 
 
 def test_gmmreg_nonrigid_fish():
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     res = l2dist_regs.registration_gmmreg(src, tgt, "nonrigid",
                                           n_gmm_components=40)
     moved = np.asarray(res.transform(src))

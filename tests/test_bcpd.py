@@ -1,6 +1,8 @@
 """BCPD e2e — coverage the reference lacks entirely (SURVEY.md §4)."""
 
 import numpy as np
+
+import _fixtures
 import pytest
 
 from probreg_tpu import bcpd
@@ -28,8 +30,8 @@ def test_bcpd_rigid_recovery(horse_cloud):
 
 
 def test_bcpd_nonrigid_fish():
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     res = bcpd.registration_bcpd(src, tgt, maxiter=50, tol=1e-6)
     moved = np.asarray(res.transform(src))
     assert nn_rmse(moved, tgt) < 0.5 * nn_rmse(src, tgt)
@@ -114,8 +116,8 @@ def _reference_bcpd_replica(src, tgt, n_iters, lmd=2.0, k=1e20, w=0.0):
 def test_bcpd_matches_reference_replica():
     """Per-iteration (scale, sigma2) trajectory matches a float64
     line-by-line replica of the reference within f32 tolerance."""
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     ref_traj = _reference_bcpd_replica(src, tgt, 5)
 
     bc = bcpd.CombinedBCPD(src)
@@ -140,8 +142,8 @@ def test_bcpd_blocked_estep_matches_single():
     full M x N posterior, bcpd.py:57-70)."""
     from probreg_tpu import config as cfg
 
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     res_full = bcpd.registration_bcpd(src, tgt, maxiter=15, tol=0.0)
     old = cfg.config.estep_chunk
     cfg.config.estep_chunk = 17  # not a divisor of N: exercises padding

@@ -1,6 +1,8 @@
 """GMMReg / SVR e2e (reference tests/test_svr.py: rot atol 1e-1, trans 1e-2)."""
 
 import numpy as np
+
+import _fixtures
 import pytest
 
 from probreg_tpu import l2dist_regs
@@ -87,8 +89,8 @@ def test_fused_round_matches_eager_round(rigid_clouds):
 
 
 def test_svr_nonrigid_2d_smoke():
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     res = l2dist_regs.registration_svr(src, tgt, "nonrigid",
                                        opt_maxiter=30)
     moved = np.asarray(res.transform(src))

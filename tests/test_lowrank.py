@@ -9,6 +9,8 @@ the scaling capability SURVEY.md sec. 7.8 calls for.
 import jax.numpy as jnp
 import numpy as np
 
+import _fixtures
+
 from probreg_tpu import bcpd, cpd
 from probreg_tpu.ops import lowrank, pairwise
 
@@ -19,8 +21,8 @@ def nn_rmse(a, b):
 
 
 def _fish():
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     return src, tgt
 
 

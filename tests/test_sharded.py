@@ -7,6 +7,8 @@ sharded EM recovers a known rigid transform.
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+import _fixtures
 import pytest
 
 from probreg_tpu import cpd
@@ -191,8 +193,8 @@ def test_sharded_bcpd_matches_single(mesh):
     for both the dense and the low-rank Sigma paths."""
     from probreg_tpu import bcpd as bcpd_mod
 
-    src = np.loadtxt("/root/reference/examples/fish_source.txt").astype(np.float32)
-    tgt = np.loadtxt("/root/reference/examples/fish_target.txt").astype(np.float32)
+    src = _fixtures.fish_source()
+    tgt = _fixtures.fish_target()
     for rank in (None, 30):
         kw = {} if rank is None else {"rank": rank}
         res_sh = sharded.registration_bcpd_sharded(
