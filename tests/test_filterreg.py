@@ -170,3 +170,34 @@ def test_filterreg_matches_reference_replica(horse_cloud):
             np.asarray(res.transformation.rot), rot_ref, atol=2e-4)
         np.testing.assert_allclose(
             np.asarray(res.transformation.t), t_ref, atol=2e-4)
+
+
+def test_filterreg_fpfh_feature_estep(horse_cloud):
+    """Feature-space (FPFH) E-step recovers a known rigid transform
+    (probreg_tpu/filterreg.py feature path; reference filterreg.py:121-133
+    has this path but never tests it). Also asserts the feature run stays
+    within a modest factor of the identity-feature (dense) run."""
+    from probreg_tpu import features
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::3]
+    ang = np.deg2rad([8.0, -4.0, 6.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+
+    fpfh = features.FPFH(radius_normal=0.02, radius_feature=0.05)
+    res_f = filterreg.registration_filterreg(
+        src, tgt, objective_type="pt2pt", feature_fn=fpfh, maxiter=40,
+        tol=1e-6)
+    rec_f = np.asarray(se3_op.mat2euler(res_f.transformation.rot))
+    np.testing.assert_allclose(rec_f, ang, atol=2e-1)
+    np.testing.assert_allclose(
+        np.asarray(res_f.transformation.t), 0.0, atol=1e-2)
+
+    res_d = filterreg.registration_filterreg(
+        src, tgt, objective_type="pt2pt", maxiter=40, tol=1e-6)
+    rec_d = np.asarray(se3_op.mat2euler(res_d.transformation.rot))
+    err_f = np.abs(rec_f - ang).max()
+    err_d = np.abs(rec_d - ang).max()
+    # Graceful degradation: the 33-D feature E-step may lose a little
+    # accuracy vs the dense geometric E-step, but not blow up.
+    assert err_f <= max(5.0 * err_d, 5e-2)
