@@ -1,0 +1,204 @@
+"""TPS quality tier (VERDICT round-1 item 4).
+
+Three gates the smoke tests lacked:
+
+1. ``test_tps_cost_matches_reference_replica`` — float64 numpy replica of
+   the reference's hand-derived TPS cost + analytic gradient
+   (reference cost_functions.py:68-102 with the direct Gauss transform of
+   cost_functions.py:33-41) evaluated at a grid of thetas, compared against
+   our ``jax.value_and_grad`` path. Catches any divergence in the objective
+   (sign, alpha/beta factors, bending term) or in AD through the basis.
+2. ``test_tps_bfgs_round_matches_replica`` — scipy BFGS driven by the f64
+   replica vs driven by our f32 jax cost, per-round iterates compared.
+3. ``test_tpssvr_recovers_deformation`` / ``test_tpsgmmreg_recovers_...`` —
+   ground-truth smooth-deformation recovery on fish with quantitative RMSE
+   thresholds (the old test only asserted after < before).
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+import _fixtures
+from probreg_tpu import cost_functions as cf
+from probreg_tpu import l2dist_regs
+from probreg_tpu import transformation as tf
+
+
+# ---------------------------------------------------------------------------
+# float64 replica of the reference TPS cost (cost_functions.py:68-102).
+# Takes (basis, kernel) precomputed so the SVD null-space basis is shared
+# with the jax path (the basis choice is a gauge freedom of the theta
+# parameterization; sharing it makes thetas comparable).
+# ---------------------------------------------------------------------------
+
+def _l2_dist_ref(mu_source, phi_source, mu_target, phi_target, sigma):
+    """Reference compute_l2_dist (cost_functions.py:33-41), f64 direct."""
+    d = mu_source.shape[1]
+    z = np.power(2.0 * np.pi * sigma ** 2, d * 0.5)
+    diff = mu_source[:, None, :] - mu_target[None, :, :]
+    # GaussTransform bandwidth sqrt(2)*sigma => exp(-d2 / (2 sigma^2)).
+    k = np.exp(-np.sum(diff ** 2, axis=-1) / (2.0 * sigma ** 2))
+    phi_j_e = k @ (phi_target / z)
+    phi_mu_j_e = k @ (phi_target[:, None] * mu_target / z)
+    f = -np.dot(phi_source, phi_j_e)
+    g = (phi_source[:, None] * phi_j_e[:, None] * mu_source
+         - phi_source[:, None] * phi_mu_j_e) / (2.0 * sigma ** 2)
+    return f, g
+
+
+def _tps_cost_ref(theta, basis, kernel, dim, phi_source, mu_target,
+                  phi_target, sigma, alpha, beta):
+    """Reference TPSCostFunction.__call__ (cost_functions.py:89-102), f64.
+
+    Reference quirk (verified by finite differences): the hand-derived
+    compute_l2_dist gradient (cost_functions.py:40) is exactly HALF the true
+    gradient of its own f — the /(2 sigma^2) should be /sigma^2 given the
+    sqrt(2)*sigma GaussTransform bandwidth. BFGS still converges there
+    because the direction is right. This replica returns the TRUE f64
+    gradient (L2 part doubled); our jax.value_and_grad path is exact and is
+    compared against it.
+    """
+    n_a = dim * (dim + 1)
+    a = theta[:n_a].reshape(dim + 1, dim)
+    v = theta[n_a:].reshape(-1, dim)
+    t_mu = basis @ np.concatenate([a, v], axis=0)
+    bending = np.trace(v.T @ kernel @ v)
+    f1, g1 = _l2_dist_ref(t_mu, phi_source, t_mu, phi_source, sigma)
+    f2, g2 = _l2_dist_ref(t_mu, phi_source, mu_target, phi_target, sigma)
+    f = -f1 + 2.0 * f2
+    g = 2.0 * (-2.0 * g1 + 2.0 * g2)          # true gradient (see docstring)
+    grad = alpha * (basis.T @ g)
+    grad[dim + 1:, :] += 2.0 * beta * (kernel @ v)
+    return alpha * f + beta * bending, grad.flatten()
+
+
+def test_reference_l2_gradient_is_half_of_true():
+    """Documents the reference quirk: its analytic L2 gradient is half the
+    finite-difference gradient of its own objective."""
+    rng = np.random.default_rng(0)
+    mu_s = rng.standard_normal((5, 2))
+    mu_t = rng.standard_normal((6, 2))
+    phi_s = rng.uniform(0.5, 1.0, 5)
+    phi_t = rng.uniform(0.5, 1.0, 6)
+    sigma = 0.7
+    f0, g = _l2_dist_ref(mu_s, phi_s, mu_t, phi_t, sigma)
+    eps = 1e-6
+    gfd = np.zeros_like(mu_s)
+    for i in range(5):
+        for j in range(2):
+            m = mu_s.copy()
+            m[i, j] += eps
+            gfd[i, j] = (_l2_dist_ref(m, phi_s, mu_t, phi_t, sigma)[0]
+                         - f0) / eps
+    np.testing.assert_allclose(gfd, 2.0 * g, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tps_setup():
+    rng = np.random.default_rng(7)
+    mu_s = _fixtures.fish_source()[::2]                      # (46, 2)
+    mu_t = mu_s + 0.05 * np.sin(2.0 * mu_s[:, ::-1])         # smooth warp
+    phi_s = rng.uniform(0.5, 1.5, mu_s.shape[0]) / mu_s.shape[0]
+    phi_t = rng.uniform(0.5, 1.5, mu_t.shape[0]) / mu_t.shape[0]
+    control = mu_s[::3].copy()                               # (16, 2)
+    sigma, alpha, beta = 0.4, 1.0, 0.1
+    cost = cf.TPSCostFunction(control, alpha=alpha, beta=beta)
+    tps0 = tf.TPSTransformation(np.zeros((3, 2)), np.zeros((13, 2)), control)
+    basis, kernel = tps0.prepare(mu_s.astype(np.float32))
+    return dict(mu_s=mu_s, mu_t=mu_t, phi_s=phi_s, phi_t=phi_t,
+                control=control, sigma=sigma, alpha=alpha, beta=beta,
+                cost=cost, basis=np.asarray(basis, np.float64),
+                kernel=np.asarray(kernel, np.float64), rng=rng)
+
+
+def _theta_grid(setup, n_random=4):
+    dim = 2
+    n_ctrl = setup["control"].shape[0]
+    x0 = setup["cost"].initial()
+    thetas = [x0]
+    rng = np.random.default_rng(11)
+    for _ in range(n_random):
+        th = x0 + 0.1 * rng.standard_normal(x0.shape)
+        thetas.append(th)
+    assert x0.shape[0] == dim * (dim + 1) + (n_ctrl - dim - 1) * dim
+    return thetas
+
+
+def test_tps_cost_matches_reference_replica(tps_setup):
+    s = tps_setup
+    for theta in _theta_grid(s):
+        f_ref, g_ref = _tps_cost_ref(
+            theta.astype(np.float64), s["basis"], s["kernel"], 2,
+            s["phi_s"].astype(np.float64), s["mu_t"].astype(np.float64),
+            s["phi_t"].astype(np.float64), s["sigma"], s["alpha"], s["beta"])
+        f_jax, g_jax = s["cost"](
+            theta, s["mu_s"].astype(np.float32), s["phi_s"].astype(np.float32),
+            s["mu_t"].astype(np.float32), s["phi_t"].astype(np.float32),
+            np.float32(s["sigma"]))
+        np.testing.assert_allclose(f_jax, f_ref, rtol=2e-4, atol=1e-6)
+        scale = max(1.0, float(np.abs(g_ref).max()))
+        np.testing.assert_allclose(g_jax / scale, g_ref / scale,
+                                   atol=5e-4)
+
+
+def test_tps_bfgs_round_matches_replica(tps_setup):
+    """Per-BFGS-round parity: scipy BFGS driven by the f64 replica vs by the
+    f32 jax cost lands on the same optimum (same basis gauge, same data)."""
+    s = tps_setup
+    x0 = s["cost"].initial()
+    args_jax = (s["mu_s"].astype(np.float32), s["phi_s"].astype(np.float32),
+                s["mu_t"].astype(np.float32), s["phi_t"].astype(np.float32),
+                np.float32(s["sigma"]))
+    res_jax = minimize(s["cost"], x0, args=args_jax, method="BFGS", jac=True,
+                       options={"maxiter": 50})
+    ref_fn = lambda th: _tps_cost_ref(
+        th, s["basis"], s["kernel"], 2, s["phi_s"].astype(np.float64),
+        s["mu_t"].astype(np.float64), s["phi_t"].astype(np.float64),
+        s["sigma"], s["alpha"], s["beta"])
+    res_ref = minimize(ref_fn, x0, method="BFGS", jac=True,
+                       options={"maxiter": 50})
+    # Compare in function value and in the transformed points (theta itself
+    # can drift along flat directions of the bending null space).
+    assert abs(res_jax.fun - res_ref.fun) < 5e-4 * max(1.0, abs(res_ref.fun))
+    t_jax = s["basis"] @ np.r_[res_jax.x[:6].reshape(3, 2),
+                               res_jax.x[6:].reshape(-1, 2)]
+    t_ref = s["basis"] @ np.r_[res_ref.x[:6].reshape(3, 2),
+                               res_ref.x[6:].reshape(-1, 2)]
+    rmse = float(np.sqrt(np.mean((t_jax - t_ref) ** 2)))
+    assert rmse < 5e-3, rmse
+
+
+def _warp(points, amp=0.08):
+    """Smooth ground-truth deformation on fish coordinates (range ~[-1.5,2])."""
+    return points + amp * np.sin(1.5 * points[:, ::-1])
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1))))
+
+
+def test_tpssvr_recovers_deformation():
+    src = _fixtures.fish_source()
+    tgt = _warp(src).astype(np.float32)
+    # 3 annealing rounds + light bending penalty: measured ratio 0.13.
+    res = l2dist_regs.registration_svr(src, tgt, "nonrigid", maxiter=3,
+                                       opt_maxiter=200, beta=0.01)
+    moved = np.asarray(res.transform(src))
+    before = _rmse(src, tgt)
+    after = _rmse(moved, tgt)
+    # Quantitative gate: recover >=80% of the deformation magnitude.
+    assert after < 0.2 * before, (before, after)
+
+
+def test_tpsgmmreg_recovers_deformation():
+    src = _fixtures.fish_source()
+    tgt = _warp(src).astype(np.float32)
+    # Measured ratio 0.24 at these settings.
+    res = l2dist_regs.registration_gmmreg(src, tgt, "nonrigid",
+                                          n_gmm_components=60, beta=0.01)
+    moved = np.asarray(res.transform(src))
+    before = _rmse(src, tgt)
+    after = _rmse(moved, tgt)
+    # Quantitative gate: recover >=65% of the deformation magnitude.
+    assert after < 0.35 * before, (before, after)
