@@ -1,0 +1,59 @@
+"""Worker process for the multi-host distributed test (test_multihost.py).
+
+Each process: CPU backend with 2 local virtual devices, joins the
+coordination service via parallel.initialize_distributed, runs a sharded
+rigid CPD over the 4 global devices, and writes the recovered transform.
+"""
+
+import os
+import sys
+
+
+def main():
+    proc_id = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    outdir = sys.argv[4]
+
+    import jax
+
+    # The axon TPU plugin ignores JAX_PLATFORMS (CLAUDE.md); force via config
+    # before any backend initialization.
+    jax.config.update("jax_platforms", "cpu")
+
+    from probreg_tpu import parallel
+
+    parallel.initialize_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=proc_id,
+        initialization_timeout=60,
+    )
+
+    import numpy as np
+
+    assert jax.process_count() == nproc
+    assert jax.device_count() == nproc * jax.local_device_count()
+
+    from probreg_tpu.utils import se3_op
+
+    rng = np.random.default_rng(3)
+    src = rng.uniform(-1.0, 1.0, (300, 3)).astype(np.float32)
+    ang = np.deg2rad([5.0, -3.0, 9.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    t_true = np.asarray([0.02, -0.01, 0.03], np.float32)
+    tgt = src @ rot.T + t_true
+
+    mesh = parallel.make_mesh()  # all 4 global devices
+    res = parallel.registration_cpd_sharded(src, tgt, "rigid", maxiter=60,
+                                            tol=1e-6, mesh=mesh)
+    out_rot = np.asarray(jax.device_get(res.transformation.rot))
+    out_t = np.asarray(jax.device_get(res.transformation.t))
+    np.savez(os.path.join(outdir, f"proc{proc_id}.npz"),
+             rot=out_rot, t=out_t, ang=ang, t_true=t_true,
+             nproc=jax.process_count(), ndev=jax.device_count())
+    print(f"proc {proc_id} ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()
