@@ -149,6 +149,32 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
             u_hat, sigma_out, alpha, sigma2)
 
 
+@partial(jax.jit, static_argnames=("w", "k"))
+def _bcpd_chunk(source, target, transf, sigma_mat, alpha, sigma2, gmat,
+                lmd, kparam, *, w, k):
+    """K VI iterations in one program, emitting per-iteration history
+    (transformation, nn-rmse). See utils/chunked.py; state layout matches
+    the eager _registration_loop (carry must be type-stable: v is (M, D),
+    alpha is (M,))."""
+
+    def body(carry, _):
+        tr, sm, al, s2 = carry
+        t_source = tr._transform(source)
+        diag = jnp.diag(sm) if sm.ndim == 2 else sm
+        est = bcpd_estep(t_source, target, tr.rigid_trans.scale, al, diag,
+                         s2, w)
+        out = MstepResult(*combined_mstep(
+            source, target, tr.rigid_trans.rot, tr.rigid_trans.t,
+            tr.rigid_trans.scale, est, gmat, lmd, kparam, s2))
+        rmse = mu.compute_rmse(t_source, target)
+        return ((out.transformation, out.sigma_mat, out.alpha, out.sigma2),
+                (out.transformation, rmse))
+
+    carry, hist = jax.lax.scan(body, (transf, sigma_mat, alpha, sigma2),
+                               None, length=k)
+    return carry, hist
+
+
 def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
                 m_eff=None):
     """CombinedBCPD M-step in transposed (D, M) layout, from psum-able
@@ -440,19 +466,24 @@ class BayesianCoherentPointDrift(abc.ABC):
         ...
 
     def registration(self, target, w: float = 0.0, maxiter: int = 50,
-                     tol: float = 0.001) -> tf.Transformation:
+                     tol: float = 0.001,
+                     callback_chunk: int = 1) -> tf.Transformation:
+        """``callback_chunk``: VI iterations per device dispatch in callback
+        mode; callbacks still fire once per iteration from the fetched chunk
+        history (utils/chunked.py). Ignored without callbacks."""
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
         if not self._callbacks:
             return self._registration_jit(target, w, maxiter, tol)
-        return self._registration_loop(target, w, maxiter, tol)
+        return self._registration_loop(target, w, maxiter, tol,
+                                       callback_chunk=int(callback_chunk))
 
     @abc.abstractmethod
     def _registration_jit(self, target, w, maxiter, tol):
         ...
 
     @abc.abstractmethod
-    def _registration_loop(self, target, w, maxiter, tol):
+    def _registration_loop(self, target, w, maxiter, tol, callback_chunk=1):
         ...
 
 
@@ -514,8 +545,11 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             block=int(_config.config.estep_chunk))
         return transf
 
-    def _registration_loop(self, target, w, maxiter, tol):
+    def _registration_loop(self, target, w, maxiter, tol, callback_chunk=1):
         res = self._initialize(target)
+        if callback_chunk > 1:
+            return self._registration_loop_chunked(
+                target, res, w, maxiter, tol, callback_chunk)
         rmse = None
         for i in range(maxiter):
             t_source = res.transformation._transform(self._source)
@@ -533,6 +567,49 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             rmse = tmp_rmse
         return res.transformation
 
+    def _registration_loop_chunked(self, target, res, w, maxiter, tol,
+                                   chunk):
+        """Callback loop at one dispatch per ``chunk`` iterations (see
+        utils/chunked.py); identical per-iteration callback/convergence
+        semantics as the eager loop above."""
+        from .utils import chunked
+
+        m, dim = self._source.shape
+        # Promote the scalar-shaped initial state to the steady-state pytree
+        # structure (scan carries must be type-stable): v (M, D), alpha (M,).
+        rt0 = res.transformation.rigid_trans
+        tr0 = tf.CombinedTransformation(
+            rt0.rot, rt0.t, rt0.scale,
+            jnp.zeros((m, dim), self._source.dtype))
+        al0 = res.alpha
+        if jnp.ndim(al0) == 0:
+            al0 = jnp.full((m,), al0, self._source.dtype)
+        state0 = (tr0, res.sigma_mat, al0,
+                  jnp.asarray(res.sigma2, self._source.dtype))
+        lmd = jnp.asarray(self.lmd, self._source.dtype)
+        kp = jnp.asarray(self.k, self._source.dtype)
+        prev = {"rmse": None}
+
+        def chunk_fn(st, kk):
+            return _bcpd_chunk(self._source, target, st[0], st[1], st[2],
+                               st[3], self.gmat, lmd, kp, w=float(w), k=kk)
+
+        def handle(i, hist, j):
+            trs, rmses = hist
+            tr_j = chunked.slice_tree(trs, j)
+            for c in self._callbacks:
+                c(tr_j)
+            tmp_rmse = float(rmses[j])
+            log.debug("Iteration: {}, Criteria: {}".format(i, tmp_rmse))
+            stop = prev["rmse"] is not None \
+                and abs(prev["rmse"] - tmp_rmse) < tol
+            prev["rmse"] = tmp_rmse
+            return stop, tr_j
+
+        out = chunked.run_chunked(chunk_fn, state0, int(maxiter),
+                                  int(chunk), handle)
+        return out if out is not None else res.transformation
+
 
 def registration_bcpd(
     source,
@@ -542,6 +619,7 @@ def registration_bcpd(
     tol: float = 0.001,
     callbacks: List[Callable] = [],
     normalize: bool = True,
+    callback_chunk: int = 1,
     **kwargs: Any,
 ) -> tf.Transformation:
     """BCPD registration — drop-in for reference bcpd.py:159-185.
@@ -555,6 +633,8 @@ def registration_bcpd(
         callbacks: Called with the current Transformation each iteration
             (receives the transform in normalized coordinates when
             ``normalize`` is on).
+        callback_chunk: VI iterations per device dispatch in callback
+            mode; callbacks still fire once per iteration (utils/chunked.py).
         normalize: Register in coordinates rescaled so the initial EM
             temperature sigma2_0 = squared_kernel_sum is exactly 1, then
             denormalize the result. The BCPD hyperparameters (IMQ kernel
@@ -583,7 +663,8 @@ def registration_bcpd(
     if not normalize:
         bc = CombinedBCPD(src, **kwargs)
         bc.set_callbacks(callbacks)
-        return bc.registration(tgt, w, maxiter, tol)
+        return bc.registration(tgt, w, maxiter, tol,
+                               callback_chunk=callback_chunk)
 
     centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
     src_h, tgt_h = src - centroid, tgt - centroid
@@ -595,7 +676,8 @@ def registration_bcpd(
     scale = max(np.sqrt(skc), 1e-12)
     bc = CombinedBCPD((src - centroid) / scale, **kwargs)
     bc.set_callbacks(callbacks)
-    res = bc.registration((tgt - centroid) / scale, w, maxiter, tol)
+    res = bc.registration((tgt - centroid) / scale, w, maxiter, tol,
+                          callback_chunk=callback_chunk)
     # Denormalize: y -> s R (y + v_raw) + t_raw with
     # v_raw = scale * v_hat - centroid, t_raw = scale * t_hat + centroid.
     rt = res.rigid_trans

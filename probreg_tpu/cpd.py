@@ -544,6 +544,26 @@ def _em_step_once(source, target, transf, sigma2, aux, *, step_fn, w):
     return step_fn(source, target, transf, sigma2, aux, w)
 
 
+@partial(jax.jit, static_argnames=("step_fn", "w", "k"))
+def _em_chunk(source, target, transf, sigma2, aux, *, step_fn, w, k):
+    """K EM steps in one program, emitting per-iteration history.
+
+    Callback mode pays one dispatch round trip per iteration (~33 ms on a
+    remote TPU); scanning K steps and fetching the stacked (transform,
+    sigma2, q) history cuts that to one round trip per K iterations with
+    identical per-iteration callback semantics (utils/chunked.py).
+    """
+
+    def body(carry, _):
+        tr, s2 = carry
+        res = step_fn(source, target, tr, s2, aux, w)
+        return ((res.transformation, res.sigma2),
+                (res.transformation, res.sigma2, res.q))
+
+    carry, hist = jax.lax.scan(body, (transf, sigma2), None, length=k)
+    return carry, hist
+
+
 # --------------------------------------------------------------------------
 # OO surface (drop-in for the reference classes)
 # --------------------------------------------------------------------------
@@ -614,7 +634,19 @@ class CoherentPointDrift(abc.ABC):
         q = 1.0 + target.shape[0] * dim * 0.5 * jnp.log(sigma2)
         return MstepResult(self._initial_tf(), sigma2, q)
 
-    def registration(self, target, w: float = 0.0, maxiter: int = 50, tol: float = 0.001) -> MstepResult:
+    def registration(self, target, w: float = 0.0, maxiter: int = 50,
+                     tol: float = 0.001,
+                     callback_chunk: int = 1) -> MstepResult:
+        """Run the EM registration.
+
+        Args:
+            callback_chunk: In callback mode, EM iterations per device
+                dispatch (K). Callbacks still fire once per iteration with
+                that iteration's transform (replayed from the fetched chunk
+                history), but the loop pays one round trip per K iterations
+                instead of per iteration. Ignored without callbacks (the
+                whole EM is a single program there).
+        """
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
         if not self._callbacks:
@@ -625,19 +657,29 @@ class CoherentPointDrift(abc.ABC):
         aux = self._step_aux()
         step_fn = self._step_fn()
         if self._callbacks:
-            q = res.q
-            for i in range(maxiter):
-                res = _em_step_once(
-                    self._source, target, res.transformation, res.sigma2, aux,
-                    step_fn=step_fn, w=float(w),
-                )
+            from .utils import chunked
+
+            state = {"q": float(res.q), "res": res}
+
+            def chunk_fn(st, kk):
+                return _em_chunk(self._source, target, st[0], st[1], aux,
+                                 step_fn=step_fn, w=float(w), k=kk)
+
+            def handle(i, hist, j):
+                trs, s2s, qs = hist
+                out = MstepResult(chunked.slice_tree(trs, j), s2s[j], qs[j])
                 for c in self._callbacks:
-                    c(res.transformation)
-                log.debug("Iteration: {}, Criteria: {}".format(i, res.q))
-                if abs(float(res.q) - float(q)) < tol:
-                    break
-                q = res.q
-            return res
+                    c(out.transformation)
+                log.debug("Iteration: {}, Criteria: {}".format(i, out.q))
+                stop = abs(float(out.q) - state["q"]) < tol
+                state["q"] = float(out.q)
+                state["res"] = out
+                return stop, out
+
+            out = chunked.run_chunked(
+                chunk_fn, (res.transformation, res.sigma2), int(maxiter),
+                int(callback_chunk), handle)
+            return out if out is not None else res
         return _run_em(
             self._source, target, res.transformation, res.sigma2, res.q, aux,
             step_fn=step_fn, w=float(w), maxiter=int(maxiter), tol=float(tol),
@@ -1140,6 +1182,7 @@ def registration_cpd(
     tol: float = 0.001,
     callbacks: List[Callable] = [],
     use_cuda: bool = False,
+    callback_chunk: int = 1,
     **kwargs: Any,
 ) -> MstepResult:
     """CPD registration — drop-in equivalent of reference cpd.py:407-456.
@@ -1153,6 +1196,8 @@ def registration_cpd(
         tol: Convergence tolerance on the likelihood q.
         callbacks: Called with the current Transformation each iteration.
         use_cuda: Ignored (JAX targets the attached accelerator).
+        callback_chunk: EM iterations per device dispatch in callback mode;
+            callbacks still fire per iteration (see registration()).
 
     Keyword Args:
         n_starts (int): Rigid only — vmapped EM restarts over a coarse
@@ -1173,4 +1218,5 @@ def registration_cpd(
     else:
         raise ValueError("Unknown transformation type %s" % tf_type_name)
     cpd.set_callbacks(callbacks)
-    return cpd.registration(target, w, maxiter, tol)
+    return cpd.registration(target, w, maxiter, tol,
+                            callback_chunk=callback_chunk)

@@ -179,16 +179,21 @@ def _pt2pl_t(model_t, target_t, normal_t, w):
 
 @partial(jax.jit, static_argnames=("objective_type", "update_sigma2", "w",
                                    "min_sigma2",
-                                   "sigma2_decay", "auto_sigma2"))
+                                   "sigma2_decay", "auto_sigma2", "chunk_k"))
 def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
                   objective_type, update_sigma2, w, maxiter, tol, min_sigma2,
                   sigma2_decay=1.0, auto_sigma2=False, smask=None,
-                  tmask=None):
+                  tmask=None, chunk_k=None):
     """``smask``/``tmask``: optional (M,)/(N,) validity masks for ragged-
     batch padding. Padded rows/columns are zeroed out of the kernel matrix
     (so M0/M1/M2/NX carry no padded mass; the Kabsch/pt2pl weights already
     vanish where M0 = 0) and the outlier constant / auto-sigma2 use the
-    true counts — exactly the unpadded registration."""
+    true counts — exactly the unpadded registration.
+
+    ``chunk_k``: when set, run exactly K scanned iterations and return
+    ``((rot, t, sigma2) carry, stacked per-iteration (rot, t, sigma2, q))``
+    instead of the converged while_loop result — the chunked callback mode
+    (utils/chunked.py); maxiter/tol are ignored."""
     m, dim = source.shape
     n = target.shape[0]
     masked = smask is not None
@@ -280,6 +285,18 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
         s2 = jnp.sum(mask * num / (m0 + c))
         s2 = s2 / (dim * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
         return rot_n, t_n, s2, q
+
+    if chunk_k is not None:
+        def sbody(carry, _):
+            rot, t, sigma2 = carry
+            rot_n, t_n, s2, q_new = step(rot, t, sigma2)
+            if not update_sigma2:
+                s2 = sigma2 * sigma2_decay
+            s2 = jnp.maximum(s2, min_sigma2)
+            return (rot_n, t_n, s2), (rot_n, t_n, s2, q_new)
+
+        return jax.lax.scan(sbody, (rot0, t0, sigma2_0), None,
+                            length=chunk_k)
 
     def cond(state):
         _, _, _, q, q_prev, i = state
@@ -416,7 +433,11 @@ class FilterReg(abc.ABC):
                      tol: float = 0.001, min_sigma2: float = 1.0e-4,
                      feature_fn: Callable = lambda x: x,
                      sigma2_decay: float = 1.0,
-                     n_starts: int = 1) -> MstepResult:
+                     n_starts: int = 1,
+                     callback_chunk: int = 1) -> MstepResult:
+        """``callback_chunk``: EM iterations per device dispatch in callback
+        mode (rigid dense identity-feature path only; callbacks still fire
+        per iteration — utils/chunked.py)."""
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
         if n_starts > 1:
@@ -499,6 +520,16 @@ class FilterReg(abc.ABC):
             self._sigma2 = float(res.sigma2)
             return res
 
+        if (callback_chunk > 1 and self._callbacks
+                and isinstance(self, RigidFilterReg)
+                and self._estep_method == "dense"
+                and _is_identity_feature(feature_fn)
+                and self._source.shape[0] * target.shape[0]
+                <= _config.config.transposed_em_max_pairs):
+            return self._registration_chunked(
+                target, w, objective_type, maxiter, tol, min_sigma2,
+                sigma2_decay, int(callback_chunk))
+
         ftarget = feature_fn(target)
         if self._sigma2 is None:
             if objective_type == "pt2pl":
@@ -518,6 +549,58 @@ class FilterReg(abc.ABC):
                     mu.squared_kernel_sum(fsource, ftarget), min_sigma2))
 
         # Host loop (callbacks / feature functions / lattice parity).
+        return self._registration_host_loop(
+            target, ftarget, w, objective_type, maxiter, tol, min_sigma2,
+            sigma2_decay, feature_fn)
+
+    def _registration_chunked(self, target, w, objective_type, maxiter, tol,
+                              min_sigma2, sigma2_decay, chunk):
+        """Callback loop at one dispatch per ``chunk`` EM iterations via the
+        scanned _run_em_rigid(chunk_k=...) program; per-iteration callback
+        and convergence semantics match the eager host loop."""
+        from .utils import chunked
+
+        normals = self._target_normals if objective_type == "pt2pl" else None
+        if objective_type == "pt2pl" and normals is None:
+            raise ValueError("pt2pl requires target_normals.")
+        auto = self._sigma2 is None
+        flags = {"first": True, "q": None}
+        rot0 = jnp.asarray(self._tf_result.rot, self._source.dtype)
+        t0 = jnp.asarray(self._tf_result.t, self._source.dtype)
+        s20 = np.float32(0.0 if auto else self._sigma2)
+
+        def chunk_fn(st, kk):
+            out = _run_em_rigid(
+                self._source, target, normals, st[0], st[1], st[2],
+                objective_type=objective_type,
+                update_sigma2=self._update_sigma2, w=float(w),
+                maxiter=0, tol=0.0, min_sigma2=float(min_sigma2),
+                sigma2_decay=float(sigma2_decay),
+                auto_sigma2=auto and flags["first"], chunk_k=kk)
+            flags["first"] = False
+            return out
+
+        def handle(i, hist, j):
+            rots, ts, s2s, qs = hist
+            self._tf_result = tf.RigidTransformation(rots[j], ts[j])
+            self._sigma2 = float(s2s[j])
+            for c in self._callbacks:
+                c(self._tf_result)
+            log.debug("Iteration: {}, Criteria: {}".format(i, qs[j]))
+            stop = flags["q"] is not None \
+                and abs(float(qs[j]) - flags["q"]) < tol
+            flags["q"] = float(qs[j])
+            return stop, MstepResult(self._tf_result, s2s[j], qs[j])
+
+        out = chunked.run_chunked(chunk_fn, (rot0, t0, s20), int(maxiter),
+                                  int(chunk), handle)
+        if out is None:
+            out = MstepResult(self._tf_result, self._sigma2, None)
+        return out
+
+    def _registration_host_loop(self, target, ftarget, w, objective_type,
+                                maxiter, tol, min_sigma2, sigma2_decay,
+                                feature_fn):
         q = None
         res = MstepResult(self._tf_result, self._sigma2, None)
         for i in range(maxiter):
@@ -979,6 +1062,7 @@ def registration_filterreg(
     callbacks: List[Callable] = [],
     sigma2_decay: float = 1.0,
     n_starts: int = 1,
+    callback_chunk: int = 1,
     **kwargs: Any,
 ) -> MstepResult:
     """FilterReg registration — drop-in for reference filterreg.py:269-317.
@@ -1015,4 +1099,4 @@ def registration_filterreg(
         interop.as_points(target), w=w, objective_type=objective_type,
         maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
         feature_fn=feature_fn, sigma2_decay=sigma2_decay,
-        n_starts=n_starts)
+        n_starts=n_starts, callback_chunk=callback_chunk)

@@ -380,6 +380,30 @@ def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
     return cf.RigidCostFunction.initial_multistart_rots(n_starts, dim)
 
 
+@partial(jax.jit, static_argnames=("max_level", "lambda_c", "k"))
+def _registration_chunk(target, pi, mu, cov, rot0, t0, *, max_level,
+                        lambda_c, k):
+    """K EM iterations in one program, emitting per-iteration (rot, t, q).
+
+    Callback-mode chunking (utils/chunked.py): same transposed step as
+    _run_registration, scanned with history instead of while-looped."""
+    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    xs_t0 = target.T
+    estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
+    col_mask = jnp.ones((1, target.shape[0]), target.dtype)
+
+    def body(carry, _):
+        rot, t = carry
+        x_t = rot @ xs_t0 + t[:, None]
+        m0, m1 = estep_core(x_t, col_mask)
+        rot_n, t_n, q_n = _mstep_core(m0, m1, mu, lmd_nodes, nn_nodes,
+                                      rot, t)
+        return (rot_n, t_n), (rot_n, t_n, q_n)
+
+    carry, hist = jax.lax.scan(body, (rot0, t0), None, length=k)
+    return carry, hist
+
+
 @partial(jax.jit, static_argnames=("max_level", "lambda_c"))
 def _run_registration_multistart(target, pi, mu, cov, rots0, *, max_level,
                                  lambda_c, maxiter, tol, tmask=None):
@@ -466,7 +490,10 @@ class GMMTree:
         return MstepResult(tf.RigidTransformation(rot, t), q)
 
     def registration(self, target, maxiter: int = 20,
-                     tol: float = 1.0e-4, n_starts: int = 1) -> MstepResult:
+                     tol: float = 1.0e-4, n_starts: int = 1,
+                     callback_chunk: int = 1) -> MstepResult:
+        """``callback_chunk``: EM iterations per device dispatch in callback
+        mode; callbacks still fire once per iteration (utils/chunked.py)."""
         target = jnp.asarray(interop.as_points(target, dtype=_config.config.dtype))
         pi, mu, cov = self._nodes
         if n_starts > 1:
@@ -487,6 +514,36 @@ class GMMTree:
                 maxiter=int(maxiter), tol=float(tol))
             self._tf_result = tf.RigidTransformation(rot, t)
             return MstepResult(self._tf_result.inverse(), q)
+        if callback_chunk > 1:
+            from .utils import chunked
+
+            prev = {"q": None}
+
+            def chunk_fn(st, kk):
+                return _registration_chunk(
+                    target, pi, mu, cov, st[0], st[1],
+                    max_level=self._tree_level,
+                    lambda_c=float(self._lambda_c), k=kk)
+
+            def handle(i, hist, j):
+                rots, ts, qs = hist
+                self._tf_result = tf.RigidTransformation(rots[j], ts[j])
+                for c in self._callbacks:
+                    c(self._tf_result.inverse())
+                log.debug("Iteration: {}, Criteria: {}".format(i, qs[j]))
+                stop = prev["q"] is not None \
+                    and abs(float(qs[j]) - prev["q"]) < tol
+                prev["q"] = float(qs[j])
+                return stop, MstepResult(self._tf_result.inverse(), qs[j])
+
+            out = chunked.run_chunked(
+                chunk_fn,
+                (jnp.asarray(self._tf_result.rot, target.dtype),
+                 jnp.asarray(self._tf_result.t, target.dtype)),
+                int(maxiter), int(callback_chunk), handle)
+            if out is None:
+                out = MstepResult(self._tf_result.inverse(), None)
+            return out
         q = None
         res = MstepResult(self._tf_result, None)
         for i in range(maxiter):
@@ -535,10 +592,12 @@ def registration_gmmtree(
     Returns:
         MstepResult: (transformation, q).
     """
+    callback_chunk = int(kwargs.pop("callback_chunk", 1))
     gt = GMMTree(interop.as_points(source), **kwargs)
     gt.set_callbacks(callbacks)
     return gt.registration(interop.as_points(target), maxiter, tol,
-                           n_starts=n_starts)
+                           n_starts=n_starts,
+                           callback_chunk=callback_chunk)
 
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",

@@ -1,0 +1,68 @@
+"""Chunked callback dispatch for EM host loops.
+
+On a remote TPU every dispatch+fetch costs a full tunnel round trip
+(~33 ms — CLAUDE.md), so the reference-shaped callback loops (one E+M step
+per dispatch, reference cpd.py:110-119 etc.) are RTT-bound: ~33 ms/iter vs
+~0.01 ms/iter for the fused whole-EM programs.
+
+``run_chunked`` keeps per-iteration callback semantics while paying one
+round trip per K iterations: a family-specific jitted ``chunk_fn`` runs K
+EM steps under ``lax.scan`` and returns the stacked per-iteration history;
+the host fetches the whole chunk in ONE transfer, then replays callbacks
+and the convergence check iteration by iteration from the fetched history.
+Callbacks see exactly the same per-iteration transforms as the K=1 loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+
+
+def run_chunked(
+    chunk_fn: Callable,
+    state,
+    maxiter: int,
+    chunk: int,
+    handle: Callable,
+):
+    """Drive ``chunk_fn`` in chunks, replaying per-iteration host work.
+
+    Args:
+        chunk_fn: ``chunk_fn(state, kk) -> (state, hist)`` — runs ``kk`` EM
+            iterations on device; ``hist`` is a pytree whose leaves have a
+            leading ``kk`` axis (per-iteration snapshots). Must be jitted by
+            the caller (``kk`` static).
+        state: Initial device-side carry.
+        maxiter: Total iteration budget.
+        chunk: Iterations per dispatch (K). 1 reproduces the eager loop
+            shape (still batched through the same code path).
+        handle: ``handle(i, hist_host, j) -> (stop, result)`` — invoked per
+            iteration with the global index ``i`` and the fetched history
+            chunk; slices row ``j``, runs callbacks/logging/convergence.
+            ``result`` must always be the iteration's result (returned when
+            the budget is exhausted too).
+
+    Returns:
+        The ``result`` from the last handled iteration (or ``None`` if
+        ``maxiter == 0``).
+    """
+    chunk = max(1, int(chunk))
+    it = 0
+    result = None
+    while it < maxiter:
+        kk = min(chunk, maxiter - it)
+        state, hist = chunk_fn(state, kk)
+        hist_host = jax.device_get(hist)  # ONE fetch per chunk
+        for j in range(kk):
+            stop, result = handle(it + j, hist_host, j)
+            if stop:
+                return result
+        it += kk
+    return result
+
+
+def slice_tree(tree, j: int):
+    """Row ``j`` of a stacked history pytree (host-side numpy leaves)."""
+    return jax.tree_util.tree_map(lambda x: x[j], tree)
