@@ -470,16 +470,34 @@ def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
 # Functional EM step per transform type (module-level => stable jit cache)
 # --------------------------------------------------------------------------
 
-def _rigid_step(source, target, transf, sigma2, aux, w):
+def _rigid_step(source, target, transf, sigma2, aux, w, assume_sorted=False):
     t_source = transf._transform(source)
-    mom = estep_ops.estep(t_source, target, sigma2, w)
+    mom = estep_ops.estep(t_source, target, sigma2, w,
+                          assume_sorted=assume_sorted)
     return rigid_maximization_step(source, mom, aux["update_scale"])
 
 
-def _affine_step(source, target, transf, sigma2, aux, w):
+def _affine_step(source, target, transf, sigma2, aux, w,
+                 assume_sorted=False):
     t_source = transf._transform(source)
-    mom = estep_ops.estep(t_source, target, sigma2, w)
+    mom = estep_ops.estep(t_source, target, sigma2, w,
+                          assume_sorted=assume_sorted)
     return affine_maximization_step(source, mom)
+
+
+# Morton-presorted variants (stable module-level identities for the jit
+# cache). registration() pre-sorts source/target ONCE and switches to
+# these, so the tile-culled E-step (ops/estep_pallas.estep_auto) skips its
+# per-iteration argsort — a TPU sort of a 200k cloud costs ~0.3 s/iter,
+# which otherwise eats the culling gains. Only rigid/affine qualify: their
+# M-steps consume the moments purely through row reductions, so a
+# consistent permutation of source/target changes nothing downstream.
+_rigid_step_sorted = partial(_rigid_step, assume_sorted=True)
+_affine_step_sorted = partial(_affine_step, assume_sorted=True)
+_SORTED_STEPS = {
+    _rigid_step: _rigid_step_sorted,
+    _affine_step: _affine_step_sorted,
+}
 
 
 def _nonrigid_step(source, target, transf, sigma2, aux, w):
@@ -680,8 +698,23 @@ class CoherentPointDrift(abc.ABC):
                 chunk_fn, (res.transformation, res.sigma2), int(maxiter),
                 int(callback_chunk), handle)
             return out if out is not None else res
+        source = self._source
+        sorted_step = _SORTED_STEPS.get(step_fn)
+        if (sorted_step is not None
+                and jax.default_backend() == "tpu"
+                and _config.config.use_culled_estep
+                and source.shape[0] * target.shape[0]
+                >= _config.config.culled_estep_min_pairs):
+            # One-time Morton sort enables tile culling in the E-step with
+            # no per-iteration sort (see _rigid_step_sorted note). The
+            # returned rigid/affine transform is order-free.
+            from .ops.spatial import morton_order
+
+            source = source[morton_order(source)]
+            target = target[morton_order(target)]
+            step_fn = sorted_step
         return _run_em(
-            self._source, target, res.transformation, res.sigma2, res.q, aux,
+            source, target, res.transformation, res.sigma2, res.q, aux,
             step_fn=step_fn, w=float(w), maxiter=int(maxiter), tol=float(tol),
         )
 

@@ -163,17 +163,28 @@ def estep(
     sigma2,
     w: float = 0.0,
     use_pallas: Optional[bool] = None,
+    assume_sorted: bool = False,
 ) -> EstepMoments:
     """Dispatch: single-launch Pallas kernel for small problems on TPU
-    (one kernel instead of ~10 -> launch-overhead-bound regime), XLA scan
-    otherwise; the two-pass tiled Pallas kernel stays opt-in
-    (config.use_pallas)."""
+    (one kernel instead of ~10 -> launch-overhead-bound regime); the
+    Morton-sorted tile-culled Pallas kernel for large problems (exact —
+    skips only tiles whose exps provably underflow to 0, the dominant
+    regime as sigma2 anneals); XLA scan otherwise. The dense two-pass
+    Pallas kernel stays opt-in (config.use_pallas)."""
     m, n = t_source.shape[0], target.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None and on_tpu and m * n <= config.small_estep_max_pairs:
         from . import estep_pallas
 
         return estep_pallas.estep_small(t_source, target, sigma2, w)
+    if (use_pallas is None and on_tpu and config.use_culled_estep
+            and m * n >= config.culled_estep_min_pairs):
+        from . import estep_pallas
+
+        return estep_pallas.estep_auto(
+            t_source, target, sigma2, w,
+            switch_frac=config.culled_switch_frac,
+            assume_sorted=assume_sorted)
     if use_pallas is None:
         use_pallas = (
             config.use_pallas

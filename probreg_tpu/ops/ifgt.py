@@ -163,7 +163,14 @@ class Ifgt:
     Args:
         source: (N, D) source points.
         h: Gaussian bandwidth (exp(-d^2 / h^2) convention).
-        eps: Target relative error.
+        eps: Target error: absolute error <= eps * sum|w| (the standard
+            IFGT error model, same guarantee the reference's parameter
+            selection targets, ifgt.cc:26-62). Characterized envelope
+            (tests/test_ifgt.py::test_ifgt_error_bound_envelope): holds
+            for eps >= 1e-4 across bandwidths down to h ~ 0.05x the cloud
+            range. Below eps ~ 1e-6 the f32 arithmetic noise floor of both
+            this and the reference implementation (cc/types.h Float=f32)
+            dominates — not a supported regime.
     """
 
     def __init__(self, source, h: float, eps: float = 1.0e-4,

@@ -1,0 +1,151 @@
+"""Tile-culled E-step (VERDICT round-1 item 1): exactness + mask safety.
+
+The culled Pallas kernels (ops/estep_pallas.py) skip tile pairs whose
+box-gap lower bound proves every Gaussian underflows f32 to exactly zero,
+so their output must match the dense XLA E-step to float32 reduction noise
+at EVERY sigma2 — including ones where most tiles are culled. Kernels run
+in interpreter mode on CPU (the same code compiles on TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probreg_tpu.ops import estep as eo
+from probreg_tpu.ops import estep_pallas as ep
+from probreg_tpu.ops.spatial import morton_code, morton_order
+
+
+def _rel(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30))
+
+
+def _blob_clouds(m=1024, n=1024, seed=1):
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[i * 5.0, j * 5.0, k * 5.0]
+         for i in range(2) for j in range(2) for k in range(2)], np.float32)
+    src = (centers[rng.integers(0, 8, m)]
+           + rng.normal(0, 0.2, (m, 3))).astype(np.float32)
+    tgt = (centers[rng.integers(0, 8, n)]
+           + rng.normal(0, 0.2, (n, 3))).astype(np.float32)
+    return src, tgt
+
+
+@pytest.mark.parametrize("sigma2", [1.0, 1e-2, 1e-4])
+def test_culled_matches_xla_uniform(sigma2):
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (900, 3)).astype(np.float32)
+    ref = eo.estep_xla(src, tgt, jnp.float32(sigma2), 0.1)
+    out = ep.estep_culled(src, tgt, jnp.float32(sigma2), 0.1,
+                          tile_m=128, tile_n=128, interpret=True)
+    assert _rel(ref.pt1, out.pt1) < 5e-4
+    assert _rel(ref.p1, out.p1) < 5e-4
+    assert _rel(ref.px, out.px) < 5e-4
+    np.testing.assert_allclose(float(ref.n_p), float(out.n_p), rtol=1e-4)
+    np.testing.assert_allclose(float(ref.xx), float(out.xx), rtol=1e-4)
+
+
+def test_culling_fires_and_stays_exact():
+    """Separated blobs at small sigma2: a solid fraction of tiles is
+    provably dead; results still match the dense E-step."""
+    src, tgt = _blob_clouds()
+    py = np.asarray(morton_order(src))
+    px = np.asarray(morton_order(tgt))
+    frac = float(ep.active_tile_fraction(src[py], tgt[px], 0.05, 128, 128))
+    assert frac < 0.7, frac
+
+    ref = eo.estep_xla(src, tgt, jnp.float32(0.05), 0.0)
+    out = ep.estep_culled(src, tgt, jnp.float32(0.05), 0.0,
+                          tile_m=128, tile_n=128, interpret=True)
+    assert _rel(ref.pt1, out.pt1) < 1e-5
+    assert _rel(ref.p1, out.p1) < 1e-4
+    assert _rel(ref.px, out.px) < 1e-4
+
+
+def test_mask_never_culls_a_live_tile():
+    """Safety property: any tile pair containing a point pair whose
+    exponent is ABOVE the f32 underflow threshold must stay active."""
+    src, tgt = _blob_clouds(512, 512, seed=3)
+    tile = 128
+    py = np.asarray(morton_order(src))
+    px = np.asarray(morton_order(tgt))
+    s, t = src[py], tgt[px]
+    sigma2 = 0.03
+    inv2s2 = 0.5 / sigma2
+
+    ys_t, y2 = ep._pad_transpose(jnp.asarray(s), tile)
+    xs_t, x2 = ep._pad_transpose(jnp.asarray(t), tile)
+    ymin, ymax = ep._tile_bounds(ys_t, y2, tile)
+    xmin, xmax = ep._tile_bounds(xs_t, x2, tile)
+    mask = np.asarray(ep._active_mask(ymin, ymax, xmin, xmax, inv2s2))
+
+    nbm, nbn = mask.shape
+    d2 = ((s[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    for i in range(nbm):
+        for j in range(nbn):
+            blk = d2[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile]
+            if blk.size and blk.min() * inv2s2 <= ep._CUT:
+                assert mask[i, j] == 1.0, (i, j, blk.min())
+
+
+@pytest.mark.parametrize("sigma2,expect_culled", [(5.0, False), (0.03, True)])
+def test_estep_auto_matches_xla_both_branches(sigma2, expect_culled):
+    """estep_auto lax.cond-switches between the XLA scan (dense regime)
+    and the culled kernel (annealed regime); both branches must agree with
+    the dense reference."""
+    src, tgt = _blob_clouds(640, 640, seed=11)
+    py = np.asarray(morton_order(src))
+    px = np.asarray(morton_order(tgt))
+    frac = float(ep.active_tile_fraction(src[py], tgt[px], sigma2, 128, 128))
+    assert (frac <= 0.7) == expect_culled, frac
+    ref = eo.estep_xla(src, tgt, jnp.float32(sigma2), 0.05)
+    out = ep.estep_auto(src, tgt, jnp.float32(sigma2), 0.05,
+                        tile_m=128, tile_n=128, interpret=True)
+    assert _rel(ref.pt1, out.pt1) < 1e-4
+    assert _rel(ref.p1, out.p1) < 1e-4
+    assert _rel(ref.px, out.px) < 1e-4
+
+    # assume_sorted variant (the in-EM-loop mode: caller pre-sorted once):
+    # moments come back in the sorted order and must match the dense
+    # E-step evaluated on the sorted clouds.
+    ref_s = eo.estep_xla(src[py], tgt[px], jnp.float32(sigma2), 0.05)
+    out_s = ep.estep_auto(src[py], tgt[px], jnp.float32(sigma2), 0.05,
+                          tile_m=128, tile_n=128, interpret=True,
+                          assume_sorted=True)
+    assert _rel(ref_s.pt1, out_s.pt1) < 1e-4
+    assert _rel(ref_s.p1, out_s.p1) < 1e-4
+    assert _rel(ref_s.px, out_s.px) < 1e-4
+
+
+def test_morton_order_is_permutation_and_local():
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-2, 3, (777, 3)).astype(np.float32)
+    perm = np.asarray(morton_order(pts))
+    assert sorted(perm.tolist()) == list(range(777))
+    # Locality: mean hop between Z-order neighbors is far below the mean
+    # distance between random pairs.
+    s = pts[perm]
+    hops = np.linalg.norm(np.diff(s, axis=0), axis=1).mean()
+    rand = np.linalg.norm(pts[rng.permutation(777)] - pts, axis=1).mean()
+    assert hops < 0.5 * rand, (hops, rand)
+    # 2-D codes work too.
+    p2 = np.asarray(morton_order(pts[:, :2]))
+    assert sorted(p2.tolist()) == list(range(777))
+
+
+def test_morton_code_groups_quadrants():
+    """Points in the same octant share high code bits: codes of one blob
+    form a contiguous run after sorting."""
+    src, _ = _blob_clouds(m=512, n=8, seed=7)
+    codes = np.asarray(morton_code(src))
+    order = np.argsort(codes)
+    blob = (src[order] / 2.5).round().astype(int)
+    labels = blob[:, 0] * 4 + blob[:, 1] * 2 + blob[:, 2]
+    # Each blob's points are contiguous in Z-order: label changes along
+    # the sorted sequence == number of blobs - 1.
+    changes = int((np.diff(labels) != 0).sum())
+    assert changes <= 7, changes
