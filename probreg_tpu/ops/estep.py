@@ -131,7 +131,11 @@ def estep_xla(
     c = outlier_constant(jnp.asarray(sigma2, t_source.dtype), w, m, n, dim)
 
     if block is None:
-        block = max(min(config.estep_chunk, n), 1)
+        # Cap the live (M, block) Gaussian block at ~1 GB f32: at M = 1M
+        # the flat estep_chunk default (4096) would be a 16 GB temporary —
+        # enough to fault a 16 GB v5e (observed round 1; CLAUDE.md).
+        mem_cap = max(128, ((1 << 28) // max(m, 1)) // 128 * 128)
+        block = max(min(config.estep_chunk, n, mem_cap), 1)
     if n <= block:
         pt1, p1, px, xx = _block_moments(t_source, target, sigma2, c, eps)
         return EstepMoments(pt1, p1, px, jnp.sum(p1), xx)
