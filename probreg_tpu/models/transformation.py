@@ -39,6 +39,14 @@ class Transformation(abc.ABC):
 
 
 def _f(x, like=None):
+    # Host values stay HOST numpy: a transform built from fetched optimizer
+    # results (e.g. cost_functions.to_transformation) would otherwise be
+    # re-uploaded, and reading res.rot back would cost a full tunnel round
+    # trip (~33 ms) for a 3x3 that was already on the host. numpy leaves
+    # are valid pytree leaves — jit uploads them at dispatch; tracers and
+    # device arrays pass through jnp.asarray unchanged.
+    if isinstance(x, (np.ndarray, np.generic, float, int, list, tuple)):
+        return np.asarray(x, dtype=config.dtype)
     return jnp.asarray(x, dtype=config.dtype)
 
 
@@ -50,9 +58,9 @@ class RigidTransformation(Transformation):
         # ``xp`` accepted for reference API compatibility; ignored (JAX only).
         del xp
         if rot is None:
-            rot = jnp.eye(dim, dtype=config.dtype)
+            rot = np.eye(dim, dtype=config.dtype)
         if t is None:
-            t = jnp.zeros(dim, dtype=config.dtype)
+            t = np.zeros(dim, dtype=config.dtype)
         self.rot = _f(rot)
         self.t = _f(t)
         self.scale = _f(scale)
