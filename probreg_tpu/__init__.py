@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     gauss_transform,
     gaussian_filtering,
     gmmtree,
+    icp,
     l2dist_regs,
     log,
     math_utils,

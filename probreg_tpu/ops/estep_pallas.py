@@ -184,42 +184,23 @@ def _active_mask(ymin, ymax, xmin, xmax, inv2s2):
     return (lb2 * inv2s2 <= _CUT).astype(jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("w", "tile_m", "tile_n", "interpret", "cull")
-)
-def estep_fused(
-    t_source: jax.Array,
-    target: jax.Array,
-    sigma2,
-    w: float = 0.0,
-    tile_m: int = 1024,
-    tile_n: int = 1024,
-    interpret: bool = False,
-    cull: bool = True,
-) -> EstepMoments:
-    """Fused-tile E-step. Exact (not an approximation), tile-culled.
+def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
+               interpret: bool = False, cull: bool = True):
+    """Two-pass culled E-step on PRE-PADDED transposed operands.
 
-    ``cull=True`` skips tile pairs whose box-gap bound proves every
-    exp underflows to exactly 0 (see module docstring) — still exact. Only
-    effective on spatially sorted inputs: use :func:`estep_culled` (Morton
-    pre-sort) unless the caller already sorted.
+    Inputs: ``scal`` = [0.5/sigma2, outlier c]; ``ys_t``/``xs_t`` (8, Mp) /
+    (8, Np) zero-padded transposes whose lane counts are multiples of the
+    tile sizes; ``y2``/``x2`` (1, Mp)/(1, Np) squared norms with excluded
+    (padding / masked) columns set to ``_BIG``. Returns
+    (pt1p (1, Np), p1p (1, Mp), pxp (8, Mp), xx (1, 1)) — still padded.
+
+    Shared by :func:`estep_fused` and the sharded transposed EM
+    (parallel/sharded.py), whose per-device target shard is already in
+    this layout.
     """
-    t_source = jnp.asarray(t_source, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
-    m, dim = t_source.shape
-    n = target.shape[0]
-    tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
-    tile_n = min(tile_n, ((n + 127) // 128) * 128)
-
-    sigma2 = jnp.asarray(sigma2, jnp.float32)
-    c = outlier_constant(sigma2, w, m, n, dim)
-    inv2s2 = 0.5 / sigma2
-    scal = jnp.stack([inv2s2, c]).astype(jnp.float32)
-
-    ys_t, y2 = _pad_transpose(t_source, tile_m)
-    xs_t, x2 = _pad_transpose(target, tile_n)
     mp, np_ = ys_t.shape[1], xs_t.shape[1]
     n_i, n_j = mp // tile_m, np_ // tile_n
+    inv2s2 = scal[0]
 
     if cull:
         ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
@@ -296,6 +277,47 @@ def estep_fused(
         ),
         **kwargs,
     )(scal, mbits, ys_t, y2, xs_t, x2, den)
+
+    return pt1p, p1p, pxp, xx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "tile_m", "tile_n", "interpret", "cull")
+)
+def estep_fused(
+    t_source: jax.Array,
+    target: jax.Array,
+    sigma2,
+    w: float = 0.0,
+    tile_m: int = 1024,
+    tile_n: int = 1024,
+    interpret: bool = False,
+    cull: bool = True,
+) -> EstepMoments:
+    """Fused-tile E-step. Exact (not an approximation), tile-culled.
+
+    ``cull=True`` skips tile pairs whose box-gap bound proves every
+    exp underflows to exactly 0 (see module docstring) — still exact. Only
+    effective on spatially sorted inputs: use :func:`estep_culled` (Morton
+    pre-sort) unless the caller already sorted.
+    """
+    t_source = jnp.asarray(t_source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    m, dim = t_source.shape
+    n = target.shape[0]
+    tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    tile_n = min(tile_n, ((n + 127) // 128) * 128)
+
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    c = outlier_constant(sigma2, w, m, n, dim)
+    scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
+
+    ys_t, y2 = _pad_transpose(t_source, tile_m)
+    xs_t, x2 = _pad_transpose(target, tile_n)
+
+    pt1p, p1p, pxp, xx = fused_core(
+        scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
+        interpret=interpret, cull=cull)
 
     pt1 = pt1p[0, :n]
     p1 = p1p[0, :m]

@@ -66,3 +66,34 @@ def morton_code(points: jax.Array) -> jax.Array:
 def morton_order(points: jax.Array) -> jax.Array:
     """Permutation that sorts points into Z-order."""
     return jnp.argsort(morton_code(points))
+
+
+def morton_order_np(points) -> "np.ndarray":
+    """Host-side Z-order permutation (numpy — no device dispatch).
+
+    Used by entry points that pre-sort clouds ONCE before sharding /
+    jitting (parallel/sharded.py): running the jnp version eagerly would
+    cost a device round trip per registration.
+    """
+    import numpy as np
+
+    pts = np.asarray(points)
+    dim = pts.shape[1]
+    lo = pts.min(axis=0)
+    span = np.maximum(pts.max(axis=0) - lo, np.finfo(np.float32).tiny)
+    bits = 10 if dim >= 3 else 15
+    scale = float(2 ** bits - 1)
+    q = np.clip((pts - lo) / span * scale, 0.0, scale).astype(np.int64)
+
+    def spread(x, step):
+        out = np.zeros_like(x)
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (b * step)
+        return out
+
+    if dim == 2:
+        code = spread(q[:, 0], 2) | (spread(q[:, 1], 2) << 1)
+    else:
+        code = spread(q[:, 0], 3) | (spread(q[:, 1], 3) << 1) \
+            | (spread(q[:, 2], 3) << 2)
+    return np.argsort(code, kind="stable")

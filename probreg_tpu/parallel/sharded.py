@@ -153,11 +153,21 @@ def shard_points_t(points, mesh: Mesh, axis: str = AXIS):
 @partial(
     jax.jit,
     static_argnames=("kind", "w", "update_scale",
-                     "n", "mesh", "axis"),
+                     "n", "mesh", "axis", "use_culled", "culled_interpret",
+                     "culled_tile"),
 )
 def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
-                      update_scale, n, mesh, axis):
-    """Sharded whole-EM in transposed layout; source (M, D) replicated."""
+                      update_scale, n, mesh, axis, use_culled=False,
+                      culled_interpret=False, culled_tile=1024):
+    """Sharded whole-EM in transposed layout; source (M, D) replicated.
+
+    ``use_culled``: per-shard tile-culled Pallas E-step
+    (ops/estep_pallas.fused_core). The per-tile cull mask adapts to sigma2
+    at runtime inside the kernel, so no branch is needed; memory stays
+    tiled at every size (the dense path materializes (M, N/P) per device).
+    Requires Morton-presorted clouds (registration_cpd_sharded does this)
+    so each contiguous target shard is spatially compact.
+    """
     ys_t = source.T
     dim, m = ys_t.shape
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
@@ -180,28 +190,68 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, axis), P(None, axis), P()),
         out_specs=(P(), P(), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # culled branch would fail shard_map's vma check otherwise.
+        check_vma=False,
     )
     def estep_t(t_src_t, xs_sh, msk, sigma2):
         c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
-        y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
-        x2 = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)
-        xy = jax.lax.dot_general(
-            t_src_t, xs_sh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) / (2.0 * sigma2))
-        g = g * msk
-        den_raw = jnp.sum(g, axis=0, keepdims=True)
-        den = jnp.where(den_raw == 0.0, eps, den_raw) + c
-        pt1 = msk * den_raw / den
-        pmat = g / den
-        xs_ext = jnp.concatenate([xs_sh, jnp.ones_like(msk)], axis=0)
-        pxp = jax.lax.dot_general(
-            xs_ext, pmat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        pxp = jax.lax.psum(pxp, axis)
-        xx = jax.lax.psum(jnp.sum(pt1 * x2), axis)
+
+        def dense_local(_):
+            y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+            x2 = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)
+            xy = jax.lax.dot_general(
+                t_src_t, xs_sh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            g = jnp.exp(
+                -jnp.maximum(y2 + x2 - 2.0 * xy, 0.0) / (2.0 * sigma2))
+            g = g * msk
+            den_raw = jnp.sum(g, axis=0, keepdims=True)
+            den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+            pt1 = msk * den_raw / den
+            pmat = g / den
+            xs_ext = jnp.concatenate([xs_sh, jnp.ones_like(msk)], axis=0)
+            pxp_loc = jax.lax.dot_general(
+                xs_ext, pmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            return pxp_loc, jnp.sum(pt1 * x2)
+
+        if not use_culled:
+            pxp_loc, xx_loc = dense_local(None)
+        else:
+            # Always the tiled culled kernel: its per-tile mask already
+            # adapts to sigma2 at runtime (all-active == dense compute),
+            # and unlike a lax.cond with a dense branch it never compiles
+            # an (M, N/P) allocation — the dense branch's buffer would be
+            # reserved even when the branch is never taken (observed OOM
+            # at 150k x 150k on one device).
+            from ..ops import estep_pallas as ep
+
+            nl = xs_sh.shape[1]
+            tm = min(culled_tile, ((m + 7) // 8) * 8)
+            tn = min(culled_tile, ((nl + 127) // 128) * 128)
+            mp = -(-m // tm) * tm
+            nlp = -(-nl // tn) * tn
+            f32 = jnp.float32
+            ys8 = jnp.zeros((8, mp), f32).at[:dim, :m].set(t_src_t)
+            y2p = jnp.full((1, mp), ep._BIG, f32).at[0, :m].set(
+                jnp.sum(t_src_t * t_src_t, axis=0))
+            x2v = jnp.sum(xs_sh * xs_sh, axis=0)
+            x2v = jnp.where(msk[0] > 0, x2v, ep._BIG)
+            xs8 = jnp.zeros((8, nlp), f32).at[:dim, :nl].set(xs_sh)
+            x2p = jnp.full((1, nlp), ep._BIG, f32).at[0, :nl].set(x2v)
+            scal = jnp.stack([0.5 / sigma2, c]).astype(f32)
+
+            pt1p, p1p, pxp, xxp = ep.fused_core(
+                scal, ys8, y2p, xs8, x2p, tile_m=tm, tile_n=tn,
+                interpret=culled_interpret, cull=True)
+            pxp_loc = jnp.concatenate([pxp[:dim, :m], p1p[:, :m]], axis=0)
+            xx_loc = xxp[0, 0]
+
+        pxp = jax.lax.psum(pxp_loc, axis)
+        xx = jax.lax.psum(xx_loc, axis)
         px_t, p1 = pxp[:dim], pxp[dim]
         return px_t, p1, jnp.sum(p1), xx
 
@@ -309,21 +359,45 @@ def registration_cpd_sharded(
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
-    src = jnp.asarray(interop.as_points(source, dtype=config.dtype))
-    dim = src.shape[1]
+    use_culled = kwargs.pop("use_culled", None)
+    culled_interpret = bool(kwargs.pop("culled_interpret", False))
+    culled_tile = int(kwargs.pop("culled_tile", 1024))
+    src_np = np.asarray(interop.as_points(source, dtype=config.dtype))
+    dim = src_np.shape[1]
 
     if tf_type_name in ("rigid", "affine"):
+        tgt_np = np.asarray(interop.as_points(target, dtype=config.dtype))
+        if use_culled is None:
+            use_culled = (
+                jax.default_backend() == "tpu"
+                and config.use_culled_estep
+                and src_np.shape[0] * tgt_np.shape[0]
+                >= config.culled_estep_min_pairs)
+        if use_culled:
+            # One-time host Morton sort: each contiguous target shard (and
+            # each source tile) becomes spatially compact, so the per-shard
+            # tile culling fires. Rigid/affine M-steps are order-invariant.
+            from ..ops.spatial import morton_order_np
+
+            src_np = src_np[morton_order_np(src_np)]
+            tgt_np = tgt_np[morton_order_np(tgt_np)]
+        src = jnp.asarray(src_np)
         # Transposed fast path: lane-sharded target, single jit dispatch.
-        xs_t_sh, mask_sh, n = shard_points_t(target, mesh, axis)
+        xs_t_sh, mask_sh, n = shard_points_t(tgt_np, mesh, axis)
         lin, t, scale, sigma2, q = _run_em_sharded_t(
             src, xs_t_sh, mask_sh, kind=tf_type_name, w=float(w),
             maxiter=int(maxiter), tol=float(tol),
-            update_scale=bool(update_scale), n=n, mesh=mesh, axis=axis)
+            update_scale=bool(update_scale), n=n, mesh=mesh, axis=axis,
+            use_culled=bool(use_culled),
+            culled_interpret=culled_interpret,
+            culled_tile=culled_tile)
         if tf_type_name == "rigid":
             transf = tf.RigidTransformation(lin, t, scale)
         else:
             transf = tf.AffineTransformation(lin, t)
         return cpd_mod.MstepResult(transf, sigma2, q)
+
+    src = jnp.asarray(src_np)
 
     target_sh, mask_sh, n = shard_points(target, mesh, axis)
     sigma2 = mu.squared_kernel_sum(src, np.asarray(interop.as_points(target, dtype=config.dtype)))
