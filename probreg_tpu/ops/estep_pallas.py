@@ -326,6 +326,132 @@ def estep_fused(
     return EstepMoments(pt1, p1, px, n_p, xx[0, 0].astype(t_source.dtype))
 
 
+# --------------------------------------------------------------------------
+# Culled Gauss transform (single pass)
+# --------------------------------------------------------------------------
+#
+# out[i, c] = sum_j exp(-|q_i - p_j|^2 / h^2) w[j, c] — FilterReg's E-step
+# moments and the L2-dist costs are exactly this shape (<= 8 channels, so
+# the whole weight block rides the 8 sublanes). No posterior normalizer
+# means ONE pass: tile culling here has no double-exp penalty at all, so
+# the kernel is used unconditionally (all-active mask == dense compute).
+
+def _gt_kernel(scal_ref, mbits_ref, qs_ref, q2_ref, ps_ref, p2_ref, w_ref,
+               out_ref):
+    i = pl.program_id(0)   # query tile
+    j = pl.program_id(1)   # point tile (reduction, innermost)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(_tile_active(mbits_ref, i * n_j + j))
+    def _():
+        g = _dist_tile(qs_ref[:], q2_ref[:], ps_ref[:], p2_ref[:],
+                       scal_ref[0])  # (TM, TN)
+        out_ref[:] += jax.lax.dot_general(
+            w_ref[:], g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, TM)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret", "cull", "sort"))
+def gauss_transform_culled(
+    source: jax.Array,
+    target: jax.Array,
+    weights: jax.Array,
+    h,
+    tile: int = 1024,
+    interpret: bool = False,
+    cull: bool = True,
+    sort: bool = True,
+) -> jax.Array:
+    """Tile-culled exact Gauss transform (<= 8 weight channels).
+
+    Same semantics/argument order as ops/gausstransform.gauss_transform:
+    ``out[i, c] = sum_j exp(-|target_i - source_j|^2 / h^2) w[j, c]``
+    (reference convention, h^2 not 2h^2). Exact: culled tiles are ones
+    whose box-gap bound proves f32 underflow. ``sort=True`` Morton-sorts
+    both clouds internally and returns output in the caller's order.
+    """
+    from .spatial import morton_order
+
+    source = jnp.asarray(source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    squeeze = weights.ndim == 1
+    if squeeze:
+        weights = weights[:, None]
+    m, dim = source.shape
+    nq = target.shape[0]
+    c = weights.shape[1]
+    if c > _SUBLANES:
+        raise ValueError(f"gauss_transform_culled supports <= {_SUBLANES} "
+                         f"weight channels, got {c}")
+    if sort:
+        perm_p = morton_order(source)
+        perm_q = morton_order(target)
+        source = source[perm_p]
+        weights = weights[perm_p]
+        target = target[perm_q]
+
+    tile_q = min(tile, ((nq + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    tile_p = min(tile, ((m + 127) // 128) * 128)
+    qs_t, q2 = _pad_transpose(target, tile_q)
+    ps_t, p2 = _pad_transpose(source, tile_p)
+    nqp, mp = qs_t.shape[1], ps_t.shape[1]
+    n_i, n_j = nqp // tile_q, mp // tile_p
+    w_t = jnp.zeros((_SUBLANES, mp), jnp.float32).at[:c, :m].set(weights.T)
+
+    inv = 1.0 / (jnp.asarray(h, jnp.float32) ** 2)
+    scal = jnp.stack([inv, jnp.zeros((), jnp.float32)])
+
+    if cull:
+        qmin, qmax = _tile_bounds(qs_t, q2, tile_q)
+        pmin, pmax = _tile_bounds(ps_t, p2, tile_p)
+        mask = _active_mask(qmin, qmax, pmin, pmax, inv)
+    else:
+        mask = jnp.ones((n_i, n_j), jnp.float32)
+    flat = mask.reshape(-1).astype(jnp.int32)
+    pad_bits = (-flat.shape[0]) % 32
+    if pad_bits:
+        flat = jnp.concatenate([flat, jnp.ones((pad_bits,), jnp.int32)])
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    mbits = jnp.sum(flat.reshape(-1, 32) << shifts[None, :],
+                    axis=1, dtype=jnp.int32)
+
+    outp = pl.pallas_call(
+        _gt_kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SUBLANES, tile_q), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tile_q), lambda i, j: (0, i)),
+            pl.BlockSpec((_SUBLANES, tile_p), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_p), lambda i, j: (0, j)),
+            pl.BlockSpec((_SUBLANES, tile_p), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((_SUBLANES, tile_q), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((_SUBLANES, nqp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nqp * mp * (_SUBLANES + 3),
+            bytes_accessed=4 * (nqp + mp) * _SUBLANES * (n_i + n_j),
+            transcendentals=nqp * mp,
+        ),
+        interpret=interpret,
+    )(scal, mbits, qs_t, q2, ps_t, p2, w_t)
+
+    out = outp[:c, :nq].T
+    if sort:
+        out = jnp.zeros_like(out).at[perm_q].set(out)
+    return out[:, 0] if squeeze else out
+
+
 def active_tile_fraction(t_source, target, sigma2, tile_m=1024, tile_n=1024):
     """Fraction of (source, target) tile pairs the culled kernels compute.
 

@@ -149,6 +149,28 @@ def test_sharded_culled_matches_single_device(horse_cloud):
     np.testing.assert_allclose(rec, ang, atol=1e-2)
 
 
+@pytest.mark.parametrize("h", [2.0, 0.3, 0.05])
+def test_gauss_transform_culled_matches_dense(h):
+    """Single-pass culled Gauss transform == the streaming XLA transform
+    at every bandwidth (multi-channel weights, unsorted caller order)."""
+    from probreg_tpu.ops.gausstransform import gauss_transform
+
+    src, tgt = _blob_clouds(600, 500, seed=13)
+    rng = np.random.default_rng(4)
+    w = rng.uniform(0.1, 1.0, (600, 5)).astype(np.float32)
+    ref = np.asarray(gauss_transform(src, tgt, w, h))
+    out = np.asarray(ep.gauss_transform_culled(src, tgt, w, h,
+                                               tile=128, interpret=True))
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-6)
+
+    # 1-D weights squeeze path.
+    ref1 = np.asarray(gauss_transform(src, tgt, w[:, 0], h))
+    out1 = np.asarray(ep.gauss_transform_culled(src, tgt, w[:, 0], h,
+                                                tile=128, interpret=True))
+    np.testing.assert_allclose(out1 / scale, ref1 / scale, atol=5e-6)
+
+
 def test_morton_order_np_matches_jnp():
     rng = np.random.default_rng(9)
     pts = rng.uniform(-1, 2, (333, 3)).astype(np.float32)
