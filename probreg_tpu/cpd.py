@@ -122,7 +122,11 @@ def nonrigid_maximization_step(source, mom: EstepMoments, g, lmd, sigma2_p) -> M
     t = source + g @ w
     tr_pxt = jnp.sum(px * t)
     tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
-    sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+    # Floor like the rigid path (line ~90): on clean 1:1 clouds sigma2
+    # anneals to f32 cancellation scale and can come out <= 0, NaN-ing the
+    # next E-step's exp (and the lmd*sigma2*I regularizer with it).
+    sigma2 = jnp.maximum((xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim),
+                         _F32_EPS)
     return MstepResult(tf.NonRigidTransformation(w, g=g), sigma2, sigma2)
 
 
@@ -148,7 +152,8 @@ def nonrigid_lowrank_maximization_step(
     t = source + u @ zc
     tr_pxt = jnp.sum(px * t)
     tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
-    sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+    sigma2 = jnp.maximum((xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim),
+                         _F32_EPS)
     return MstepResult(tf.LowRankNonRigidTransformation(zc, u, lam), sigma2, sigma2)
 
 
@@ -166,7 +171,11 @@ def constrained_nonrigid_maximization_step(
     t = source + g @ w
     tr_pxt = jnp.sum(px * t)
     tr_tpt = jnp.sum(p1 * jnp.sum(t * t, axis=1))
-    sigma2 = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+    # Floor like the rigid path (line ~90): on clean 1:1 clouds sigma2
+    # anneals to f32 cancellation scale and can come out <= 0, NaN-ing the
+    # next E-step's exp (and the lmd*sigma2*I regularizer with it).
+    sigma2 = jnp.maximum((xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim),
+                         _F32_EPS)
     return MstepResult(tf.NonRigidTransformation(w, g=g), sigma2, sigma2)
 
 
@@ -450,7 +459,8 @@ def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
             precision=jax.lax.Precision.HIGHEST)
         tr_pxt = jnp.sum(px_t * t_t)
         tr_tpt = jnp.sum(p1 * jnp.sum(t_t * t_t, axis=0))
-        sigma2_new = (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim)
+        sigma2_new = jnp.maximum(
+            (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim), _F32_EPS)
         return (zc_t_new, sigma2_new, sigma2_new, q, i + 1)
 
     def cond(state):
@@ -494,15 +504,20 @@ def _affine_step(source, target, transf, sigma2, aux, w,
 # consistent permutation of source/target changes nothing downstream.
 _rigid_step_sorted = partial(_rigid_step, assume_sorted=True)
 _affine_step_sorted = partial(_affine_step, assume_sorted=True)
-_SORTED_STEPS = {
-    _rigid_step: _rigid_step_sorted,
-    _affine_step: _affine_step_sorted,
-}
+# Nonrigid variants (plain + low-rank): the M-step's Gram/Nystrom factors
+# and the returned transformation's control points are all built from the
+# SAME consistently-permuted source (registration() sorts before
+# _initialize), and NonRigidTransformation.transform is invariant to a
+# consistent permutation of (control, W). Constrained CPD stays unsorted:
+# its prior vectors are row-aligned with the caller's source.
+_SORTED_STEPS = {}  # filled after the nonrigid step defs below
 
 
-def _nonrigid_step(source, target, transf, sigma2, aux, w):
+def _nonrigid_step(source, target, transf, sigma2, aux, w,
+                   assume_sorted=False):
     t_source = transf._transform(source)
-    mom = estep_ops.estep(t_source, target, sigma2, w)
+    mom = estep_ops.estep(t_source, target, sigma2, w,
+                          assume_sorted=assume_sorted)
     return nonrigid_maximization_step(source, mom, transf.g, aux["lmd"], sigma2)
 
 
@@ -515,9 +530,11 @@ def _constrained_step(source, target, transf, sigma2, aux, w):
     )
 
 
-def _nonrigid_lowrank_step(source, target, transf, sigma2, aux, w):
+def _nonrigid_lowrank_step(source, target, transf, sigma2, aux, w,
+                           assume_sorted=False):
     t_source = transf._transform(source)
-    mom = estep_ops.estep(t_source, target, sigma2, w)
+    mom = estep_ops.estep(t_source, target, sigma2, w,
+                          assume_sorted=assume_sorted)
     return nonrigid_lowrank_maximization_step(
         source, mom, transf.u, transf.lam, aux["lmd"], sigma2)
 
@@ -530,6 +547,17 @@ def _constrained_lowrank_step(source, target, transf, sigma2, aux, w):
     return nonrigid_lowrank_maximization_step(
         source, mom, transf.u, transf.lam, aux["lmd"], sigma2,
         d_extra=s2a * aux["p1_tilde"], rhs_extra=rhs_extra)
+
+
+_nonrigid_step_sorted = partial(_nonrigid_step, assume_sorted=True)
+_nonrigid_lowrank_step_sorted = partial(_nonrigid_lowrank_step,
+                                        assume_sorted=True)
+_SORTED_STEPS.update({
+    _rigid_step: _rigid_step_sorted,
+    _affine_step: _affine_step_sorted,
+    _nonrigid_step: _nonrigid_step_sorted,
+    _nonrigid_lowrank_step: _nonrigid_lowrank_step_sorted,
+})
 
 
 @partial(jax.jit, static_argnames=("step_fn", "w"))
@@ -671,9 +699,38 @@ class CoherentPointDrift(abc.ABC):
             fast = self._registration_fast(target, w, maxiter, tol)
             if fast is not None:
                 return fast
-        res = self._initialize(target)
-        aux = self._step_aux()
+        source = self._source
         step_fn = self._step_fn()
+        sorted_step = _SORTED_STEPS.get(step_fn)
+        if (not self._callbacks
+                and sorted_step is not None
+                and jax.default_backend() == "tpu"
+                and _config.config.use_culled_estep
+                and source.shape[0] * target.shape[0]
+                >= _config.config.culled_estep_min_pairs):
+            # One-time Morton sort enables tile culling in the E-step with
+            # no per-iteration sort (see _rigid_step_sorted note). Must
+            # happen BEFORE _initialize/_step_aux: the nonrigid Gram /
+            # Nystrom factors and initial transform derive from the source
+            # and must share its permutation. Rigid/affine results are
+            # order-free; nonrigid results hold Morton-ordered control
+            # points and W — Transformation.transform is unchanged.
+            from .ops.spatial import morton_order
+
+            source = source[morton_order(source)]
+            target = target[morton_order(target)]
+            step_fn = sorted_step
+        if source is not self._source:
+            orig_source = self._source
+            self._source = source
+            try:
+                res = self._initialize(target)
+                aux = self._step_aux()
+            finally:
+                self._source = orig_source
+        else:
+            res = self._initialize(target)
+            aux = self._step_aux()
         if self._callbacks:
             from .utils import chunked
 
@@ -698,21 +755,6 @@ class CoherentPointDrift(abc.ABC):
                 chunk_fn, (res.transformation, res.sigma2), int(maxiter),
                 int(callback_chunk), handle)
             return out if out is not None else res
-        source = self._source
-        sorted_step = _SORTED_STEPS.get(step_fn)
-        if (sorted_step is not None
-                and jax.default_backend() == "tpu"
-                and _config.config.use_culled_estep
-                and source.shape[0] * target.shape[0]
-                >= _config.config.culled_estep_min_pairs):
-            # One-time Morton sort enables tile culling in the E-step with
-            # no per-iteration sort (see _rigid_step_sorted note). The
-            # returned rigid/affine transform is order-free.
-            from .ops.spatial import morton_order
-
-            source = source[morton_order(source)]
-            target = target[morton_order(target)]
-            step_fn = sorted_step
         return _run_em(
             source, target, res.transformation, res.sigma2, res.q, aux,
             step_fn=step_fn, w=float(w), maxiter=int(maxiter), tol=float(tol),

@@ -181,8 +181,14 @@ def estep(
         from . import estep_pallas
 
         return estep_pallas.estep_small(t_source, target, sigma2, w)
+    # Pre-sorted callers (cpd sorted step variants) take the culled path
+    # from 2^24 pairs. Unsorted callers only from 2^28: they pay a Morton
+    # argsort PER ITERATION inside estep_auto (~0.3 s at 200k keys on TPU,
+    # CLAUDE.md), which only amortizes once the E-step itself is seconds.
+    min_pairs = (config.culled_estep_min_pairs if assume_sorted
+                 else max(config.culled_estep_min_pairs, 1 << 28))
     if (use_pallas is None and on_tpu and config.use_culled_estep
-            and m * n >= config.culled_estep_min_pairs):
+            and m * n >= min_pairs):
         from . import estep_pallas
 
         return estep_pallas.estep_auto(

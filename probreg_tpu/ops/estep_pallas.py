@@ -185,8 +185,12 @@ def _active_mask(ymin, ymax, xmin, xmax, inv2s2):
 
 
 def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
-               interpret: bool = False, cull: bool = True):
+               interpret: bool = False, cull: bool = True, mask=None):
     """Two-pass culled E-step on PRE-PADDED transposed operands.
+
+    ``mask``: optionally a precomputed (n_i, n_j) active-tile mask (e.g.
+    estep_auto already built one for its switch fraction — avoids
+    recomputing the bounds).
 
     Inputs: ``scal`` = [0.5/sigma2, outlier c]; ``ys_t``/``xs_t`` (8, Mp) /
     (8, Np) zero-padded transposes whose lane counts are multiples of the
@@ -202,12 +206,13 @@ def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
     n_i, n_j = mp // tile_m, np_ // tile_n
     inv2s2 = scal[0]
 
-    if cull:
-        ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
-        xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
-        mask = _active_mask(ymin, ymax, xmin, xmax, inv2s2)   # (n_i, n_j)
-    else:
-        mask = jnp.ones((n_i, n_j), jnp.float32)
+    if mask is None:
+        if cull:
+            ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
+            xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
+            mask = _active_mask(ymin, ymax, xmin, xmax, inv2s2)  # (n_i, n_j)
+        else:
+            mask = jnp.ones((n_i, n_j), jnp.float32)
     # Bit-pack row-major into int32 words for SMEM scalar reads in-kernel
     # (summing disjoint bit patterns == bitwise OR; bit 31 wraps negative,
     # which the arithmetic-shift extract in _tile_active handles).
@@ -553,16 +558,29 @@ def estep_auto(
         perm_x = morton_order(target)
         ys = t_source[perm_y]
         xs = target[perm_x]
-    # Active fraction (cheap: O((M+N)) + O(nb^2)).
+    dim = t_source.shape[1]
+    # Tile sizes / padding exactly as the kernel will see them (shared with
+    # fused_core — padded once, bounds computed once).
+    tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    tile_n = min(tile_n, ((n + 127) // 128) * 128)
     ys_t, y2 = _pad_transpose(ys, tile_m)
     xs_t, x2 = _pad_transpose(xs, tile_n)
     ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
     xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
-    frac = jnp.mean(_active_mask(ymin, ymax, xmin, xmax, 0.5 / sigma2))
+    mask = _active_mask(ymin, ymax, xmin, xmax, 0.5 / sigma2)
+    frac = jnp.mean(mask)
 
     def culled(_):
-        mom = estep_fused(ys, xs, sigma2, w, tile_m=tile_m, tile_n=tile_n,
-                          interpret=interpret, cull=True)
+        c = outlier_constant(sigma2, w, m, n, dim)
+        scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
+        pt1p, p1p, pxp, xx = fused_core(
+            scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
+            interpret=interpret, cull=True, mask=mask)
+        pt1s = pt1p[0, :n]
+        p1s = p1p[0, :m]
+        pxs = pxp[:dim, :m].T
+        mom = EstepMoments(pt1s, p1s, pxs, jnp.sum(p1s),
+                           xx[0, 0].astype(t_source.dtype))
         if assume_sorted:
             return mom
         pt1 = jnp.zeros((n,), mom.pt1.dtype).at[perm_x].set(mom.pt1)

@@ -362,16 +362,19 @@ def registration_cpd_sharded(
     use_culled = kwargs.pop("use_culled", None)
     culled_interpret = bool(kwargs.pop("culled_interpret", False))
     culled_tile = int(kwargs.pop("culled_tile", 1024))
-    src_np = np.asarray(interop.as_points(source, dtype=config.dtype))
-    dim = src_np.shape[1]
+    # Keep device arrays on device (np.asarray on a device array is a
+    # host round trip — CLAUDE.md); only the culled branch needs host data
+    # for its one-time Morton sort.
+    src = interop.as_points(source, dtype=config.dtype)
+    tgt = interop.as_points(target, dtype=config.dtype)
+    dim = src.shape[1]
 
     if tf_type_name in ("rigid", "affine"):
-        tgt_np = np.asarray(interop.as_points(target, dtype=config.dtype))
         if use_culled is None:
             use_culled = (
                 jax.default_backend() == "tpu"
                 and config.use_culled_estep
-                and src_np.shape[0] * tgt_np.shape[0]
+                and src.shape[0] * tgt.shape[0]
                 >= config.culled_estep_min_pairs)
         if use_culled:
             # One-time host Morton sort: each contiguous target shard (and
@@ -379,11 +382,13 @@ def registration_cpd_sharded(
             # tile culling fires. Rigid/affine M-steps are order-invariant.
             from ..ops.spatial import morton_order_np
 
-            src_np = src_np[morton_order_np(src_np)]
-            tgt_np = tgt_np[morton_order_np(tgt_np)]
-        src = jnp.asarray(src_np)
+            src = np.asarray(src)
+            tgt = np.asarray(tgt)
+            src = src[morton_order_np(src)]
+            tgt = tgt[morton_order_np(tgt)]
+        src = jnp.asarray(src)
         # Transposed fast path: lane-sharded target, single jit dispatch.
-        xs_t_sh, mask_sh, n = shard_points_t(tgt_np, mesh, axis)
+        xs_t_sh, mask_sh, n = shard_points_t(tgt, mesh, axis)
         lin, t, scale, sigma2, q = _run_em_sharded_t(
             src, xs_t_sh, mask_sh, kind=tf_type_name, w=float(w),
             maxiter=int(maxiter), tol=float(tol),
@@ -397,10 +402,10 @@ def registration_cpd_sharded(
             transf = tf.AffineTransformation(lin, t)
         return cpd_mod.MstepResult(transf, sigma2, q)
 
-    src = jnp.asarray(src_np)
+    src = jnp.asarray(src)
 
     target_sh, mask_sh, n = shard_points(target, mesh, axis)
-    sigma2 = mu.squared_kernel_sum(src, np.asarray(interop.as_points(target, dtype=config.dtype)))
+    sigma2 = mu.squared_kernel_sum(src, tgt)
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2)
 
     if tf_type_name == "nonrigid":

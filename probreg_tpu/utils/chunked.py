@@ -48,18 +48,24 @@ def run_chunked(
         The ``result`` from the last handled iteration (or ``None`` if
         ``maxiter == 0``).
     """
-    chunk = max(1, int(chunk))
+    chunk = max(1, min(int(chunk), int(maxiter) or 1))
     it = 0
     result = None
     while it < maxiter:
-        kk = min(chunk, maxiter - it)
-        state, hist = chunk_fn(state, kk)
+        # Always dispatch the FULL chunk — a shorter tail chunk would be a
+        # fresh jit compile of the whole scanned EM program (every family's
+        # chunk_fn has k static), costing far more than the few surplus
+        # device iterations it avoids (minutes on a degraded TPU tunnel,
+        # CLAUDE.md). handle() simply stops consuming history at maxiter.
+        state, hist = chunk_fn(state, chunk)
         hist_host = jax.device_get(hist)  # ONE fetch per chunk
-        for j in range(kk):
+        for j in range(chunk):
+            if it + j >= maxiter:
+                return result
             stop, result = handle(it + j, hist_host, j)
             if stop:
                 return result
-        it += kk
+        it += chunk
     return result
 
 

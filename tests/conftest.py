@@ -75,7 +75,9 @@ def _load_fixture_cloud():
     """Downsampled horse fixture (reference tests use data/horse.ply @ 0.01)."""
     from probreg_tpu.utils import io as pio
 
-    ref = "/root/reference/data/horse.ply"
+    ref = os.path.join(
+        os.environ.get("PROBREG_REF_ROOT", "/root/reference"),
+        "data", "horse.ply")
     if os.path.exists(ref):
         pts = pio.read_ply(ref)
         return pio.voxel_down_sample(pts, 0.01)

@@ -187,3 +187,27 @@ def test_rigid_large_pairs_fallback_matches_fast(horse_cloud):
     np.testing.assert_allclose(
         np.asarray(res_stream.transformation.rot),
         np.asarray(res_fast.transformation.rot), atol=1e-4)
+
+
+def test_nonrigid_sigma2_floor_no_nan():
+    """Regression: on clean 1:1 clouds the nonrigid sigma2 estimate hits
+    f32 cancellation scale and used to come out <= 0, NaN-ing the next
+    E-step (found round 2; the rigid path always had the floor)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    m = 1000
+    theta = rng.uniform(0, np.pi, m)
+    phi = rng.uniform(0, 2 * np.pi, m)
+    r = 1.0 + 0.2 * np.sin(3 * theta) * np.cos(2 * phi)
+    src = np.stack([r * np.sin(theta) * np.cos(phi),
+                    r * np.sin(theta) * np.sin(phi),
+                    r * np.cos(theta)], 1).astype(np.float32)
+    tgt = (src + 0.08 * np.sin(1.2 * src[:, ::-1])).astype(np.float32)
+    res = cpd.registration_cpd(src, tgt, "nonrigid", maxiter=60, tol=1e-9,
+                               beta=2.0, lmd=2.0)
+    moved = np.asarray(res.transformation.transform(src))
+    after = float(np.sqrt(np.mean(np.sum((moved - tgt) ** 2, 1))))
+    before = float(np.sqrt(np.mean(np.sum((src - tgt) ** 2, 1))))
+    assert np.isfinite(after)
+    assert after < 0.2 * before, (before, after)
