@@ -320,6 +320,68 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
     return MstepResult(tf.RigidTransformation(rot, t), sigma2, q)
 
 
+@partial(jax.jit, static_argnames=("objective_type", "update_sigma2", "w",
+                                   "min_sigma2", "sigma2_decay",
+                                   "auto_sigma2"))
+def _run_em_rigid_streaming(source, target, normals, rot0, t0, sigma2_0, *,
+                            objective_type, update_sigma2, w, maxiter, tol,
+                            min_sigma2, sigma2_decay=1.0, auto_sigma2=False):
+    """Whole-EM rigid FilterReg for LARGE clouds: one jitted while_loop
+    whose E-step streams through gto.filterreg_moments (which routes to the
+    tile-culled Gauss-transform kernel on TPU) — never materializing the
+    (M, N) kernel matrix that caps _run_em_rigid at
+    config.transposed_em_max_pairs. Row-major layout: the per-iteration
+    (M, 3) relayout cost (~0.25 ms) is noise against a >= 100 ms E-step at
+    the sizes this path serves.
+    """
+    from .ops import gausstransform as gto
+    from .ops import pairwise as _pw
+
+    m, dim = source.shape
+    n = target.shape[0]
+    if auto_sigma2:
+        if objective_type == "pt2pl":
+            sigma2_0 = jnp.maximum(
+                _pw.point_spacing_sq(target), min_sigma2 * 0.01)
+        else:
+            sigma2_0 = jnp.maximum(
+                mu.squared_kernel_sum(source, target), min_sigma2)
+
+    def step(rot, t, sigma2):
+        t_src = source @ rot.T + t
+        sigma = jnp.sqrt(sigma2)
+        m0, m1, m2, nx = gto.filterreg_moments(
+            t_src / sigma, target / sigma, target,
+            normals if objective_type == "pt2pl" else None,
+            need_m2=bool(update_sigma2))
+        c = _outlier_c(sigma2, w, m, n, dim)
+        if objective_type == "pt2pt":
+            return rigid_mstep_pt2pt(t_src, m0, m1, m2, rot, t, sigma2, c)
+        return rigid_mstep_pt2pl(t_src, m0, m1, m2, nx, rot, t, sigma2, c)
+
+    def cond(state):
+        _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    def body(state):
+        rot, t, sigma2, q, _, i = state
+        rot, t, s2, q_new = step(rot, t, sigma2)
+        if not update_sigma2:
+            s2 = sigma2 * sigma2_decay
+        s2 = jnp.maximum(s2, min_sigma2)
+        return (rot, t, s2, q_new, q, i + 1)
+
+    state = (jnp.asarray(rot0, source.dtype),
+             jnp.asarray(t0, source.dtype),
+             jnp.asarray(sigma2_0, source.dtype),
+             jnp.asarray(jnp.inf, source.dtype),
+             jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
+    rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return MstepResult(tf.RigidTransformation(rot, t), sigma2, q)
+
+
 # --------------------------------------------------------------------------
 # OO surface (drop-in for the reference classes)
 # --------------------------------------------------------------------------
@@ -529,6 +591,37 @@ class FilterReg(abc.ABC):
             return self._registration_chunked(
                 target, w, objective_type, maxiter, tol, min_sigma2,
                 sigma2_decay, int(callback_chunk))
+
+        streaming = (
+            isinstance(self, RigidFilterReg)
+            and not self._callbacks
+            and self._estep_method == "dense"
+            and _is_identity_feature(feature_fn)
+            # Only the large regime _run_em_rigid cannot serve: the
+            # streaming runner never materializes the (M, N) kernel, and
+            # on TPU its moments route to the tile-culled Gauss transform.
+            and self._source.shape[0] * target.shape[0]
+            > _config.config.transposed_em_max_pairs
+        )
+        if streaming:
+            normals = self._target_normals if objective_type == "pt2pl" \
+                else None
+            if objective_type == "pt2pl" and normals is None:
+                raise ValueError("pt2pl requires target_normals.")
+            auto = self._sigma2 is None
+            res = _run_em_rigid_streaming(
+                self._source, target, normals,
+                np.asarray(self._tf_result.rot, np.float32),
+                np.asarray(self._tf_result.t, np.float32),
+                np.float32(0.0 if auto else self._sigma2),
+                objective_type=objective_type,
+                update_sigma2=self._update_sigma2, w=float(w),
+                maxiter=int(maxiter), tol=float(tol),
+                min_sigma2=float(min_sigma2),
+                sigma2_decay=float(sigma2_decay), auto_sigma2=auto)
+            self._tf_result = res.transformation
+            self._sigma2 = float(res.sigma2)
+            return res
 
         ftarget = feature_fn(target)
         if self._sigma2 is None:

@@ -201,3 +201,31 @@ def test_filterreg_fpfh_feature_estep(horse_cloud):
     # Graceful degradation: the 33-D feature E-step may lose a little
     # accuracy vs the dense geometric E-step, but not blow up.
     assert err_f <= max(5.0 * err_d, 5e-2)
+
+
+def test_streaming_runner_matches_fast_path(horse_cloud):
+    """The large-N streaming whole-EM runner (moments via
+    gto.filterreg_moments, no (M, N) materialization) must match the
+    VMEM-budgeted fast path on the same inputs."""
+    from probreg_tpu.config import config
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::2]
+    ang = np.deg2rad([5.0, -3.0, 7.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = src @ rot.T
+
+    res_fast = filterreg.registration_filterreg(src, tgt, maxiter=40,
+                                                tol=1e-9)
+    orig = config.transposed_em_max_pairs
+    config.transposed_em_max_pairs = 0  # force the streaming runner
+    try:
+        res_str = filterreg.registration_filterreg(src, tgt, maxiter=40,
+                                                   tol=1e-9)
+    finally:
+        config.transposed_em_max_pairs = orig
+    np.testing.assert_allclose(np.asarray(res_str.transformation.rot),
+                               np.asarray(res_fast.transformation.rot),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res_str.transformation.t),
+                               np.asarray(res_fast.transformation.t),
+                               atol=5e-4)
