@@ -241,9 +241,12 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
             sigma2_new)
 
 
-@partial(jax.jit, static_argnames=("w", "block"))
+@partial(jax.jit, static_argnames=("w", "block", "use_culled",
+                                   "culled_interpret"))
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
-              block=None, smask=None, tmask=None):
+              block=None, smask=None, tmask=None, use_culled=False,
+              culled_interpret=False):
+    use_culled = use_culled and smask is None and tmask is None
     """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.
 
     (M, 3)-layout ops inside TPU loops cost ~0.25 ms each in lane relayouts
@@ -329,7 +332,21 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
             -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
         if masked:
             row = row * smask
-        if blocked:
+        if use_culled:
+            # Tile-culled E-step (ops/estep_pallas.bcpd_estep_culled):
+            # rowlog folds the alpha / Sigma-diag / normalizer factors into
+            # the exponent; the caller Morton-sorted both clouds.
+            from .ops import estep_pallas as _ep
+
+            rowlog = jnp.where(
+                row > 0.0,
+                jnp.log(jnp.maximum(row, 1e-38))
+                - dim * 0.5 * jnp.log(2.0 * jnp.pi * sigma2),
+                -1e30)
+            _, mom, minrow = _ep.bcpd_estep_culled(
+                t_src_t.T, target, rowlog, v_chan, w / n_eff, sigma2,
+                interpret=culled_interpret)
+        elif blocked:
             def eblk(carry, blk):
                 mom_acc, min_acc = carry
                 xs_b, v_b, mask_b = blk
@@ -402,7 +419,15 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
     y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
     row1 = jnp.ones((m,), source.dtype)
-    if blocked:
+    if use_culled:
+        from .ops import estep_pallas as _ep
+
+        rowlog1 = jnp.zeros((m,), source.dtype) \
+            - dim * 0.5 * jnp.log(2.0 * jnp.pi * sigma2_0)
+        _, _, minrow = _ep.bcpd_estep_culled(
+            t_src_t.T, target, rowlog1, v_chan, w / n_eff, sigma2_0,
+            interpret=culled_interpret)
+    elif blocked:
         def dblk(carry, blk):
             xs_b, v_b, mask_b = blk
             _, dmin = _estep_cols(t_src_t, y2, row1, sigma2_0, xs_b, v_b,
@@ -534,15 +559,44 @@ class CombinedBCPD(BayesianCoherentPointDrift):
         return MstepResult(*out)
 
     def _registration_jit(self, target, w, maxiter, tol):
-        self._initialize(target)
-        sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
-        transf, *_ = _run_bcpd(
-            self._source, target, self.gmat,
-            jnp.asarray(self.lmd, self._source.dtype),
-            jnp.asarray(self.k, self._source.dtype),
-            jnp.asarray(sigma2, self._source.dtype),
-            w=float(w), maxiter=int(maxiter), tol=float(tol),
-            block=int(_config.config.estep_chunk))
+        m = int(self._source.shape[0])
+        n = int(jnp.shape(target)[0])
+        use_culled = (
+            jax.default_backend() == "tpu"
+            and _config.config.use_culled_estep
+            and m * n >= _config.config.culled_estep_min_pairs
+            and self.rank is not None)  # dense gmat dominates otherwise
+        perm_s = None
+        orig_source = self._source
+        if use_culled:
+            # One-time Morton sort (ops/spatial.py) so tile culling fires;
+            # the IMQ Gram / Nystrom factors are built from the SORTED
+            # source below, and v_hat rows are unsorted before returning.
+            from .ops.spatial import morton_order_np
+
+            src_np = np.asarray(self._source)
+            tgt_np = np.asarray(target)
+            perm_s = morton_order_np(src_np)
+            self._source = jnp.asarray(src_np[perm_s])
+            target = jnp.asarray(tgt_np[morton_order_np(tgt_np)])
+        try:
+            self._initialize(target)
+            sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
+            transf, *_ = _run_bcpd(
+                self._source, target, self.gmat,
+                jnp.asarray(self.lmd, self._source.dtype),
+                jnp.asarray(self.k, self._source.dtype),
+                jnp.asarray(sigma2, self._source.dtype),
+                w=float(w), maxiter=int(maxiter), tol=float(tol),
+                block=int(_config.config.estep_chunk),
+                use_culled=bool(use_culled))
+        finally:
+            self._source = orig_source
+        if perm_s is not None:
+            # v rows back to the caller's source order.
+            rt = transf.rigid_trans
+            v = jnp.zeros_like(transf.v).at[perm_s].set(transf.v)
+            transf = tf.CombinedTransformation(rt.rot, rt.t, rt.scale, v)
         return transf
 
     def _registration_loop(self, target, w, maxiter, tol, callback_chunk=1):

@@ -332,6 +332,203 @@ def estep_fused(
 
 
 # --------------------------------------------------------------------------
+# Row-weighted culled E-step (BCPD)
+# --------------------------------------------------------------------------
+#
+# BCPD's posterior is pmat_mj = exp(rowlog_m - d2_mj/2s2) with
+# rowlog_m = ln((1-w) alpha_m e^{-s^2 Sigma_mm D / 2s2} / (2 pi s2)^{D/2})
+# and den_j = w/N + colsum (reference bcpd.py:53-72) — the CPD kernel with
+# a per-source-row exponent offset and c := w/N. The cull bound gains the
+# tile's max rowlog; the moment pass additionally tracks each source row's
+# min d2 over ACTIVE tiles, which the caller combines with the culled
+# tiles' box-gap lower bounds to drive the NN-RMSE convergence criterion.
+
+def _wdist_tile(ys_t, y2, xs_t, x2, inv2s2, rowlog):
+    xy = jax.lax.dot_general(
+        ys_t, xs_t,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(y2.reshape(-1, 1) + x2.reshape(1, -1) - 2.0 * xy, 0.0)
+    return jnp.exp(rowlog.reshape(-1, 1) - d2 * inv2s2), d2
+
+
+def _wden_kernel(scal_ref, mbits_ref, ys_ref, y2_ref, rl_ref, xs_ref,
+                 x2_ref, den_ref, nud_ref):
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+    n_i = pl.num_programs(1)
+    n_j = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(_tile_active(mbits_ref, i * n_j + j))
+    def _():
+        g, _ = _wdist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
+                           scal_ref[0], rl_ref[:])
+        den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        den_raw = den_ref[:]
+        den = den_raw + scal_ref[1]                  # c = w / n_eff
+        den = jnp.where(den == 0.0, scal_ref[2], den)  # eps
+        nud_ref[:] = den_raw / den
+        den_ref[:] = den
+
+
+def _wmoment_kernel(scal_ref, mbits_ref, ys_ref, y2_ref, rl_ref, xs_ref,
+                    x2_ref, v_ref, den_ref, mom_ref, dmin_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        mom_ref[:] = jnp.zeros_like(mom_ref)
+        dmin_ref[:] = jnp.full_like(dmin_ref, _BIG)
+
+    @pl.when(_tile_active(mbits_ref, i * n_j + j))
+    def _():
+        g, d2 = _wdist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
+                            scal_ref[0], rl_ref[:])
+        p = g / den_ref[:]
+        mom_ref[:] += jax.lax.dot_general(
+            v_ref[:], p,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, TM)
+        # Mask padded target columns out of the row minima (their |x|^2 is
+        # _BIG, which d2 inherits, so no masking term is needed).
+        dmin_ref[:] = jnp.minimum(
+            dmin_ref[:], jnp.min(d2, axis=1, keepdims=True).reshape(1, -1))
+
+
+def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
+                      tile_m: int = 1024, tile_n: int = 1024,
+                      interpret: bool = False):
+    """Tile-culled BCPD E-step on Morton-sorted inputs (caller sorts).
+
+    Args:
+        t_source: (M, D) transformed source (sorted order).
+        target: (N, D) target (sorted order).
+        rowlog: (M,) per-source-row log weight (see module note).
+        v_t: (C<=8, N) channel matrix whose per-source moments are wanted
+            (BCPD uses [x; 1; |x|^2]).
+        w_over_n: the outlier constant w / n_eff.
+        sigma2: Gaussian variance.
+
+    Returns (nu_d (N,), mom (C, M), dmin (M,)) where dmin is each source
+    row's min squared distance over ACTIVE tiles, min'd with the box-gap
+    lower bound of its culled tiles — a tight lower bound on the true NN
+    distance (exact whenever the NN lies in an active tile, which it does
+    unless the row's entire neighborhood is culled).
+    """
+    t_source = jnp.asarray(t_source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    m, dim = t_source.shape
+    n = target.shape[0]
+    c = v_t.shape[0]
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    inv2s2 = 0.5 / sigma2
+    tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    tile_n = min(tile_n, ((n + 127) // 128) * 128)
+
+    ys_t, y2 = _pad_transpose(t_source, tile_m)
+    xs_t, x2 = _pad_transpose(target, tile_n)
+    mp, np_ = ys_t.shape[1], xs_t.shape[1]
+    n_i, n_j = mp // tile_m, np_ // tile_n
+    # Padded source rows: rowlog -inf-ish so their g underflows to 0
+    # regardless of the _BIG |y|^2 marker (belt and braces).
+    rl = jnp.full((1, mp), -1e30, jnp.float32).at[0, :m].set(
+        jnp.asarray(rowlog, jnp.float32))
+    vt = jnp.zeros((_SUBLANES, np_), jnp.float32).at[:c, :n].set(
+        jnp.asarray(v_t, jnp.float32))
+
+    # Cull bound with the per-source-tile max rowlog folded in:
+    # tile dead iff max_rowlog - lb2 * inv2s2 < -_CUT.
+    ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
+    xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
+    gap = jnp.maximum(
+        jnp.maximum(ymin[:, :, None] - xmax[:, None, :],
+                    xmin[:, None, :] - ymax[:, :, None]), 0.0)
+    lb2 = jnp.sum(gap * gap, axis=0)                       # (n_i, n_j)
+    rlmax = jnp.max(rl.reshape(1, n_i, tile_m), axis=2).reshape(n_i, 1)
+    mask = (rlmax - lb2 * inv2s2 >= -_CUT).astype(jnp.float32)
+    flat = mask.reshape(-1).astype(jnp.int32)
+    pad_bits = (-flat.shape[0]) % 32
+    if pad_bits:
+        flat = jnp.concatenate([flat, jnp.ones((pad_bits,), jnp.int32)])
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    mbits = jnp.sum(flat.reshape(-1, 32) << shifts[None, :],
+                    axis=1, dtype=jnp.int32)
+
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
+    scal = jnp.stack([inv2s2, jnp.asarray(w_over_n, jnp.float32),
+                      eps]).astype(jnp.float32)
+
+    den, nud = pl.pallas_call(
+        _wden_kernel,
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SUBLANES, tile_m), lambda j, i: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda j, i: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda j, i: (0, i)),
+            pl.BlockSpec((_SUBLANES, tile_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, mbits, ys_t, y2, rl, xs_t, x2)
+
+    mom, dminp = pl.pallas_call(
+        _wmoment_kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SUBLANES, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((_SUBLANES, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((_SUBLANES, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_SUBLANES, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, mbits, ys_t, y2, rl, xs_t, x2, vt, den)
+
+    # Fold culled tiles' box-gap lower bounds into the row minima: exact
+    # whenever the NN lies in an active tile; a tight lower bound otherwise.
+    lb2_culled = jnp.where(mask > 0, jnp.inf, lb2)         # (n_i, n_j)
+    lb2_row_tile = jnp.min(lb2_culled, axis=1)             # (n_i,)
+    dmin_tiles = jnp.repeat(lb2_row_tile, tile_m)[:mp]
+    dmin = jnp.minimum(dminp[0, :m], dmin_tiles[:m])
+    return nud[0, :n], mom[:c, :m], dmin
+
+
+# --------------------------------------------------------------------------
 # Culled Gauss transform (single pass)
 # --------------------------------------------------------------------------
 #

@@ -171,6 +171,44 @@ def test_gauss_transform_culled_matches_dense(h):
     np.testing.assert_allclose(out1 / scale, ref1 / scale, atol=5e-6)
 
 
+def test_bcpd_culled_vi_matches_dense():
+    """The tile-culled BCPD E-step (row-weighted kernels) drives the VI
+    loop to the same trajectory as the dense/streaming E-step."""
+    from probreg_tpu import bcpd as bm
+    from probreg_tpu.ops import lowrank as lr
+    from probreg_tpu.ops.spatial import morton_order_np
+    from probreg_tpu.utils import math_utils as mu
+    from probreg_tpu.utils import se3_op
+
+    rng = np.random.default_rng(2)
+    m = 800
+    src = rng.uniform(-1, 1, (m, 3)).astype(np.float32)
+    rot = np.asarray(se3_op.euler2mat(*np.deg2rad([8.0, -4.0, 10.0])),
+                     np.float32)
+    tgt = (src @ rot.T).astype(np.float32)
+    cen = np.concatenate([src, tgt]).mean(0)
+    sc = float(np.sqrt(mu.squared_kernel_sum(
+        jnp.asarray(src - cen), jnp.asarray(tgt - cen))))
+    s0, t0 = (src - cen) / sc, (tgt - cen) / sc
+    s = s0[morton_order_np(s0)].astype(np.float32)
+    t = t0[morton_order_np(t0)].astype(np.float32)
+
+    gmat = tuple(lr.lowrank_imq(jnp.asarray(s), 1.0, 50))
+    sigma2_0 = mu.squared_kernel_sum(jnp.asarray(s), jnp.asarray(t))
+    args = (jnp.asarray(s), jnp.asarray(t), gmat,
+            jnp.asarray(10.0, jnp.float32), jnp.asarray(1e20, jnp.float32),
+            jnp.asarray(sigma2_0, jnp.float32))
+    kw = dict(w=0.0, maxiter=40, tol=1e-7, block=4096)
+    tr_d, *_, rmse_d = bm._run_bcpd(*args, **kw)
+    tr_c, *_, rmse_c = bm._run_bcpd(*args, **kw, use_culled=True,
+                                    culled_interpret=True)
+    np.testing.assert_allclose(float(rmse_c), float(rmse_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tr_c.rigid_trans.rot),
+                               np.asarray(tr_d.rigid_trans.rot), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tr_c.v), np.asarray(tr_d.v),
+                               atol=1e-4)
+
+
 def test_morton_order_np_matches_jnp():
     rng = np.random.default_rng(9)
     pts = rng.uniform(-1, 2, (333, 3)).astype(np.float32)
