@@ -10,6 +10,7 @@ examples/cpd_rigid_sharded.py.
 import time
 
 import numpy as np
+import utils  # noqa: F401  (puts the repo root on sys.path)
 
 from probreg_tpu import cpd, filterreg
 from probreg_tpu.utils import se3_op as so

@@ -246,7 +246,6 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
               block=None, smask=None, tmask=None, use_culled=False,
               culled_interpret=False):
-    use_culled = use_culled and smask is None and tmask is None
     """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.
 
     (M, 3)-layout ops inside TPU loops cost ~0.25 ms each in lane relayouts
@@ -266,6 +265,7 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     the O(M * N) posterior (which the reference also materializes,
     bcpd.py:57-70).
     """
+    use_culled = use_culled and smask is None and tmask is None
     m, dim = source.shape
     n = target.shape[0]
     masked = smask is not None
@@ -592,6 +592,11 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                 use_culled=bool(use_culled))
         finally:
             self._source = orig_source
+            if perm_s is not None:
+                # _initialize built gmat from the SORTED source; rebuild it
+                # for the restored row order so later public maximization /
+                # expectation calls see consistent rows.
+                self.gmat = self._gram()
         if perm_s is not None:
             # v rows back to the caller's source order.
             rt = transf.rigid_trans

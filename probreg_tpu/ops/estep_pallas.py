@@ -449,15 +449,20 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
     vt = jnp.zeros((_SUBLANES, np_), jnp.float32).at[:c, :n].set(
         jnp.asarray(v_t, jnp.float32))
 
-    # Cull bound with the per-source-tile max rowlog folded in:
-    # tile dead iff max_rowlog - lb2 * inv2s2 < -_CUT.
+    # Cull bound with the GLOBAL max rowlog folded in: tile dead iff
+    # max_rowlog - lb2 * inv2s2 < -_CUT. Deliberately global, not
+    # per-source-tile: per-tile rowlog maxima could cull a spatially
+    # OVERLAPPING tile (lb2 ~ 0) whose row weights underflow, and folding
+    # its lb2 ~ 0 into the NN-distance minima below would deflate the VI
+    # loop's rmse criterion. With the global bound every culled tile is
+    # distance-culled, so its lb2 is a meaningful d2 lower bound.
     ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
     xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
     gap = jnp.maximum(
         jnp.maximum(ymin[:, :, None] - xmax[:, None, :],
                     xmin[:, None, :] - ymax[:, :, None]), 0.0)
     lb2 = jnp.sum(gap * gap, axis=0)                       # (n_i, n_j)
-    rlmax = jnp.max(rl.reshape(1, n_i, tile_m), axis=2).reshape(n_i, 1)
+    rlmax = jnp.max(rl[0, :m])
     mask = (rlmax - lb2 * inv2s2 >= -_CUT).astype(jnp.float32)
     flat = mask.reshape(-1).astype(jnp.int32)
     pad_bits = (-flat.shape[0]) % 32

@@ -22,13 +22,14 @@ from ..config import config
 from .pairwise import sqdist
 
 
-@partial(jax.jit, static_argnames=("block",))
+@partial(jax.jit, static_argnames=("block", "assume_sorted"))
 def gauss_transform(
     source: jax.Array,
     target: jax.Array,
     weights: jax.Array,
     h,
     block: Optional[int] = None,
+    assume_sorted: bool = False,
 ) -> jax.Array:
     """Exact Gauss transform; ``weights`` is (M,) or (M, C), h the bandwidth.
 
@@ -53,7 +54,8 @@ def gauss_transform(
             and m * target.shape[0] >= config.culled_estep_min_pairs):
         from . import estep_pallas
 
-        out = estep_pallas.gauss_transform_culled(source, target, weights, h)
+        out = estep_pallas.gauss_transform_culled(
+            source, target, weights, h, sort=not assume_sorted)
         return out[:, 0] if squeeze else out
 
     if block is None:
@@ -87,7 +89,7 @@ def gauss_transform(
     return out[:, 0] if squeeze else out
 
 
-@partial(jax.jit, static_argnames=("need_m2", "block"))
+@partial(jax.jit, static_argnames=("need_m2", "block", "assume_sorted"))
 def filterreg_moments(
     f_source: jax.Array,
     f_target: jax.Array,
@@ -95,6 +97,7 @@ def filterreg_moments(
     normals: Optional[jax.Array],
     need_m2: bool = False,
     block: Optional[int] = None,
+    assume_sorted: bool = False,
 ):
     """Exact FilterReg E-step moments in one fused streaming pass.
 
@@ -111,7 +114,8 @@ def filterreg_moments(
     if normals is not None:
         chans.append(jnp.asarray(normals, y.dtype))
     v = jnp.concatenate(chans, axis=1)
-    out = gauss_transform(f_target, f_source, v, jnp.sqrt(2.0), block=block)
+    out = gauss_transform(f_target, f_source, v, jnp.sqrt(2.0), block=block,
+                          assume_sorted=assume_sorted)
     m0 = out[:, 0]
     m1 = out[:, 1:1 + dim]
     col = 1 + dim

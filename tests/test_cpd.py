@@ -212,5 +212,8 @@ def test_nonrigid_sigma2_floor_no_nan():
     assert np.isfinite(after)
     # Recovery quality in this chaotic boundary regime is backend-dependent
     # (CPU converges to 0.5% residual; TPU's different f32 solve rounding
-    # lands elsewhere) — the regression gate is finiteness + non-divergence.
-    assert after < before, (before, after)
+    # lands at ~90%) — keep the tight regression gate where it reproduces.
+    import jax as _jax
+
+    bound = 0.2 if _jax.default_backend() == "cpu" else 1.0
+    assert after < bound * before, (before, after)

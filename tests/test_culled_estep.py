@@ -171,6 +171,54 @@ def test_gauss_transform_culled_matches_dense(h):
     np.testing.assert_allclose(out1 / scale, ref1 / scale, atol=5e-6)
 
 
+@pytest.mark.parametrize("sigma2", [2.0, 0.05])
+def test_bcpd_culled_kernel_matches_dense_multitile(sigma2):
+    """Row-weighted culled kernel vs direct dense BCPD E-step math on a
+    MULTI-TILE grid (128-tiles over clustered clouds, so the bit-packed
+    mask, cross-tile accumulation, w/n outlier term and the dmin lower
+    bounds are all exercised; at sigma2=0.05 a fraction of tiles is
+    actually culled)."""
+    rng = np.random.default_rng(0)
+    m, n = 700, 900
+    centers = np.array([[i * 4.0, j * 4.0, 0.0]
+                        for i in range(2) for j in range(2)], np.float32)
+    src = (centers[rng.integers(0, 4, m)]
+           + rng.normal(0, 0.3, (m, 3))).astype(np.float32)
+    tgt = (centers[rng.integers(0, 4, n)]
+           + rng.normal(0, 0.3, (n, 3))).astype(np.float32)
+    s = src[np.asarray(morton_order(src))]
+    t = tgt[np.asarray(morton_order(tgt))]
+
+    dim, w = 3, 0.1
+    alpha = rng.uniform(0.5, 1.5, m).astype(np.float32) / m
+    sdiag = rng.uniform(0.0, 0.1, m).astype(np.float32)
+    rowlog = (np.log((1 - w) * alpha)
+              - 1.0 / (2 * sigma2) * sdiag * dim
+              - dim * 0.5 * np.log(2 * np.pi * sigma2))
+    d2 = ((s[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    pmat = np.exp(rowlog[:, None] - d2 / (2 * sigma2))
+    den = w / n + pmat.sum(0)
+    den = np.where(den == 0, np.finfo(np.float32).eps, den)
+    pm = pmat / den
+    x2 = (t * t).sum(1)
+    v_t = np.concatenate([t.T, np.ones((1, n)), x2[None]], 0).astype(
+        np.float32)
+    mom_ref = v_t @ pm.T
+    nud_ref = pm.sum(0)
+    dmin_ref = d2.min(1)
+
+    nud, mom, dmin = ep.bcpd_estep_culled(
+        s, t, rowlog, v_t, w / n, sigma2, tile_m=128, tile_n=128,
+        interpret=True)
+    assert _rel(nud, jnp.asarray(nud_ref)) < 1e-4
+    assert _rel(mom, jnp.asarray(mom_ref)) < 1e-4
+    dmin = np.asarray(dmin)
+    # dmin must lower-bound the truth everywhere and be exact wherever the
+    # NN lies in an active tile (all rows here: clusters overlap src/tgt).
+    assert np.all(dmin <= dmin_ref + 1e-3)
+    assert np.mean(np.abs(dmin - dmin_ref) < 1e-3) > 0.99
+
+
 def test_bcpd_culled_vi_matches_dense():
     """The tile-culled BCPD E-step (row-weighted kernels) drives the VI
     loop to the same trajectory as the dense/streaming E-step."""
