@@ -257,6 +257,24 @@ def test_bcpd_culled_vi_matches_dense():
                                atol=1e-4)
 
 
+def test_gauss_transform_culled_assume_sorted():
+    """sort=False trusts the caller's Morton order (the in-while-loop mode
+    of the streaming FilterReg runner) and must match the dense transform
+    on those sorted inputs."""
+    from probreg_tpu.ops.gausstransform import gauss_transform
+
+    src, tgt = _blob_clouds(600, 500, seed=17)
+    s = src[np.asarray(morton_order(src))]
+    t = tgt[np.asarray(morton_order(tgt))]
+    rng = np.random.default_rng(6)
+    w = rng.uniform(0.1, 1.0, (600, 4)).astype(np.float32)
+    ref = np.asarray(gauss_transform(s, t, w, 0.25))
+    out = np.asarray(ep.gauss_transform_culled(s, t, w, 0.25, tile=128,
+                                               interpret=True, sort=False))
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-6)
+
+
 def test_morton_order_np_matches_jnp():
     rng = np.random.default_rng(9)
     pts = rng.uniform(-1, 2, (333, 3)).astype(np.float32)
