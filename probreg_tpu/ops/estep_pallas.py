@@ -176,12 +176,38 @@ def _active_mask(ymin, ymax, xmin, xmax, inv2s2):
     to exactly 0 in f32). Exponent convention matches _dist_tile:
     exp(-d2 * inv2s2), inv2s2 = 0.5 / sigma2.
     """
-    gap = jnp.maximum(
-        jnp.maximum(ymin[:, :, None] - xmax[:, None, :],
-                    xmin[:, None, :] - ymax[:, :, None]),
-        0.0)                                                # (8, nbm, nbn)
-    lb2 = jnp.sum(gap * gap, axis=0)
+    # Per-dimension 2-D outer ops: a (8, nbm, nbn) broadcast costs ~2 s at
+    # 1M points / 512-tiles on TPU (sublane-axis reduce + 122 MB layout);
+    # the unrolled 2-D chain fuses into one (nbm, nbn) pass. Rows beyond
+    # the point dimensionality are all-zero bounds -> zero gap.
+    lb2 = jnp.zeros((ymin.shape[1], xmin.shape[1]), jnp.float32)
+    for d in range(ymin.shape[0]):
+        gap = jnp.maximum(
+            jnp.maximum(ymin[d][:, None] - xmax[d][None, :],
+                        xmin[d][None, :] - ymax[d][:, None]), 0.0)
+        lb2 = lb2 + gap * gap
     return (lb2 * inv2s2 <= _CUT).astype(jnp.float32)
+
+
+
+def _pack_mask_bits(mask):
+    """Bit-pack a 0/1 f32 mask row-major into int32 SMEM words.
+
+    Packing via two exact f32 16-bit dot products (values <= 65535 are
+    exact in f32) instead of a 32-wide int shift/sum: at 1M points the
+    tile grid has ~4M entries and the naive pack materializes a
+    (bits, 32) int32 temporary (~0.5 GB of traffic) every E-step call.
+    """
+    flat = mask.reshape(-1)
+    pad_bits = (-flat.shape[0]) % 32
+    if pad_bits:
+        flat = jnp.concatenate([flat, jnp.ones((pad_bits,), flat.dtype)])
+    halves = flat.reshape(-1, 2, 16)
+    pow2 = (2.0 ** jnp.arange(16, dtype=jnp.float32))
+    words = jnp.einsum("khb,b->kh", halves.astype(jnp.float32), pow2)
+    lo = words[:, 0].astype(jnp.int32)
+    hi = words[:, 1].astype(jnp.int32)
+    return lo | (hi << 16)
 
 
 def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
@@ -213,16 +239,7 @@ def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
             mask = _active_mask(ymin, ymax, xmin, xmax, inv2s2)  # (n_i, n_j)
         else:
             mask = jnp.ones((n_i, n_j), jnp.float32)
-    # Bit-pack row-major into int32 words for SMEM scalar reads in-kernel
-    # (summing disjoint bit patterns == bitwise OR; bit 31 wraps negative,
-    # which the arithmetic-shift extract in _tile_active handles).
-    flat = mask.reshape(-1).astype(jnp.int32)
-    pad_bits = (-flat.shape[0]) % 32
-    if pad_bits:
-        flat = jnp.concatenate([flat, jnp.ones((pad_bits,), jnp.int32)])
-    shifts = jnp.arange(32, dtype=jnp.int32)
-    mbits = jnp.sum(flat.reshape(-1, 32) << shifts[None, :],
-                    axis=1, dtype=jnp.int32)
+    mbits = _pack_mask_bits(mask)
 
     kwargs = dict(interpret=interpret)
 
@@ -458,19 +475,15 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
     # distance-culled, so its lb2 is a meaningful d2 lower bound.
     ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
     xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
-    gap = jnp.maximum(
-        jnp.maximum(ymin[:, :, None] - xmax[:, None, :],
-                    xmin[:, None, :] - ymax[:, :, None]), 0.0)
-    lb2 = jnp.sum(gap * gap, axis=0)                       # (n_i, n_j)
+    lb2 = jnp.zeros((ymin.shape[1], xmin.shape[1]), jnp.float32)
+    for d in range(ymin.shape[0]):  # 2-D outer ops (see _active_mask note)
+        gapd = jnp.maximum(
+            jnp.maximum(ymin[d][:, None] - xmax[d][None, :],
+                        xmin[d][None, :] - ymax[d][:, None]), 0.0)
+        lb2 = lb2 + gapd * gapd                            # (n_i, n_j)
     rlmax = jnp.max(rl[0, :m])
     mask = (rlmax - lb2 * inv2s2 >= -_CUT).astype(jnp.float32)
-    flat = mask.reshape(-1).astype(jnp.int32)
-    pad_bits = (-flat.shape[0]) % 32
-    if pad_bits:
-        flat = jnp.concatenate([flat, jnp.ones((pad_bits,), jnp.int32)])
-    shifts = jnp.arange(32, dtype=jnp.int32)
-    mbits = jnp.sum(flat.reshape(-1, 32) << shifts[None, :],
-                    axis=1, dtype=jnp.int32)
+    mbits = _pack_mask_bits(mask)
 
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
     scal = jnp.stack([inv2s2, jnp.asarray(w_over_n, jnp.float32),
@@ -623,13 +636,7 @@ def gauss_transform_culled(
         mask = _active_mask(qmin, qmax, pmin, pmax, inv)
     else:
         mask = jnp.ones((n_i, n_j), jnp.float32)
-    flat = mask.reshape(-1).astype(jnp.int32)
-    pad_bits = (-flat.shape[0]) % 32
-    if pad_bits:
-        flat = jnp.concatenate([flat, jnp.ones((pad_bits,), jnp.int32)])
-    shifts = jnp.arange(32, dtype=jnp.int32)
-    mbits = jnp.sum(flat.reshape(-1, 32) << shifts[None, :],
-                    axis=1, dtype=jnp.int32)
+    mbits = _pack_mask_bits(mask)
 
     outp = pl.pallas_call(
         _gt_kernel,
@@ -750,6 +757,11 @@ def estep_auto(
     m = t_source.shape[0]
     n = target.shape[0]
     sigma2 = jnp.asarray(sigma2, jnp.float32)
+    if max(m, n) >= (1 << 19) and tile_m == 1024 and tile_n == 1024:
+        # Halved tiles double the tile count and shrink the active
+        # fraction floor (~neighbors/tiles): measured 25% faster at 1M,
+        # sigma2 = point-spacing scale (BENCHMARKS.md).
+        tile_m = tile_n = 512
 
     if assume_sorted:
         ys, xs = t_source, target
