@@ -286,7 +286,8 @@ def _affine_mstep_t(ys_t, p1, px_t, n_p, xx):
 @partial(jax.jit, static_argnames=("kind", "w",
                                    "update_scale", "default_init"))
 def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
-              update_scale=True, default_init=True, smask=None, tmask=None):
+              update_scale=True, default_init=True, smask=None, tmask=None,
+              sigma2_init=None):
     """Whole-EM while_loop in transposed layout (rigid / affine).
 
     Everything — the (D, M) relayout, the sigma2_0 / q0 initialization, the
@@ -296,6 +297,9 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
     ``smask``/``tmask``: optional (M,)/(N,) validity masks (ragged-batch
     padding). Padded rows/columns carry no posterior mass and every
     normalizer uses the true counts — EXACTLY the unpadded registration.
+
+    ``sigma2_init``: warm-start variance override (coarse-to-fine pyramid,
+    pyramid.py); None keeps the closed-form squared_kernel_sum default.
     """
     ys_t = source.T
     xs_t = target.T
@@ -319,6 +323,9 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
     else:
         m_eff, n_eff, kmask = None, n, None
         sigma2_0 = mu.squared_kernel_sum(source, target)
+    if sigma2_init is not None:
+        sigma2_0 = jnp.maximum(
+            jnp.asarray(sigma2_init, source.dtype), _F32_EPS)
     q0 = 1.0 + n_eff * dim * 0.5 * jnp.log(sigma2_0)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
     xs_ext = jnp.concatenate(
@@ -504,13 +511,21 @@ def _affine_step(source, target, transf, sigma2, aux, w,
 # consistent permutation of source/target changes nothing downstream.
 _rigid_step_sorted = partial(_rigid_step, assume_sorted=True)
 _affine_step_sorted = partial(_affine_step, assume_sorted=True)
-# Nonrigid variants (plain + low-rank): the M-step's Gram/Nystrom factors
-# and the returned transformation's control points are all built from the
-# SAME consistently-permuted source (registration() sorts before
-# _initialize), and NonRigidTransformation.transform is invariant to a
-# consistent permutation of (control, W). Constrained CPD stays unsorted:
-# its prior vectors are row-aligned with the caller's source.
-_SORTED_STEPS = {}  # filled after the nonrigid step defs below
+# ONLY rigid/affine qualify for the sorted swap. Nonrigid (dense and
+# low-rank) must NOT be listed here: NonRigidCPD caches its Gram/Nystrom
+# factors in self._tf_obj at set_source time (base _initialize does not
+# rebuild them from a swapped source), and NonRigidTransformation.transform
+# is positional (points + g @ w with g/w rows in EM order) — a Morton-sorted
+# EM would both run against a misaligned Gram and hand the caller a
+# transformation whose displacement rows are scrambled relative to their
+# original source order. Constrained CPD likewise stays unsorted: its prior
+# vectors are row-aligned with the caller's source. At the culled-path scale
+# (M >= ~4k) the nonrigid M-step's M x M solve dominates the E-step anyway,
+# so rigid/affine are also where the culling gain lives.
+_SORTED_STEPS = {
+    _rigid_step: _rigid_step_sorted,
+    _affine_step: _affine_step_sorted,
+}
 
 
 def _nonrigid_step(source, target, transf, sigma2, aux, w,
@@ -548,16 +563,6 @@ def _constrained_lowrank_step(source, target, transf, sigma2, aux, w):
         source, mom, transf.u, transf.lam, aux["lmd"], sigma2,
         d_extra=s2a * aux["p1_tilde"], rhs_extra=rhs_extra)
 
-
-_nonrigid_step_sorted = partial(_nonrigid_step, assume_sorted=True)
-_nonrigid_lowrank_step_sorted = partial(_nonrigid_lowrank_step,
-                                        assume_sorted=True)
-_SORTED_STEPS.update({
-    _rigid_step: _rigid_step_sorted,
-    _affine_step: _affine_step_sorted,
-    _nonrigid_step: _nonrigid_step_sorted,
-    _nonrigid_lowrank_step: _nonrigid_lowrank_step_sorted,
-})
 
 
 @partial(jax.jit, static_argnames=("step_fn", "w"))
@@ -624,12 +629,18 @@ class CoherentPointDrift(abc.ABC):
 
     _STEP: Callable = None  # module-level step function (stable jit identity)
 
-    def __init__(self, source=None, use_cuda: bool = False, use_pallas: Optional[bool] = None):
+    def __init__(self, source=None, use_cuda: bool = False,
+                 use_pallas: Optional[bool] = None,
+                 sigma2_init: Optional[float] = None):
         del use_cuda
         self._source = None if source is None else _as_jnp(source)
         self._tf_type = None
         self._callbacks: List[Callable] = []
         self._use_pallas = use_pallas
+        # Warm-start variance (coarse-to-fine pyramid, pyramid.py): overrides
+        # the squared_kernel_sum sigma2_0 so full-resolution EM starts in the
+        # annealed (tile-culled) regime instead of the dense start regime.
+        self._sigma2_init = sigma2_init
 
     def set_source(self, source):
         self._source = _as_jnp(source)
@@ -676,7 +687,10 @@ class CoherentPointDrift(abc.ABC):
 
     def _initialize(self, target) -> MstepResult:
         dim = self._source.shape[1]
-        sigma2 = mu.squared_kernel_sum(self._source, target)
+        if self._sigma2_init is not None:
+            sigma2 = jnp.asarray(self._sigma2_init, _config.config.dtype)
+        else:
+            sigma2 = mu.squared_kernel_sum(self._source, target)
         q = 1.0 + target.shape[0] * dim * 0.5 * jnp.log(sigma2)
         return MstepResult(self._initial_tf(), sigma2, q)
 
@@ -709,12 +723,11 @@ class CoherentPointDrift(abc.ABC):
                 and source.shape[0] * target.shape[0]
                 >= _config.config.culled_estep_min_pairs):
             # One-time Morton sort enables tile culling in the E-step with
-            # no per-iteration sort (see _rigid_step_sorted note). Must
-            # happen BEFORE _initialize/_step_aux: the nonrigid Gram /
-            # Nystrom factors and initial transform derive from the source
-            # and must share its permutation. Rigid/affine results are
-            # order-free; nonrigid results hold Morton-ordered control
-            # points and W — Transformation.transform is unchanged.
+            # no per-iteration sort (see _rigid_step_sorted note). Only
+            # order-invariant families (rigid/affine) are in _SORTED_STEPS,
+            # so results are unaffected by the permutation. The sort happens
+            # BEFORE _initialize/_step_aux so anything derived from the
+            # source shares its permutation.
             from .ops.spatial import morton_order
 
             source = source[morton_order(source)]
@@ -772,8 +785,9 @@ class RigidCPD(CoherentPointDrift):
 
     def __init__(self, source=None, update_scale: bool = True,
                  tf_init_params: Optional[Dict] = None, use_cuda: bool = False,
-                 use_pallas: Optional[bool] = None, n_starts: int = 1):
-        super().__init__(source, use_cuda, use_pallas)
+                 use_pallas: Optional[bool] = None, n_starts: int = 1,
+                 sigma2_init: Optional[float] = None):
+        super().__init__(source, use_cuda, use_pallas, sigma2_init)
         self._tf_type = tf.RigidTransformation
         self._update_scale = update_scale
         self._tf_init_params = dict(tf_init_params or {})
@@ -816,7 +830,9 @@ class RigidCPD(CoherentPointDrift):
                 update_scale=bool(self._update_scale))
             return MstepResult(tf.RigidTransformation(lin, t, scale),
                                sigma2, q)
-        if (not p and dim == 3
+        s2i = (None if self._sigma2_init is None
+               else jnp.asarray(self._sigma2_init, _config.config.dtype))
+        if (not p and s2i is None and dim == 3
                 and _config.config.use_fused_em
                 and self._use_pallas is not False
                 and m * n <= _config.config.fused_em_max_pairs
@@ -832,7 +848,8 @@ class RigidCPD(CoherentPointDrift):
             lin, t, scale, sigma2, q = _run_em_t(
                 self._source, target,
                 kind="rigid", w=float(w), maxiter=int(maxiter),
-                tol=float(tol), update_scale=bool(self._update_scale))
+                tol=float(tol), update_scale=bool(self._update_scale),
+                sigma2_init=s2i)
         else:
             init = np.concatenate([
                 np.asarray(p.get("rot", np.eye(dim)), np.float32).ravel(),
@@ -842,7 +859,7 @@ class RigidCPD(CoherentPointDrift):
                 self._source, target, init,
                 kind="rigid", w=float(w), maxiter=int(maxiter),
                 tol=float(tol), update_scale=bool(self._update_scale),
-                default_init=False)
+                default_init=False, sigma2_init=s2i)
         return MstepResult(tf.RigidTransformation(lin, t, scale), sigma2, q)
 
 
@@ -852,8 +869,9 @@ class AffineCPD(CoherentPointDrift):
     _STEP = staticmethod(_affine_step)
 
     def __init__(self, source=None, tf_init_params: Optional[Dict] = None,
-                 use_cuda: bool = False, use_pallas: Optional[bool] = None):
-        super().__init__(source, use_cuda, use_pallas)
+                 use_cuda: bool = False, use_pallas: Optional[bool] = None,
+                 sigma2_init: Optional[float] = None):
+        super().__init__(source, use_cuda, use_pallas, sigma2_init)
         self._tf_type = tf.AffineTransformation
         self._tf_init_params = dict(tf_init_params or {})
         self._tf_init_params.pop("xp", None)
@@ -873,7 +891,9 @@ class AffineCPD(CoherentPointDrift):
         m, n = self._source.shape[0], target.shape[0]
         if m * n > _config.config.transposed_em_max_pairs:
             return None  # see RigidCPD._registration_fast
-        if (not p and dim == 3
+        s2i = (None if self._sigma2_init is None
+               else jnp.asarray(self._sigma2_init, _config.config.dtype))
+        if (not p and s2i is None and dim == 3
                 and _config.config.use_fused_em
                 and self._use_pallas is not False
                 and m * n <= _config.config.fused_em_max_pairs
@@ -888,7 +908,7 @@ class AffineCPD(CoherentPointDrift):
             lin, t, _, sigma2, q = _run_em_t(
                 self._source, target,
                 kind="affine", w=float(w), maxiter=int(maxiter),
-                tol=float(tol), update_scale=False)
+                tol=float(tol), update_scale=False, sigma2_init=s2i)
         else:
             init = np.concatenate([
                 np.asarray(p.get("b", np.eye(dim)), np.float32).ravel(),
@@ -897,7 +917,8 @@ class AffineCPD(CoherentPointDrift):
             lin, t, _, sigma2, q = _run_em_t(
                 self._source, target, init,
                 kind="affine", w=float(w), maxiter=int(maxiter),
-                tol=float(tol), update_scale=False, default_init=False)
+                tol=float(tol), update_scale=False, default_init=False,
+                sigma2_init=s2i)
         return MstepResult(tf.AffineTransformation(lin, t), sigma2, q)
 
 

@@ -134,6 +134,7 @@ def registration_icp(
                      _config.config.dtype)
     if callbacks:
         rot, t = rot0, t0
+        rmse = jnp.asarray(jnp.inf, _config.config.dtype)
         rmse_prev = None
         it = 0
         for i in range(maxiter):

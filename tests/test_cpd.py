@@ -217,3 +217,48 @@ def test_nonrigid_sigma2_floor_no_nan():
 
     bound = 0.2 if _jax.default_backend() == "cpu" else 1.0
     assert after < bound * before, (before, after)
+
+
+def test_sorted_steps_restricted_to_order_invariant_families():
+    """Regression (round-3 advisor, high): the Morton-sorted EM swap is only
+    sound for M-steps invariant to a consistent source/target permutation.
+    NonRigid's Gram is cached at set_source time and its transformation is
+    positional (points + g @ w), so listing the nonrigid steps here would run
+    EM against a misaligned Gram and return row-scrambled displacements."""
+    assert set(cpd._SORTED_STEPS) == {cpd._rigid_step, cpd._affine_step}
+    for plain, srt in cpd._SORTED_STEPS.items():
+        assert srt.keywords == {"assume_sorted": True}
+        assert srt.func is plain
+
+
+def test_nonrigid_no_morton_sort_under_tpu_condition(rng, monkeypatch):
+    """Regression (round-3 advisor, high): with the TPU tile-cull condition
+    simulated, nonrigid registration must NOT take the sorted swap — the
+    returned transformation must align row-wise with the caller's original
+    source order. Pre-fix this scrambled transform(source)."""
+    import jax
+
+    from probreg_tpu import config as _config
+
+    n = 80
+    source = rng.random((n, 2)).astype(np.float32)
+    target = source + 0.03 * np.sin(4.0 * source[:, :1])
+    baseline = cpd.registration_cpd(source, target, tf_type_name="nonrigid",
+                                    beta=0.5, lmd=1.0, maxiter=30)
+
+    # Simulate the culled-path gate while keeping estep on the XLA path
+    # (small_estep_max_pairs=0 disables the Pallas small kernel; the culled
+    # kernel requires assume_sorted or >=2^28 pairs, never hit here).
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(_config.config, "culled_estep_min_pairs", 1)
+    monkeypatch.setattr(_config.config, "small_estep_max_pairs", 0)
+    monkeypatch.setattr(_config.config, "use_fused_em", False)
+    res = cpd.registration_cpd(source, target, tf_type_name="nonrigid",
+                               beta=0.5, lmd=1.0, maxiter=30)
+    moved = np.asarray(res.transformation.transform(source))
+    np.testing.assert_allclose(
+        moved, np.asarray(baseline.transformation.transform(source)),
+        atol=1e-5)
+    rmse = np.sqrt(((moved - target) ** 2).sum(1)).mean()
+    rmse0 = np.sqrt(((source - target) ** 2).sum(1)).mean()
+    assert rmse < 0.3 * rmse0

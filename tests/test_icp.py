@@ -46,3 +46,16 @@ def test_icp_callbacks_fire_per_iteration(horse_cloud):
                                callbacks=[lambda tr: seen.append(tr)])
     assert len(seen) == 7
     assert int(res.n_iter) == 7
+
+
+def test_icp_maxiter_zero_with_callbacks(horse_cloud):
+    """Regression (round-3 advisor, low): maxiter=0 with callbacks used to
+    raise UnboundLocalError on rmse; it must return the initial transform
+    like the no-callback path."""
+    import numpy as np
+
+    src = np.asarray(horse_cloud, np.float32)
+    res = icp.registration_icp(src, src, maxiter=0,
+                               callbacks=[lambda tr: None])
+    assert int(res.n_iter) == 0
+    np.testing.assert_allclose(np.asarray(res.transformation.rot), np.eye(3))
