@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     log,
     math_utils,
     parallel,
+    pyramid,
     se3_op,
     transformation,
 )

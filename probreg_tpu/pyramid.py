@@ -1,0 +1,278 @@
+"""Coarse-to-fine (multiresolution) registration pipelines.
+
+The reference library leaves multiresolution to the user: its own examples
+voxel-downsample before registering (reference examples/utils.py:20,51-52)
+and the full-resolution cloud never benefits from the coarse solve. Here the
+pyramid is a first-class pipeline: register the coarsest level, then
+warm-start each finer level with BOTH the recovered transform
+(``tf_init_params``) and the converged variance (``sigma2_init``), so the
+expensive full-resolution EM iterations skip the dense start-temperature
+regime entirely and run inside the annealed — on TPU, tile-culled
+(ops/estep_pallas.py) — regime. Measured on v5e at 1M points, a dense
+start-regime iteration costs 17-22 s while a culled late-regime iteration
+costs 2-4 s (BENCHMARKS.md): the pyramid converts nearly every
+full-resolution iteration into the cheap kind.
+
+Levels are built host-side with :func:`probreg_tpu.utils.io.voxel_down_sample`
+(native C++ path when available). The voxel schedule is geometric; the
+coarsest size is auto-fit so the coarsest clouds hold ``coarse_points``
+points (a one-shot density probe — point clouds are surfaces, so occupied
+voxels scale ~ (diag/v)^2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence
+
+import numpy as np
+
+from . import config as _config
+from .utils import interop
+from .utils import io as pio
+
+__all__ = [
+    "build_pyramid",
+    "auto_voxel_sizes",
+    "registration_cpd_pyramid",
+    "registration_filterreg_pyramid",
+]
+
+
+def _voxel_count(points: np.ndarray, voxel_size: float) -> int:
+    """Number of occupied voxels at ``voxel_size`` (density probe)."""
+    keys = np.floor((points - points.min(axis=0)) / voxel_size).astype(np.int64)
+    # Pack to a single int64 key: bounded coordinates after the min-shift.
+    span = keys.max(axis=0) + 1
+    flat = keys[:, 0]
+    for d in range(1, keys.shape[1]):
+        flat = flat * span[d] + keys[:, d]
+    return int(np.unique(flat).size)
+
+
+def auto_voxel_sizes(
+    source: np.ndarray,
+    target: np.ndarray,
+    levels: int = 3,
+    coarse_points: int = 3000,
+    factor: float = 4.0,
+) -> List[float]:
+    """Geometric voxel schedule, coarsest first, ``0.0`` = full resolution.
+
+    The coarsest voxel is fitted so the coarser of the two downsampled
+    clouds holds roughly ``coarse_points`` points; each finer level divides
+    the voxel by ``factor``; the last level is always the original clouds.
+    """
+    if levels < 2:
+        return [0.0]
+    lo = np.minimum(source.min(axis=0), target.min(axis=0))
+    hi = np.maximum(source.max(axis=0), target.max(axis=0))
+    diag = float(np.linalg.norm(hi - lo))
+    n = int(min(source.shape[0], target.shape[0]))
+    if diag == 0.0 or n <= coarse_points:
+        # Nothing to gain from downsampling; run flat.
+        return [0.0]
+    probe = source if source.shape[0] <= target.shape[0] else target
+    # Surface scaling: occupied voxels ~ (diag/v)^2. Newton-ish refinement
+    # against the true count (each probe is one np.unique pass).
+    v = diag * float(np.sqrt(max(coarse_points, 8) / n))
+    for _ in range(3):
+        cnt = _voxel_count(probe, v)
+        if cnt <= 8:  # collapsed — back off
+            v *= 0.5
+            continue
+        ratio = cnt / float(coarse_points)
+        if 0.6 <= ratio <= 1.7:
+            break
+        v *= float(np.sqrt(ratio))
+    sizes = [v / (factor ** i) for i in range(levels - 1)]
+    return sizes + [0.0]
+
+
+def build_pyramid(points: np.ndarray, voxel_sizes: Sequence[float]) -> List[np.ndarray]:
+    """Downsampled copies of ``points`` per level (coarsest first).
+
+    ``0.0`` (or None) keeps the original points for that level.
+    """
+    dtype = _config.config.dtype
+    out = []
+    for v in voxel_sizes:
+        if not v:
+            out.append(np.asarray(points, dtype))
+        else:
+            out.append(np.asarray(pio.voxel_down_sample(points, float(v)), dtype))
+    return out
+
+
+def _carry_sigma2(prev_sigma2: float, prev_voxel: float,
+                  inflation: float) -> float:
+    """Warm-start variance for the next (finer) level.
+
+    The converged coarse variance reflects residual misalignment at coarse
+    geometry; moving to a finer level, the clouds differ from the coarse
+    ones by up to ~voxel/2 per point (centroid averaging), so floor the
+    carried variance at (voxel/2)^2 and inflate for basin safety.
+    """
+    floor = 0.25 * float(prev_voxel) ** 2
+    return max(float(prev_sigma2) * float(inflation), floor,
+               float(np.finfo(np.float32).eps))
+
+
+def registration_cpd_pyramid(
+    source,
+    target,
+    tf_type_name: str = "rigid",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    callbacks: List[Callable] = [],
+    levels: int = 3,
+    voxel_sizes: Optional[Sequence[float]] = None,
+    coarse_points: int = 3000,
+    factor: float = 4.0,
+    sigma2_inflation: float = 3.0,
+    level_maxiters: Optional[Sequence[int]] = None,
+    **kwargs: Any,
+):
+    """Coarse-to-fine CPD registration (rigid / affine).
+
+    Registers voxel-downsampled levels coarsest-first, warm-starting each
+    finer level with the previous level's transform and variance. The
+    result is exactly a :func:`probreg_tpu.cpd.registration_cpd` result on
+    the full-resolution clouds — only reached in a fraction of the wall
+    time at large N (see module docstring).
+
+    Args:
+        source / target: Point clouds (ndarray or open3d PointCloud).
+        tf_type_name: 'rigid' or 'affine' (order-free warm-startable
+            families; nonrigid deformation fields are resolution-bound).
+        w, maxiter, tol, callbacks: As in registration_cpd; applied at
+            every level (callbacks fire at every level with the global
+            transform — it applies to the original clouds unchanged).
+        levels: Number of pyramid levels including full resolution.
+        voxel_sizes: Explicit schedule (coarsest first; 0 = full res).
+            Overrides ``levels``/``coarse_points``/``factor``.
+        coarse_points: Auto-schedule target size of the coarsest level.
+        factor: Auto-schedule geometric voxel ratio between levels.
+        sigma2_inflation: Safety factor on the carried variance.
+        level_maxiters: Per-level maxiter override (coarsest first).
+        **kwargs: Forwarded to registration_cpd at every level
+            (update_scale, use_pallas, ...).
+
+    Returns:
+        MstepResult from the finest (full-resolution) level.
+    """
+    from . import cpd as _cpd
+
+    if tf_type_name not in ("rigid", "affine"):
+        raise ValueError(
+            "registration_cpd_pyramid supports 'rigid' and 'affine'; "
+            "nonrigid displacement fields are defined at the source points "
+            "and do not transfer across resolutions — use registration_cpd "
+            "with rank= for large nonrigid problems.")
+    if "tf_init_params" in kwargs or "sigma2_init" in kwargs:
+        raise ValueError("tf_init_params/sigma2_init are managed by the "
+                         "pyramid; pass them to registration_cpd instead.")
+
+    src = interop.as_points(source, dtype=_config.config.dtype)
+    tgt = interop.as_points(target, dtype=_config.config.dtype)
+    src_np = np.asarray(src)
+    tgt_np = np.asarray(tgt)
+    if voxel_sizes is None:
+        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
+                                       coarse_points, factor)
+    voxel_sizes = list(voxel_sizes)
+    src_levels = build_pyramid(src_np, voxel_sizes)
+    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
+    # Keep the caller's device arrays at full resolution (no host round trip).
+    if voxel_sizes[-1] in (0.0, None):
+        src_levels[-1] = src
+        tgt_levels[-1] = tgt
+
+    if level_maxiters is None:
+        level_maxiters = [maxiter] * len(voxel_sizes)
+    if len(level_maxiters) != len(voxel_sizes):
+        raise ValueError("level_maxiters length must match the level count")
+
+    res = None
+    tf_init = {}
+    sigma2_init = None
+    for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        res = _cpd.registration_cpd(
+            s_i, t_i, tf_type_name, w=w, maxiter=int(level_maxiters[i]),
+            tol=tol, callbacks=callbacks,
+            tf_init_params=dict(tf_init) or None,
+            sigma2_init=sigma2_init, **kwargs)
+        if i + 1 < len(src_levels):
+            tr = res.transformation
+            if tf_type_name == "rigid":
+                tf_init = {"rot": np.asarray(tr.rot),
+                           "t": np.asarray(tr.t),
+                           "scale": float(np.asarray(tr.scale))}
+            else:
+                tf_init = {"b": np.asarray(tr.b), "t": np.asarray(tr.t)}
+            sigma2_init = _carry_sigma2(
+                np.asarray(res.sigma2), voxel_sizes[i], sigma2_inflation)
+    return res
+
+
+def registration_filterreg_pyramid(
+    source,
+    target,
+    target_normals=None,
+    w: float = 0.0,
+    objective_type: str = "pt2pt",
+    maxiter: int = 50,
+    tol: float = 0.001,
+    min_sigma2: float = 1.0e-4,
+    callbacks: List[Callable] = [],
+    levels: int = 3,
+    voxel_sizes: Optional[Sequence[float]] = None,
+    coarse_points: int = 3000,
+    factor: float = 4.0,
+    sigma2_inflation: float = 3.0,
+    **kwargs: Any,
+):
+    """Coarse-to-fine FilterReg registration (pt2pt).
+
+    Same schedule as :func:`registration_cpd_pyramid`. pt2pl needs
+    per-level target normals, so only the full-resolution level uses
+    ``target_normals``; coarser levels run pt2pt to produce the warm start.
+    """
+    from . import filterreg as _frg
+
+    if "tf_init_params" in kwargs or "sigma2" in kwargs:
+        raise ValueError("tf_init_params/sigma2 are managed by the pyramid; "
+                         "pass them to registration_filterreg instead.")
+
+    src = interop.as_points(source, dtype=_config.config.dtype)
+    tgt = interop.as_points(target, dtype=_config.config.dtype)
+    src_np = np.asarray(src)
+    tgt_np = np.asarray(tgt)
+    if voxel_sizes is None:
+        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
+                                       coarse_points, factor)
+    voxel_sizes = list(voxel_sizes)
+    src_levels = build_pyramid(src_np, voxel_sizes)
+    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
+    if voxel_sizes[-1] in (0.0, None):
+        src_levels[-1] = src
+        tgt_levels[-1] = tgt
+
+    res = None
+    tf_init = None
+    sigma2 = None
+    for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        last = i + 1 == len(src_levels)
+        res = _frg.registration_filterreg(
+            s_i, t_i,
+            target_normals=target_normals if last else None,
+            sigma2=sigma2, w=w,
+            objective_type=objective_type if last else "pt2pt",
+            maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            callbacks=callbacks, tf_init_params=tf_init or {}, **kwargs)
+        if not last:
+            tr = res.transformation
+            tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
+            sigma2 = _carry_sigma2(
+                np.asarray(res.sigma2), voxel_sizes[i], sigma2_inflation)
+    return res

@@ -1,0 +1,118 @@
+"""Coarse-to-fine pyramid registration tests.
+
+The pyramid must match the flat registration's quality (it ends on the
+same full-resolution clouds) while running its full-resolution iterations
+warm-started. Reference anchor: the manual downsampling the reference
+makes its users do, /root/reference/examples/utils.py:20,51-52.
+"""
+
+import numpy as np
+import pytest
+
+from probreg_tpu import cpd, pyramid
+from probreg_tpu import se3_op as so
+from probreg_tpu import transformation as tf
+
+
+def _dense_cloud(rng, n=20000):
+    """Blobby closed surface with ~n points (dense enough for 3 levels)."""
+    theta = rng.uniform(0, np.pi, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    r = 1.0 + 0.25 * np.sin(3 * theta) * np.cos(2 * phi)
+    return np.stack([
+        r * np.sin(theta) * np.cos(phi),
+        r * np.sin(theta) * np.sin(phi),
+        r * np.cos(theta)], axis=1).astype(np.float32)
+
+
+@pytest.fixture
+def dense_pair(rng):
+    source = _dense_cloud(rng)
+    rot = np.asarray(so.euler2mat(*rng.uniform(0.0, np.pi / 6, 3)))
+    t_gt = np.array([0.05, -0.03, 0.08], np.float32)
+    target = np.asarray(
+        tf.RigidTransformation(rot, t_gt).transform(source))
+    return source, target, rot, t_gt
+
+
+def test_auto_voxel_sizes_schedule(dense_pair):
+    source, target, _, _ = dense_pair
+    sizes = pyramid.auto_voxel_sizes(source, target, levels=3,
+                                     coarse_points=1500, factor=4.0)
+    assert len(sizes) == 3
+    assert sizes[-1] == 0.0
+    assert sizes[0] > sizes[1] > 0.0
+    coarse = pyramid.build_pyramid(source, sizes)[0]
+    # Auto-fit should land within ~2x of the requested coarse size.
+    assert 500 <= coarse.shape[0] <= 5000
+
+
+def test_auto_voxel_sizes_small_cloud_runs_flat(rng):
+    src = rng.random((100, 3)).astype(np.float32)
+    assert pyramid.auto_voxel_sizes(src, src, levels=3,
+                                    coarse_points=3000) == [0.0]
+
+
+def test_pyramid_rigid_matches_flat_quality(dense_pair):
+    source, target, rot_gt, t_gt = dense_pair
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", levels=3, coarse_points=1500, tol=1e-4)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 1e-3
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=1e-4)
+    assert np.isclose(float(res.transformation.scale), 1.0, atol=1e-3)
+
+
+def test_pyramid_affine(dense_pair, rng):
+    source = dense_pair[0][:8000]
+    b = np.eye(3, dtype=np.float32) + 0.08 * rng.normal(size=(3, 3)).astype(np.float32)
+    t_gt = 0.04 * rng.normal(size=3).astype(np.float32)
+    target = source @ b.T + t_gt
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "affine", levels=2, coarse_points=1500)
+    assert np.allclose(np.asarray(res.transformation.b), b, atol=1e-2)
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=1e-2)
+
+
+def test_pyramid_explicit_voxel_sizes_and_level_maxiters(dense_pair):
+    source, target, rot_gt, _ = dense_pair
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", voxel_sizes=[0.15, 0.0],
+        level_maxiters=[50, 10])
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 1e-3
+
+
+def test_pyramid_rejects_nonrigid_and_managed_kwargs(dense_pair):
+    source, target, _, _ = dense_pair
+    with pytest.raises(ValueError):
+        pyramid.registration_cpd_pyramid(source, target, "nonrigid")
+    with pytest.raises(ValueError):
+        pyramid.registration_cpd_pyramid(
+            source, target, "rigid", tf_init_params={"rot": np.eye(3)})
+
+
+def test_pyramid_filterreg(dense_pair):
+    source, target, rot_gt, t_gt = dense_pair
+    res = pyramid.registration_filterreg_pyramid(
+        source[:6000], np.asarray(
+            tf.RigidTransformation(rot_gt, t_gt).transform(source[:6000])),
+        levels=2, coarse_points=1500, maxiter=60, sigma2_decay=0.9)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 2e-2
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=1e-2)
+
+
+def test_sigma2_init_flat_entry(dense_pair):
+    """sigma2_init is also a public registration_cpd kwarg (warm start)."""
+    source, target, rot_gt, _ = dense_pair
+    src = source[:3000]
+    tgt = target[:3000]
+    res0 = cpd.registration_cpd(src, tgt)
+    res = cpd.registration_cpd(
+        src, tgt,
+        tf_init_params={"rot": np.asarray(res0.transformation.rot),
+                        "t": np.asarray(res0.transformation.t)},
+        sigma2_init=float(np.asarray(res0.sigma2)) * 4.0)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
+    assert angle < 1e-2
