@@ -354,10 +354,19 @@ def registration_cpd_sharded(
     """Multi-device CPD registration. Same semantics as registration_cpd.
 
     Shards the target over ``mesh`` (default: all devices); source and
-    transformation are replicated; moments psum over ICI.
+    transformation are replicated; moments psum over ICI. A 2-D ``(m, n)``
+    mesh shards BOTH clouds (cross-device posterior normalizer) — see
+    parallel/sharded2d.py.
     """
     if mesh is None:
         mesh = make_mesh()
+    if len(mesh.axis_names) == 2:
+        from .sharded2d import registration_cpd_2d
+
+        return registration_cpd_2d(
+            source, target, tf_type_name, w=w, maxiter=maxiter, tol=tol,
+            mesh=mesh, update_scale=update_scale, beta=beta, lmd=lmd,
+            **kwargs)
     axis = mesh.axis_names[0]
     use_culled = kwargs.pop("use_culled", None)
     culled_interpret = bool(kwargs.pop("culled_interpret", False))

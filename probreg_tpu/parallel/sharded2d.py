@@ -1,0 +1,370 @@
+"""2-D mesh CPD: source AND target sharded, cross-device posterior normalizer.
+
+The 1-D design (sharded.py) shards only the target: every device holds all
+M source rows, so source-side state (the cloud, nonrigid Gram/Nystrom
+factors) is replicated and per-device E-step memory is O(M * N/P). This
+module shards BOTH axes over a 2-D mesh ``(m, n)`` — the genuinely
+distributed softmax the reference's column normalizer implies
+(/root/reference/probreg/cpd.py:80-84, the E-step denominator summed over
+ALL source rows):
+
+  device (i, j) holds source shard i (M/Pm rows) and target shard j
+  (N/Pn columns) and computes its local Gaussian block g_ij ONCE;
+  den_j = psum_m(sum_rows g_ij)             -- the cross-device normalizer
+  p1, px = psum_n(row moments of g_ij/den)  -- stay m-sharded
+  pt1, xx = n-sharded / replicated scalars
+
+Per-device memory drops Pm-fold vs the 1-D mesh: the E-step block is
+(M/Pm, N/Pn), the source and its low-rank Nystrom factor U are (M/Pm, ·),
+and the nonrigid M-step runs through the Woodbury K x K system whose
+normal-equation moments (U^T diag(p1) U, rhs^T U) are psum_m'd — no device
+ever materializes an M-row object. M-step reductions for rigid/affine are
+the same trick: all first/second moments are sums over source rows, so each
+m-shard reduces locally and one psum_m yields the replicated (D, D) system
+every device solves identically (tiny SVD/solve, cheaper than moving it).
+
+The whole EM (init + while_loop) runs INSIDE one shard_map body: a single
+SPMD program per registration, collectives riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import config
+from ..models import transformation as tf
+from ..ops import estep as estep_ops
+from ..ops import lowrank
+from ..utils import interop
+
+M_AXIS = "m"
+N_AXIS = "n"
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def make_mesh_2d(pm: Optional[int] = None, pn: Optional[int] = None,
+                 devices=None,
+                 axis_names: Tuple[str, str] = (M_AXIS, N_AXIS)) -> Mesh:
+    """2-D ``(m, n)`` mesh. Default shape: squarish with pn >= pm.
+
+    The n-axis is the cheap one (its collectives are O(N/Pn) den rows and
+    O(M/Pm * D) moment strips); prefer it larger when the factorization is
+    uneven.
+    """
+    if devices is None:
+        devices = jax.devices()
+    nd = len(devices)
+    if pm is None and pn is None:
+        pm = int(np.floor(np.sqrt(nd)))
+        while nd % pm:
+            pm -= 1
+        pn = nd // pm
+    elif pm is None:
+        pm = nd // pn
+    elif pn is None:
+        pn = nd // pm
+    if pm * pn != nd:
+        raise ValueError(f"mesh shape {pm}x{pn} != {nd} devices")
+    return Mesh(np.asarray(devices).reshape(pm, pn), axis_names)
+
+
+def _shard_axis_t(points, mesh: Mesh, axis: str):
+    """(N, D) host/device points -> ((D, Np) lane-sharded, (1, Np) mask, n)."""
+    pts = np.asarray(interop.as_points(points, dtype=config.dtype))
+    n, dim = pts.shape
+    n_dev = mesh.shape[axis]
+    pad = (-n) % n_dev
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, dim), pts.dtype)], axis=0)
+    mask = np.zeros((1, pts.shape[0]), pts.dtype)
+    mask[0, :n] = 1.0
+    sh = NamedSharding(mesh, P(None, axis))
+    return jax.device_put(pts.T.copy(), sh), jax.device_put(mask, sh), n
+
+
+@partial(jax.jit,
+         static_argnames=("kind", "w", "update_scale", "m", "n",
+                          "mesh", "maxiter"))
+def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
+               *, kind, w, maxiter, tol, update_scale, m, n, mesh):
+    """Whole-EM on the 2-D mesh; one SPMD program.
+
+    kind: 'rigid' | 'affine' | 'nonrigid_lowrank'.
+    ``u_sh``/``lam``/``lmd`` are only used by the low-rank kind (pass
+    zero-size placeholders otherwise — jit specializes on shapes).
+    """
+    dim = ys_t_sh.shape[0]
+    eps = jnp.asarray(_F32_EPS, ys_t_sh.dtype)
+    lowrank_kind = kind == "nonrigid_lowrank"
+    k = u_sh.shape[1] if lowrank_kind else 0
+
+    u_spec = P(M_AXIS, None) if lowrank_kind else P(None, None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, M_AXIS), P(None, M_AXIS),
+                  P(None, N_AXIS), P(None, N_AXIS), u_spec, P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_):
+        # ---- masked squared_kernel_sum sigma2_0 (reference math_utils:28),
+        # both axes partial: psum_m the source sums, psum_n the target sums.
+        sy2 = jax.lax.psum(jnp.sum(ys_loc * ys_loc * sm), M_AXIS)
+        sy = jax.lax.psum(jnp.sum(ys_loc * sm, axis=1), M_AXIS)
+        sx2 = jax.lax.psum(jnp.sum(xs_loc * xs_loc * xm), N_AXIS)
+        sx = jax.lax.psum(jnp.sum(xs_loc * xm, axis=1), N_AXIS)
+        sigma2_0 = (n * sy2 + m * sx2 - 2.0 * jnp.dot(sy, sx)) \
+            / float(m * dim * n)
+        q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
+
+        x2 = jnp.sum(xs_loc * xs_loc, axis=0, keepdims=True)   # (1, Nl)
+        xs_ext = jnp.concatenate([xs_loc, jnp.ones_like(xm)], axis=0)
+
+        def estep(t_src, sigma2):
+            """Local block + cross-device normalizer. Returns m-sharded
+            (px_t (D, Ml), p1 (Ml,)) and replicated (n_p, xx)."""
+            c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
+            y2 = jnp.sum(t_src * t_src, axis=0)[:, None]       # (Ml, 1)
+            xy = jax.lax.dot_general(
+                t_src, xs_loc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (Ml, Nl)
+            g = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)
+                        / (2.0 * sigma2))
+            g = g * sm.T * xm                                  # mask pads
+            # THE cross-tile softmax denominator (SURVEY §7 hard part (a)):
+            # each column's normalizer spans every source shard.
+            den_raw = jax.lax.psum(
+                jnp.sum(g, axis=0, keepdims=True), M_AXIS)     # (1, Nl)
+            den = jnp.where(den_raw == 0.0, eps, den_raw) + c
+            pt1 = xm * den_raw / den                           # (1, Nl)
+            pmat = g / den
+            pxp = jax.lax.psum(jax.lax.dot_general(
+                xs_ext, pmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), N_AXIS)  # (D+1, Ml)
+            px_t, p1 = pxp[:dim], pxp[dim]
+            n_p = jax.lax.psum(jnp.sum(p1), M_AXIS)
+            xx = jax.lax.psum(jnp.sum(pt1 * x2), N_AXIS)
+            return px_t, p1, n_p, xx
+
+        def mstep_rigid(p1, px_t, n_p, xx):
+            us = jnp.asarray(update_scale)
+            mu_x = jax.lax.psum(jnp.sum(px_t, axis=1), M_AXIS) / n_p
+            mu_y = jax.lax.psum(ys_loc @ p1, M_AXIS) / n_p
+            src_hat = (ys_loc - mu_y[:, None]) * sm            # (D, Ml)
+            a = jax.lax.psum(jax.lax.dot_general(
+                px_t, src_hat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), M_AXIS) \
+                - jnp.outer(mu_x, jax.lax.psum(src_hat @ p1, M_AXIS))
+            u_, _, vh = jnp.linalg.svd(a, full_matrices=True)
+            cdet = jnp.ones(dim, a.dtype).at[-1].set(
+                jnp.linalg.det(u_ @ vh))
+            rot = (u_ * cdet) @ vh
+            tr_atr = jnp.trace(a.T @ rot)
+            tr_yp1y = jax.lax.psum(
+                jnp.sum(p1 * jnp.sum(src_hat * src_hat, axis=0)), M_AXIS)
+            scale = jnp.where(us, tr_atr / tr_yp1y, 1.0)
+            t = mu_x - scale * rot @ mu_y
+            tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
+            sigma2 = jnp.where(
+                us,
+                (tr_xp1x - scale * tr_atr) / (n_p * dim),
+                (tr_xp1x - 2.0 * scale * tr_atr + tr_yp1y) / (n_p * dim))
+            sigma2 = jnp.maximum(sigma2, _F32_EPS)
+            q = (tr_xp1x - 2.0 * scale * tr_atr
+                 + scale ** 2 * tr_yp1y) / (2.0 * sigma2)
+            q = q + dim * n_p * 0.5 * jnp.log(sigma2)
+            return rot, t, scale, sigma2, q
+
+        def mstep_affine(p1, px_t, n_p, xx):
+            mu_x = jax.lax.psum(jnp.sum(px_t, axis=1), M_AXIS) / n_p
+            mu_y = jax.lax.psum(ys_loc @ p1, M_AXIS) / n_p
+            src_hat = (ys_loc - mu_y[:, None]) * sm
+            a = jax.lax.psum(jax.lax.dot_general(
+                px_t, src_hat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), M_AXIS) \
+                - jnp.outer(mu_x, jax.lax.psum(src_hat @ p1, M_AXIS))
+            yp1y = jax.lax.psum(jax.lax.dot_general(
+                src_hat * p1[None, :], src_hat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), M_AXIS)
+            b = jnp.linalg.solve(yp1y.T, a.T).T
+            t = mu_x - b @ mu_y
+            tr_xp1x = xx - n_p * jnp.sum(mu_x * mu_x)
+            tr_ab = jnp.trace(a @ b.T)
+            sigma2 = jnp.maximum((tr_xp1x - tr_ab) / (n_p * dim), _F32_EPS)
+            q = (tr_xp1x - tr_ab) / (2.0 * sigma2) \
+                + dim * n_p * 0.5 * jnp.log(sigma2)
+            return b, t, jnp.asarray(1.0, ys_loc.dtype), sigma2, q
+
+        if lowrank_kind:
+            # State: zc_t (D, K) replicated; U stays m-sharded forever.
+            eye_k = jnp.eye(k, dtype=ys_loc.dtype)
+
+            def body(state):
+                zc_t, sigma2, q, _, i = state
+                t_src = ys_loc + jax.lax.dot_general(
+                    zc_t, u_loc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # (D, Ml)
+                px_t, p1, n_p, xx = estep(t_src, sigma2)
+                cc = lmd_ * sigma2
+                rhs_t = px_t - ys_loc * p1[None, :]
+                udu = jax.lax.psum(
+                    (u_loc * p1[:, None]).T @ u_loc, M_AXIS)   # (K, K)
+                mk = cc * eye_k + udu * lam_[None, :]
+                ru = jax.lax.psum(jax.lax.dot_general(
+                    rhs_t, u_loc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), M_AXIS)  # (D, K)
+                z_t = jnp.linalg.solve(mk, ru.T).T
+                zc_t_new = z_t * lam_[None, :]
+                t_t = ys_loc + jax.lax.dot_general(
+                    zc_t_new, u_loc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                tr_pxt = jax.lax.psum(jnp.sum(px_t * t_t), M_AXIS)
+                tr_tpt = jax.lax.psum(
+                    jnp.sum(p1 * jnp.sum(t_t * t_t, axis=0)), M_AXIS)
+                sigma2_new = jnp.maximum(
+                    (xx - 2.0 * tr_pxt + tr_tpt) / (n_p * dim), _F32_EPS)
+                return (zc_t_new, sigma2_new, sigma2_new, q, i + 1)
+
+            def cond(state):
+                _, _, q, q_prev, i = state
+                return jnp.logical_and(
+                    i < maxiter,
+                    jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+            state = (jnp.zeros((dim, k), ys_loc.dtype), sigma2_0,
+                     jnp.asarray(jnp.inf, sigma2_0.dtype),
+                     jnp.asarray(jnp.inf, sigma2_0.dtype), jnp.asarray(0))
+            zc_t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+            # Pack zc_t into the (lin, t) slots (lin is (D, D); zc is
+            # returned via a dedicated out below). Simplest: return zc_t
+            # padded into a (D, K) out — shapes differ from rigid, so the
+            # kinds just use different return tuples.
+            return zc_t, jnp.zeros(dim, ys_loc.dtype), \
+                jnp.asarray(1.0, ys_loc.dtype), sigma2, q
+
+        def step(lin, t, scale, sigma2):
+            t_src = scale * lin @ ys_loc + t[:, None]
+            px_t, p1, n_p, xx = estep(t_src, sigma2)
+            if kind == "rigid":
+                return mstep_rigid(p1, px_t, n_p, xx)
+            return mstep_affine(p1, px_t, n_p, xx)
+
+        def cond(state):
+            _, _, _, _, q, q_prev, i = state
+            return jnp.logical_and(
+                i < maxiter,
+                jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+        def body(state):
+            lin, t, scale, sigma2, q, _, i = state
+            lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
+            return (lin, t, scale, sigma2, q_new, q, i + 1)
+
+        state = (jnp.eye(dim, dtype=ys_loc.dtype),
+                 jnp.zeros(dim, ys_loc.dtype),
+                 jnp.asarray(1.0, ys_loc.dtype), sigma2_0, q0,
+                 jnp.asarray(jnp.inf, ys_loc.dtype), jnp.asarray(0))
+        lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+        return lin, t, scale, sigma2, q
+
+    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd)
+
+
+def registration_cpd_2d(
+    source,
+    target,
+    tf_type_name: str = "rigid",
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    mesh: Optional[Mesh] = None,
+    update_scale: bool = True,
+    beta: float = 2.0,
+    lmd: float = 2.0,
+    rank: Optional[int] = None,
+    **kwargs: Any,
+):
+    """CPD registration on a 2-D ``(m, n)`` device mesh.
+
+    Same semantics as :func:`probreg_tpu.cpd.registration_cpd` for 'rigid',
+    'affine' and low-rank 'nonrigid' (``rank`` required: the dense M x M
+    Gram solve does not distribute; the Woodbury K x K system does). Both
+    clouds are sharded; no device holds an M-row or N-row array.
+    """
+    from .. import cpd as cpd_mod
+
+    if mesh is None:
+        mesh = make_mesh_2d()
+    if len(mesh.axis_names) != 2:
+        raise ValueError("registration_cpd_2d needs a 2-D mesh; got axes "
+                         f"{mesh.axis_names} (use registration_cpd_sharded)")
+    m_ax, n_ax = mesh.axis_names
+    if (m_ax, n_ax) != (M_AXIS, N_AXIS):
+        raise ValueError(f"2-D mesh axes must be named ({M_AXIS!r}, "
+                         f"{N_AXIS!r}); got {mesh.axis_names}")
+
+    src = np.asarray(interop.as_points(source, dtype=config.dtype))
+    tgt = np.asarray(interop.as_points(target, dtype=config.dtype))
+    m, dim = src.shape
+    n = tgt.shape[0]
+
+    if tf_type_name == "nonrigid":
+        if rank is None:
+            raise ValueError(
+                "2-D-mesh nonrigid requires rank= (low-rank Nystrom): the "
+                "dense M x M Gram solve does not distribute over the m-axis")
+        # Nystrom factors from the full source on the host driver (O(M K)),
+        # then sharded over m alongside the points.
+        u, lam = lowrank.lowrank_rbf(jnp.asarray(src), float(beta), int(rank))
+        u = np.asarray(u)
+        kind = "nonrigid_lowrank"
+    else:
+        if tf_type_name not in ("rigid", "affine"):
+            raise ValueError("unknown tf_type_name %s" % tf_type_name)
+        u = np.zeros((0, 0), src.dtype)
+        lam = jnp.zeros((0,), config.dtype)
+        kind = tf_type_name
+
+    ys_t_sh, smask_sh, m_true = _shard_axis_t(src, mesh, m_ax)
+    xs_t_sh, xmask_sh, n_true = _shard_axis_t(tgt, mesh, n_ax)
+    if kind == "nonrigid_lowrank":
+        pad = ys_t_sh.shape[1] - m
+        if pad:
+            u = np.concatenate([u, np.zeros((pad, u.shape[1]), u.dtype)], 0)
+        u_sh = jax.device_put(u, NamedSharding(mesh, P(m_ax, None)))
+    else:
+        u_sh = jax.device_put(u, NamedSharding(mesh, P(None, None)))
+
+    lin, t, scale, sigma2, q = _run_em_2d(
+        ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
+        jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
+        kind=kind, w=float(w), maxiter=int(maxiter), tol=float(tol),
+        update_scale=bool(update_scale), m=m_true, n=n_true, mesh=mesh)
+
+    if kind == "rigid":
+        transf = tf.RigidTransformation(lin, t, scale)
+    elif kind == "affine":
+        transf = tf.AffineTransformation(lin, t)
+    else:
+        transf = tf.LowRankNonRigidTransformation(
+            lin.T, jnp.asarray(u[:m]), jnp.asarray(lam, config.dtype))
+    return cpd_mod.MstepResult(transf, sigma2, q)

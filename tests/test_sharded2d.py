@@ -1,0 +1,105 @@
+"""2-D mesh (source x target sharded) CPD tests on the virtual 8-device mesh.
+
+The 2-D path's posterior normalizer den_j spans every source shard
+(psum over the m-axis) — these tests pin the VERDICT round-2 requirement:
+2x4-mesh results match the 1-D mesh and the single-device registration.
+"""
+
+import numpy as np
+import pytest
+
+from probreg_tpu import cpd
+from probreg_tpu.parallel import sharded, sharded2d
+from probreg_tpu.utils import se3_op
+
+
+@pytest.fixture
+def mesh2d():
+    return sharded2d.make_mesh_2d(2, 4)
+
+
+@pytest.fixture
+def rigid_pair(horse_cloud, rng):
+    src = np.asarray(horse_cloud, np.float32)
+    rot = np.asarray(se3_op.euler2mat(*rng.uniform(0.0, np.pi / 6, 3)),
+                     np.float32)
+    t_gt = np.array([0.02, -0.01, 0.03], np.float32)
+    tgt = (src @ rot.T + t_gt).astype(np.float32)
+    return src, tgt, rot, t_gt
+
+
+def test_make_mesh_2d_shapes():
+    m = sharded2d.make_mesh_2d()
+    assert len(m.axis_names) == 2
+    assert m.shape["m"] * m.shape["n"] == 8
+    m24 = sharded2d.make_mesh_2d(2, 4)
+    assert (m24.shape["m"], m24.shape["n"]) == (2, 4)
+    with pytest.raises(ValueError):
+        sharded2d.make_mesh_2d(3, 4)
+
+
+@pytest.mark.parametrize("kind", ["rigid", "affine"])
+def test_2d_matches_single_device_and_1d(mesh2d, rigid_pair, kind):
+    src, tgt, rot, t_gt = rigid_pair
+    res_1dev = cpd.registration_cpd(src, tgt, kind, maxiter=30, tol=1e-6)
+    res_1d = sharded.registration_cpd_sharded(
+        src, tgt, kind, maxiter=30, tol=1e-6, mesh=sharded.make_mesh())
+    res_2d = sharded2d.registration_cpd_2d(
+        src, tgt, kind, maxiter=30, tol=1e-6, mesh=mesh2d)
+    lin = "rot" if kind == "rigid" else "b"
+    np.testing.assert_allclose(
+        np.asarray(getattr(res_2d.transformation, lin)),
+        np.asarray(getattr(res_1dev.transformation, lin)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_2d.transformation.t),
+        np.asarray(res_1dev.transformation.t), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(getattr(res_2d.transformation, lin)),
+        np.asarray(getattr(res_1d.transformation, lin)), atol=1e-5)
+    np.testing.assert_allclose(
+        float(res_2d.sigma2), float(res_1dev.sigma2),
+        rtol=1e-3, atol=1e-8)
+
+
+def test_2d_recovers_transform_uneven_sizes(mesh2d, rigid_pair):
+    # m=901, n=700: both axes pad (901 % 2 != 0, 700 % 4 == 0 but m != n).
+    src, tgt, rot, t_gt = rigid_pair
+    src, tgt = src[:901], tgt[:700]
+    res = sharded2d.registration_cpd_2d(
+        src, tgt, "rigid", w=0.1, maxiter=40, mesh=mesh2d)
+    ang = float(se3_op.rotation_angle(
+        np.asarray(res.transformation.rot), rot))
+    assert ang < 5e-2
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=5e-3)
+
+
+def test_2d_nonrigid_lowrank_matches_single(mesh2d, rng):
+    n = 256
+    src = rng.random((n, 3)).astype(np.float32)
+    tgt = (src + 0.05 * np.sin(3.0 * src[:, :1])).astype(np.float32)
+    res_1dev = cpd.registration_cpd(src, tgt, "nonrigid", rank=24,
+                                    beta=1.0, lmd=1.0, maxiter=25, tol=1e-9)
+    res_2d = sharded2d.registration_cpd_2d(
+        src, tgt, "nonrigid", rank=24, beta=1.0, lmd=1.0, maxiter=25,
+        tol=1e-9, mesh=mesh2d)
+    moved_1 = np.asarray(res_1dev.transformation.transform(src))
+    moved_2 = np.asarray(res_2d.transformation.transform(src))
+    np.testing.assert_allclose(moved_2, moved_1, atol=1e-4)
+    rmse = np.sqrt(((moved_2 - tgt) ** 2).sum(1)).mean()
+    rmse0 = np.sqrt(((src - tgt) ** 2).sum(1)).mean()
+    assert rmse < 0.2 * rmse0
+
+
+def test_2d_nonrigid_dense_rejected(mesh2d, rng):
+    src = rng.random((64, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        sharded2d.registration_cpd_2d(src, src, "nonrigid", mesh=mesh2d)
+
+
+def test_registration_cpd_sharded_dispatches_2d(mesh2d, rigid_pair):
+    src, tgt, rot, _ = rigid_pair
+    res = sharded.registration_cpd_sharded(
+        src, tgt, "rigid", maxiter=30, mesh=mesh2d)
+    ang = float(se3_op.rotation_angle(
+        np.asarray(res.transformation.rot), rot))
+    assert ang < 1e-2
