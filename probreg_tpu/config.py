@@ -34,19 +34,20 @@ class Config:
     # Minimum M*N above which the Pallas kernel is preferred over plain XLA.
     pallas_min_pairs: int = 1 << 22
     # Route large E-steps through the Morton-sorted tile-culled Pallas
-    # kernel (ops/estep_pallas.estep_culled). Exact: culled tiles are ones
-    # whose box-gap bound proves every exp underflows f32 to 0. At full
-    # density it pays the two-pass exp penalty (~49 vs ~64 Gpair/s XLA);
-    # as sigma2 anneals the active-tile fraction collapses and it wins by
-    # the inverse of that fraction — over a whole EM run it dominates.
+    # kernel (ops/estep_pallas.estep_auto — the single-exp g-stash kernel).
+    # Exact: culled tiles are ones whose box-gap bound proves every exp
+    # underflows f32 to 0. One exp + 8 stash-bytes per ACTIVE pair beats
+    # the XLA scan (1 exp + 12 HBM bytes, always dense) at every density:
+    # measured v5e 131k x 131k, 62 vs 59 Gpair/s at full density and
+    # 264 vs 58 at active fraction 0.12.
     use_culled_estep: bool = True
     # Minimum M*N for the culled path (below this the XLA scan E-step or
     # the small single-launch kernel is faster anyway).
     culled_estep_min_pairs: int = 1 << 24
-    # Active-tile fraction below which the culled kernel beats the XLA
-    # scan (the culled two-pass pays exp twice: crossover ~ t_xla/t_fused,
-    # measured ~0.7 on v5e incl. sort overhead). estep_auto branches on
-    # this with lax.cond per EM iteration.
+    # Retained for API compatibility: the round-2 two-branch estep_auto
+    # switched to the XLA scan above this active fraction; the round-3
+    # single-exp kernel wins at every fraction, so nothing branches on
+    # this anymore.
     culled_switch_frac: float = 0.7
     # Maximum M*N routed to the single-launch VMEM-resident E-step kernel
     # (ops/estep_pallas.estep_small): the (M, N) posterior tile + operands

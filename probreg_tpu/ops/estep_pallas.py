@@ -349,6 +349,207 @@ def estep_fused(
 
 
 # --------------------------------------------------------------------------
+# Single-exp culled E-step (g-stash)
+# --------------------------------------------------------------------------
+#
+# The two-pass kernels above pay the per-pair exp TWICE (den pass + moment
+# pass): ~98 Gpair/s per pass -> ~49 net, vs the XLA scan's one-exp 64
+# (which is HBM-bound at 12 B/pair: one g write + two reads). This variant
+# pays the exp ONCE and 8 B/pair of HBM traffic: for each target stripe
+# (all source tiles x TN columns), pass A computes each ACTIVE tile's exp'd
+# Gaussian block, stashes it to an HBM scratch (Mp, TN), and accumulates
+# den; pass B reloads the stashed blocks — no exp — normalizes, and emits
+# the p1/px moments. An XLA lax.scan walks the stripes, so the stash never
+# exceeds (Mp, TN) bytes regardless of N.
+#
+# Tile culling stays fully effective through scalar-prefetch index
+# compaction: the block index maps of the stash (A's output, B's input) and
+# of the source operands read eff[i] = "last active tile <= i" from SMEM,
+# so consecutive culled tiles map to an UNCHANGED block index and Pallas
+# issues no DMA for them — stash traffic is proportional to the active
+# fraction, like the compute. Net cost model per pair: active_frac *
+# (1 exp + 8 bytes) vs the two-pass kernels' active_frac * 2 exp and the
+# XLA scan's 1 exp + 12 bytes: single-exp wins at every density, so the
+# estep_auto lax.cond between a Pallas and a dense-XLA branch is gone.
+
+def _stash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, xs_ref,
+                      x2_ref, den_ref, pt1_ref, xx_ref, gst_ref):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(act_ref[i] == 1)
+    def _():
+        g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
+                       scal_ref[0])
+        gst_ref[:] = g
+        den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        den_raw = den_ref[:]
+        eps = jnp.asarray(jnp.finfo(jnp.float32).eps, den_raw.dtype)
+        inv_den = 1.0 / (jnp.where(den_raw == 0.0, eps, den_raw)
+                         + scal_ref[1])
+        pt1 = den_raw * inv_den
+        pt1_ref[:] = pt1
+        # Hand the MOMENT kernel the reciprocal: its per-pair normalize is
+        # then a broadcast MULTIPLY, not a multi-cycle VPU divide.
+        den_ref[:] = inv_den
+        x2 = x2_ref[:]
+        xx_ref[:] = jnp.sum(
+            jnp.where(x2 < _BIG * 0.5, pt1 * x2, 0.0), keepdims=True)
+
+
+def _stash_moment_kernel(act_ref, eff_ref, xs_ref, den_ref, gst_ref,
+                         p1_ref, px_ref):
+    i = pl.program_id(0)
+
+    @pl.when(act_ref[i] == 1)
+    def _():
+        p = gst_ref[:] * den_ref[:]                        # (TM, TN)*(1, TN)
+        p1_ref[:] = jnp.sum(p, axis=1, keepdims=True).reshape(1, -1)
+        px_ref[:] = jax.lax.dot_general(
+            xs_ref[:], p,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, TM)
+
+    @pl.when(act_ref[i] == 0)
+    def _():
+        # Culled tiles' partials are summed by the caller — must be zeros,
+        # not whatever the flushed VMEM buffer held.
+        p1_ref[:] = jnp.zeros_like(p1_ref)
+        px_ref[:] = jnp.zeros_like(px_ref)
+
+
+def _stripe_compaction(mask):
+    """Per-stripe scalar-prefetch arrays from the (n_i, n_j) active mask.
+
+    act[j, i] = 1 iff tile (i, j) is active. eff[j, i] = index of the last
+    active tile <= i in stripe j (forward-filled; backward-filled with the
+    first active tile before it; 0 for all-culled stripes, whose act row is
+    all zeros so the dummy index is never computed on). Consecutive culled
+    steps thus present an UNCHANGED block index to Pallas — no DMA.
+    """
+    maskT = mask.T > 0.0                                   # (n_j, n_i)
+    n_j, n_i = maskT.shape
+    idx = jnp.arange(n_i, dtype=jnp.int32)[None, :]
+    ai = jnp.where(maskT, idx, jnp.int32(-1))
+    ff = jax.lax.associative_scan(jnp.maximum, ai, axis=1)
+    first = jnp.argmax(maskT, axis=1).astype(jnp.int32)    # 0 if none
+    eff = jnp.where(ff >= 0, ff, first[:, None])
+    act = maskT.astype(jnp.int32)
+    return act, eff
+
+
+def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
+                     mask=None, interpret: bool = False):
+    """Single-exp culled E-step on PRE-PADDED transposed operands.
+
+    Same contract as :func:`fused_core` (inputs padded to tile multiples,
+    outputs still padded), one exp per active pair, 8 active-bytes/pair of
+    HBM stash traffic. ``mask``: optional precomputed (n_i, n_j) tile mask.
+    """
+    mp, np_ = ys_t.shape[1], xs_t.shape[1]
+    n_i, n_j = mp // tile_m, np_ // tile_n
+    inv2s2 = scal[0]
+
+    if mask is None:
+        ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
+        xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
+        mask = _active_mask(ymin, ymax, xmin, xmax, inv2s2)
+    act, eff = _stripe_compaction(mask)                    # (n_j, n_i) each
+
+    xs_blocks = xs_t.reshape(_SUBLANES, n_j, tile_n).transpose(1, 0, 2)
+    x2_blocks = x2.reshape(1, n_j, tile_n).transpose(1, 0, 2)
+
+    den_kernel = pl.pallas_call(
+        _stash_den_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, 1), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, tile_n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * tile_n * (_SUBLANES + 2),
+            bytes_accessed=4 * mp * tile_n,
+            transcendentals=mp * tile_n,
+        ),
+        interpret=interpret,
+    )
+
+    moment_kernel = pl.pallas_call(
+        _stash_moment_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, i)),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * tile_n * (_SUBLANES + 1),
+            bytes_accessed=8 * mp * tile_n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def stripe(carry, blk):
+        p1a, pxa, xxa = carry
+        xs_b, x2_b, act_b, eff_b = blk
+        den, pt1_b, xx_b, gst = den_kernel(
+            act_b, eff_b, scal, ys_t, y2, xs_b, x2_b)
+        p1_b, px_b = moment_kernel(act_b, eff_b, xs_b, den, gst)
+        return (p1a + p1_b, pxa + px_b, xxa + xx_b[0, 0]), pt1_b
+
+    init = (jnp.zeros((1, mp), jnp.float32),
+            jnp.zeros((_SUBLANES, mp), jnp.float32),
+            jnp.zeros((), jnp.float32))
+    (p1p, pxp, xx), pt1_stack = jax.lax.scan(
+        stripe, init, (xs_blocks, x2_blocks, act, eff))
+    pt1p = pt1_stack.transpose(1, 0, 2).reshape(1, np_)
+    return pt1p, p1p, pxp, xx.reshape(1, 1)
+
+
+# --------------------------------------------------------------------------
 # Row-weighted culled E-step (BCPD)
 # --------------------------------------------------------------------------
 #
@@ -729,39 +930,40 @@ def estep_auto(
     target: jax.Array,
     sigma2,
     w: float = 0.0,
-    tile_m: int = 1024,
+    tile_m: int = 512,
     tile_n: int = 1024,
     interpret: bool = False,
-    switch_frac: float = 0.7,
+    switch_frac: float = None,
     block=None,
     assume_sorted: bool = False,
 ) -> EstepMoments:
-    """Fraction-adaptive exact E-step: culled Pallas OR XLA scan, per call.
+    """Density-adaptive exact E-step: the single-exp g-stash kernel.
 
-    The culled two-pass kernel pays the per-pair exp twice, so at active
-    fraction f its cost is ~2f exp-passes vs 1 for the XLA scan: it wins
-    when f < t_xla/t_fused (~0.7 measured on v5e, incl. sort overhead).
-    f depends on sigma2, which CHANGES ACROSS EM ITERATIONS inside one
-    compiled program — so the choice must be a traced ``lax.cond``, not a
-    Python dispatch: early hot iterations take the XLA branch, annealed
-    late iterations take the culled branch (measured 2x+ at 131k, growing
-    with N as the active fraction ~ neighbors/tiles shrinks).
+    One program for every density: the per-tile cull mask adapts to sigma2
+    at runtime (sigma2 CHANGES ACROSS EM ITERATIONS inside one compiled
+    while_loop), and :func:`fused_stash_core`'s cost model — one exp +
+    8 stash bytes per ACTIVE pair — beats both the XLA scan (one exp +
+    12 HBM bytes per pair, always dense) and the two-pass culled kernel
+    (two exps per active pair) at every active fraction. Measured on v5e
+    at 131k x 131k (tiles 512x1024): 62 Gpair/s at f=1.0 vs XLA's 59 and
+    the two-pass kernel's 42; 264 Gpair/s at f=0.12. Round 2's
+    ``lax.cond`` between a Pallas and a dense-XLA branch (which reserved
+    BOTH branches' buffers) is gone.
+
+    ``switch_frac``/``block`` are retained for call compatibility and
+    ignored (there is no branch left to switch).
 
     ``assume_sorted``: the caller guarantees both clouds are already in a
     spatially coherent (Morton) order — skips the per-call argsort (a TPU
     sort of a 200k cloud costs ~0.3 s, dwarfing the culling gains when
     paid every EM iteration; cpd.registration sorts ONCE instead).
     """
+    del switch_frac, block
     t_source = jnp.asarray(t_source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     m = t_source.shape[0]
     n = target.shape[0]
     sigma2 = jnp.asarray(sigma2, jnp.float32)
-    if max(m, n) >= (1 << 19) and tile_m == 1024 and tile_n == 1024:
-        # Halved tiles double the tile count and shrink the active
-        # fraction floor (~neighbors/tiles): measured 25% faster at 1M,
-        # sigma2 = point-spacing scale (BENCHMARKS.md).
-        tile_m = tile_n = 512
 
     if assume_sorted:
         ys, xs = t_source, target
@@ -773,41 +975,27 @@ def estep_auto(
         ys = t_source[perm_y]
         xs = target[perm_x]
     dim = t_source.shape[1]
-    # Tile sizes / padding exactly as the kernel will see them (shared with
-    # fused_core — padded once, bounds computed once).
     tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
     tile_n = min(tile_n, ((n + 127) // 128) * 128)
     ys_t, y2 = _pad_transpose(ys, tile_m)
     xs_t, x2 = _pad_transpose(xs, tile_n)
-    ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
-    xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
-    mask = _active_mask(ymin, ymax, xmin, xmax, 0.5 / sigma2)
-    frac = jnp.mean(mask)
 
-    def culled(_):
-        c = outlier_constant(sigma2, w, m, n, dim)
-        scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
-        pt1p, p1p, pxp, xx = fused_core(
-            scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
-            interpret=interpret, cull=True, mask=mask)
-        pt1s = pt1p[0, :n]
-        p1s = p1p[0, :m]
-        pxs = pxp[:dim, :m].T
-        mom = EstepMoments(pt1s, p1s, pxs, jnp.sum(p1s),
-                           xx[0, 0].astype(t_source.dtype))
-        if assume_sorted:
-            return mom
-        pt1 = jnp.zeros((n,), mom.pt1.dtype).at[perm_x].set(mom.pt1)
-        p1 = jnp.zeros((m,), mom.p1.dtype).at[perm_y].set(mom.p1)
-        px = jnp.zeros(mom.px.shape, mom.px.dtype).at[perm_y].set(mom.px)
-        return EstepMoments(pt1, p1, px, mom.n_p, mom.xx)
-
-    def dense(_):
-        from .estep import estep_xla
-
-        return estep_xla(t_source, target, sigma2, w, block=block)
-
-    return jax.lax.cond(frac <= switch_frac, culled, dense, None)
+    c = outlier_constant(sigma2, w, m, n, dim)
+    scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
+    pt1p, p1p, pxp, xx = fused_stash_core(
+        scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
+        interpret=interpret)
+    pt1s = pt1p[0, :n]
+    p1s = p1p[0, :m]
+    pxs = pxp[:dim, :m].T
+    mom = EstepMoments(pt1s, p1s, pxs, jnp.sum(p1s),
+                       xx[0, 0].astype(t_source.dtype))
+    if assume_sorted:
+        return mom
+    pt1 = jnp.zeros((n,), mom.pt1.dtype).at[perm_x].set(mom.pt1)
+    p1 = jnp.zeros((m,), mom.p1.dtype).at[perm_y].set(mom.p1)
+    px = jnp.zeros(mom.px.shape, mom.px.dtype).at[perm_y].set(mom.px)
+    return EstepMoments(pt1, p1, px, mom.n_p, mom.xx)
 
 
 # --------------------------------------------------------------------------

@@ -93,10 +93,10 @@ def test_mask_never_culls_a_live_tile():
 
 
 @pytest.mark.parametrize("sigma2,expect_culled", [(5.0, False), (0.03, True)])
-def test_estep_auto_matches_xla_both_branches(sigma2, expect_culled):
-    """estep_auto lax.cond-switches between the XLA scan (dense regime)
-    and the culled kernel (annealed regime); both branches must agree with
-    the dense reference."""
+def test_estep_auto_matches_xla_both_regimes(sigma2, expect_culled):
+    """estep_auto (the single-exp g-stash kernel, round-3) adapts to the
+    active-tile fraction at runtime inside ONE program; it must agree with
+    the dense reference in the dense AND the mostly-culled regime."""
     src, tgt = _blob_clouds(640, 640, seed=11)
     py = np.asarray(morton_order(src))
     px = np.asarray(morton_order(tgt))
@@ -315,3 +315,64 @@ def test_morton_code_groups_quadrants():
     # the sorted sequence == number of blobs - 1.
     changes = int((np.diff(labels) != 0).sum())
     assert changes <= 7, changes
+
+
+@pytest.mark.parametrize("sigma2", [1.0, 1e-2, 1e-4])
+def test_stash_core_matches_xla(sigma2):
+    """Single-exp g-stash E-step (fused_stash_core): pass A stashes each
+    active tile's exp'd block, pass B reloads without recomputing exp; the
+    scalar-prefetch eff-index compaction must not corrupt results at any
+    density (round-3 VERDICT item 3)."""
+    from probreg_tpu.ops.estep import outlier_constant
+
+    src, tgt = _blob_clouds(700, 900, seed=21)
+    s = src[np.asarray(morton_order(src))]
+    t = tgt[np.asarray(morton_order(tgt))]
+    m, n, dim, w = 700, 900, 3, 0.05
+    c = outlier_constant(jnp.float32(sigma2), w, m, n, dim)
+    scal = jnp.stack([0.5 / jnp.float32(sigma2), c]).astype(jnp.float32)
+    ys_t, y2 = ep._pad_transpose(jnp.asarray(s), 128)
+    xs_t, x2 = ep._pad_transpose(jnp.asarray(t), 128)
+    pt1p, p1p, pxp, xx = ep.fused_stash_core(
+        scal, ys_t, y2, xs_t, x2, tile_m=128, tile_n=128, interpret=True)
+    # The established two-pass culled kernel is the tight oracle (identical
+    # per-pair arithmetic — stash changes only WHERE exp results live, so
+    # the two must agree to reciprocal-multiply rounding at every sigma2).
+    pt1f, p1f, pxf, xxf = ep.fused_core(
+        scal, ys_t, y2, xs_t, x2, tile_m=128, tile_n=128, interpret=True,
+        cull=True)
+    assert _rel(pt1f, pt1p) < 1e-6
+    assert _rel(p1f, p1p) < 1e-6
+    assert _rel(pxf, pxp) < 1e-6
+    np.testing.assert_allclose(float(xxf[0, 0]), float(xx[0, 0]), rtol=1e-5)
+    if sigma2 >= 1e-2:
+        # vs the XLA oracle at non-pathological sigma2 (at 1e-4 with w>0
+        # the den ~ outlier-constant ~ 1e-30 regime amplifies f32
+        # association noise identically for BOTH Pallas kernels).
+        ref = eo.estep_xla(s, t, jnp.float32(sigma2), w)
+        assert _rel(ref.pt1, pt1p[0, :n]) < 3e-4
+        assert _rel(ref.p1, p1p[0, :m]) < 3e-4
+        assert _rel(ref.px, pxp[:dim, :m].T) < 3e-4
+
+
+def test_stripe_compaction_properties():
+    """eff = last active tile <= i (clamped into the stripe's active set);
+    act == (eff == i); all-culled stripes have act == 0 everywhere."""
+    mask = jnp.asarray([
+        [0.0, 1.0, 0.0],   # tile row 0 active in stripes 1
+        [1.0, 1.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],
+    ])  # (n_i=4, n_j=3)
+    act, eff = ep._stripe_compaction(mask)
+    act, eff = np.asarray(act), np.asarray(eff)
+    assert act.shape == eff.shape == (3, 4)
+    np.testing.assert_array_equal(act[0], [0, 1, 0, 1])
+    np.testing.assert_array_equal(eff[0], [1, 1, 1, 3])
+    np.testing.assert_array_equal(act[1], [1, 1, 1, 0])
+    np.testing.assert_array_equal(eff[1], [0, 1, 2, 2])
+    # stripe 2: no active tiles -> act all zero (eff is a harmless dummy).
+    np.testing.assert_array_equal(act[2], [0, 0, 0, 0])
+    # active steps always map to themselves.
+    np.testing.assert_array_equal(eff[act == 1],
+                                  np.nonzero(act.ravel())[0] % 4)
