@@ -634,6 +634,31 @@ class FilterReg(abc.ABC):
             self._sigma2 = float(res.sigma2)
             return res
 
+        if (isinstance(self, DeformableKinematicFilterReg)
+                and not self._callbacks
+                and self._estep_method == "dense"
+                and _is_identity_feature(feature_fn)):
+            # Whole-EM runner: one dispatch per registration (round-3; the
+            # host loop costs one ~33 ms RTT per EM iteration on remote TPU).
+            auto = self._sigma2 is None
+            pair = jnp.asarray(self._skinning_weight.pair)
+            val = jnp.asarray(self._skinning_weight.val,
+                              _config.config.dtype)
+            dqs, s2, q = _run_em_deformable(
+                self._source, target,
+                jnp.asarray(self._tf_result.dualquats), pair, val,
+                np.float32(0.0 if auto else self._sigma2),
+                update_sigma2=bool(self._update_sigma2), w=float(w),
+                maxiter=int(maxiter), tol=float(tol),
+                min_sigma2=float(min_sigma2),
+                sigma2_decay=float(sigma2_decay), auto_sigma2=auto)
+            res = MstepResult(
+                tf.DeformableKinematicModel(dqs, self._skinning_weight),
+                s2, q)
+            self._tf_result = res.transformation
+            self._sigma2 = float(s2)
+            return res
+
         ftarget = feature_fn(target)
         if self._sigma2 is None:
             if objective_type == "pt2pl":
@@ -797,89 +822,158 @@ class DeformableKinematicFilterReg(FilterReg):
                            w=0.0, objective_type="", maxiter=50, tol=1.0e-4):
         m, dim = t_source.shape
         n = target.shape[0]
-        n6d = dim * 2
-        n_nodes = trans_p.weights.n_nodes
         m0, m1, m2, _ = estep_res
-        m0 = jnp.maximum(m0, _EPS)
         c = w / (1.0 - w) * n / m
-        m1m0 = m1 / m0[:, None]
-        m0m0 = m0 / (m0 + c)
-        drxdx = jnp.sqrt(m0m0 / sigma2)
-
         pair = jnp.asarray(trans_p.weights.pair)        # (P, 2)
         val = jnp.asarray(trans_p.weights.val, t_source.dtype)  # (P, 2)
-        dxdz = so.diff_x_from_twist(t_source)           # (M, 3, 6)
-        drxdz = drxdx[:, None, None] * dxdz             # (M, 3, 6)
-
-        # Full blended-skinning J^T J: d x_i / d tw_k = w_ik * dxdz_i, so
-        # each point contributes a 2x2 grid of 6x6 blocks (w0^2, w0 w1,
-        # w1 w0, w1^2) between its two nodes. (The reference assembles only
-        # the off-diagonal blocks and half the gradient,
-        # filterreg.py:231-238/246-253 — with dq3d absent it ships untested;
-        # that system is singular for shared-pair clouds.)
-        jtj = jnp.einsum("mik,mil->mkl", drxdz, drxdz)  # (M, 6, 6)
-        a = jnp.zeros((n_nodes * n6d, n_nodes * n6d), t_source.dtype)
-        off = jnp.arange(n6d)
-        for pi in range(2):
-            for pj in range(2):
-                rows = (pair[:, pi] * n6d)[:, None, None] + off[None, :, None]
-                cols = (pair[:, pj] * n6d)[:, None, None] + off[None, None, :]
-                a = a.at[rows, cols].add(
-                    jtj * (val[:, pi] * val[:, pj])[:, None, None])
-
-        def blend_apply(tw_all):
-            tws = tw_all.reshape(n_nodes, n6d)
-            qs = jax.vmap(dq.from_twist)(tws)           # (n_nodes, 8)
-            q0 = qs[pair[:, 0]]
-            q1 = qs[pair[:, 1]]
-            blended = dq.dlb2(val[:, 0], q0, val[:, 1], q1)
-            return dq.transform_point(blended, t_source)
-
-        # The skinning normal matrix is exactly singular for degenerate
-        # clouds (e.g. colinear points leave rotation about the bar
-        # unobservable), and the lattice E-step's m1/m0 noise leaks into
-        # those null directions — lstsq with an explicit rcond truncates
-        # them (a damped solve would amplify: dtw_null = b_null / lam).
-        # The step cap guards the nonlinear overshoot of large twists.
-        max_step = jnp.asarray(0.5, t_source.dtype)
-
-        def gn_body(state):
-            tw, _, it = state
-            x = blend_apply(tw)
-            rx = drxdx[:, None] * (x - m1m0)
-            b = jnp.zeros((n_nodes * n6d,), t_source.dtype)
-            jr = jnp.einsum("mik,mi->mk", drxdz, rx)    # (M, 6)
-            for pi in range(2):
-                brows = (pair[:, pi] * n6d)[:, None] + jnp.arange(n6d)[None, :]
-                b = b.at[brows].add(jr * val[:, pi:pi + 1])
-            dtw = jnp.linalg.lstsq(a, b, rcond=1e-5)[0]
-            dn = jnp.linalg.norm(dtw)
-            dtw = dtw * jnp.minimum(1.0, max_step / jnp.maximum(dn, _EPS))
-            return tw - dtw, jnp.minimum(dn, max_step), it + 1
-
-        def gn_cond(state):
-            _, dn, it = state
-            return jnp.logical_and(it < maxiter,
-                                   jnp.logical_or(it == 0, dn >= tol))
-
-        tw0 = jnp.zeros((n_nodes * n6d,), t_source.dtype)
-        tw, _, _ = jax.lax.while_loop(
-            gn_cond, gn_body, (tw0, jnp.asarray(jnp.inf, t_source.dtype),
-                               jnp.asarray(0)))
-
-        tws = tw.reshape(n_nodes, n6d)
-        deltas = jax.vmap(dq.from_twist)(tws)
-        new_dq = jax.vmap(dq.mul)(deltas, trans_p.dualquats)
-        x = blend_apply(tw)
-        rx = drxdx[:, None] * (x - m1m0)
-        q = jnp.sum(rx * rx)
-        s2 = sigma2
-        if m2 is not None:
-            num = m0 * jnp.sum(t_source * t_source, axis=1) \
-                - 2.0 * jnp.sum(t_source * m1, axis=1) + m2
-            s2 = jnp.sum(num / (m0 + c)) / (3.0 * jnp.sum(m0m0))
+        new_dq, s2, q = _deformable_mstep(
+            t_source, m0, m1, m2, trans_p.dualquats, pair, val,
+            jnp.asarray(sigma2, t_source.dtype), c,
+            gn_maxiter=maxiter, gn_tol=tol)
         return MstepResult(
             tf.DeformableKinematicModel(new_dq, trans_p.weights), s2, q)
+
+
+def _deformable_mstep(t_source, m0, m1, m2, dualquats, pair, val, sigma2, c,
+                      gn_maxiter=50, gn_tol=1.0e-4):
+    """Blended-skinning Gauss-Newton M-step (pure jnp; shared by the host
+    maximization_step and the whole-EM runner ``_run_em_deformable``).
+
+    Returns (new_dualquats (n_nodes, 8), sigma2_estimate, q).
+    """
+    dim = t_source.shape[1]
+    n6d = dim * 2
+    n_nodes = dualquats.shape[0]
+    m0 = jnp.maximum(m0, _EPS)
+    m1m0 = m1 / m0[:, None]
+    m0m0 = m0 / (m0 + c)
+    drxdx = jnp.sqrt(m0m0 / sigma2)
+
+    dxdz = so.diff_x_from_twist(t_source)           # (M, 3, 6)
+    drxdz = drxdx[:, None, None] * dxdz             # (M, 3, 6)
+
+    # Full blended-skinning J^T J: d x_i / d tw_k = w_ik * dxdz_i, so
+    # each point contributes a 2x2 grid of 6x6 blocks (w0^2, w0 w1,
+    # w1 w0, w1^2) between its two nodes. (The reference assembles only
+    # the off-diagonal blocks and half the gradient,
+    # filterreg.py:231-238/246-253 — with dq3d absent it ships untested;
+    # that system is singular for shared-pair clouds.)
+    jtj = jnp.einsum("mik,mil->mkl", drxdz, drxdz)  # (M, 6, 6)
+    a = jnp.zeros((n_nodes * n6d, n_nodes * n6d), t_source.dtype)
+    off = jnp.arange(n6d)
+    for pi in range(2):
+        for pj in range(2):
+            rows = (pair[:, pi] * n6d)[:, None, None] + off[None, :, None]
+            cols = (pair[:, pj] * n6d)[:, None, None] + off[None, None, :]
+            a = a.at[rows, cols].add(
+                jtj * (val[:, pi] * val[:, pj])[:, None, None])
+
+    def blend_apply(tw_all):
+        tws = tw_all.reshape(n_nodes, n6d)
+        qs = jax.vmap(dq.from_twist)(tws)           # (n_nodes, 8)
+        q0 = qs[pair[:, 0]]
+        q1 = qs[pair[:, 1]]
+        blended = dq.dlb2(val[:, 0], q0, val[:, 1], q1)
+        return dq.transform_point(blended, t_source)
+
+    # The skinning normal matrix is exactly singular for degenerate
+    # clouds (e.g. colinear points leave rotation about the bar
+    # unobservable), and the lattice E-step's m1/m0 noise leaks into
+    # those null directions — lstsq with an explicit rcond truncates
+    # them (a damped solve would amplify: dtw_null = b_null / lam).
+    # The step cap guards the nonlinear overshoot of large twists.
+    max_step = jnp.asarray(0.5, t_source.dtype)
+
+    def gn_body(state):
+        tw, _, it = state
+        x = blend_apply(tw)
+        rx = drxdx[:, None] * (x - m1m0)
+        b = jnp.zeros((n_nodes * n6d,), t_source.dtype)
+        jr = jnp.einsum("mik,mi->mk", drxdz, rx)    # (M, 6)
+        for pi in range(2):
+            brows = (pair[:, pi] * n6d)[:, None] + jnp.arange(n6d)[None, :]
+            b = b.at[brows].add(jr * val[:, pi:pi + 1])
+        dtw = jnp.linalg.lstsq(a, b, rcond=1e-5)[0]
+        dn = jnp.linalg.norm(dtw)
+        dtw = dtw * jnp.minimum(1.0, max_step / jnp.maximum(dn, _EPS))
+        return tw - dtw, jnp.minimum(dn, max_step), it + 1
+
+    def gn_cond(state):
+        _, dn, it = state
+        return jnp.logical_and(it < gn_maxiter,
+                               jnp.logical_or(it == 0, dn >= gn_tol))
+
+    tw0 = jnp.zeros((n_nodes * n6d,), t_source.dtype)
+    tw, _, _ = jax.lax.while_loop(
+        gn_cond, gn_body, (tw0, jnp.asarray(jnp.inf, t_source.dtype),
+                           jnp.asarray(0)))
+
+    tws = tw.reshape(n_nodes, n6d)
+    deltas = jax.vmap(dq.from_twist)(tws)
+    new_dq = jax.vmap(dq.mul)(deltas, dualquats)
+    x = blend_apply(tw)
+    rx = drxdx[:, None] * (x - m1m0)
+    q = jnp.sum(rx * rx)
+    s2 = sigma2
+    if m2 is not None:
+        num = m0 * jnp.sum(t_source * t_source, axis=1) \
+            - 2.0 * jnp.sum(t_source * m1, axis=1) + m2
+        s2 = jnp.sum(num / (m0 + c)) / (3.0 * jnp.sum(m0m0))
+    return new_dq, s2, q
+
+
+@partial(jax.jit, static_argnames=(
+    "update_sigma2", "w", "min_sigma2", "sigma2_decay", "auto_sigma2",
+    "gn_maxiter", "gn_tol"))
+def _run_em_deformable(source, target, dq0, pair, val, sigma2_in, *,
+                       update_sigma2, w, maxiter, tol, min_sigma2,
+                       sigma2_decay=1.0, auto_sigma2=False,
+                       gn_maxiter=50, gn_tol=1.0e-4):
+    """Whole-EM DeformableKinematicFilterReg: ONE XLA program.
+
+    Round 2 left this family on the eager host loop (one ~33 ms dispatch
+    RTT per EM iteration on remote TPU); like every other family, the dense
+    exact E-step (ops/gausstransform.filterreg_moments) and the
+    blended-skinning GN M-step now live in a single ``lax.while_loop``
+    with the host loop's convergence semantics (|q - q_prev| < tol, sigma2
+    decay/floor applied between iterations).
+    """
+    m, dim = source.shape
+    n = target.shape[0]
+    c = w / (1.0 - w) * n / m
+    if auto_sigma2:
+        sigma2_0 = jnp.maximum(mu.squared_kernel_sum(source, target),
+                               min_sigma2)
+    else:
+        sigma2_0 = jnp.asarray(sigma2_in, source.dtype)
+
+    def body(state):
+        dqs, sigma2, q, _, i = state
+        q0 = dqs[pair[:, 0]]
+        q1 = dqs[pair[:, 1]]
+        blended = dq.dlb2(val[:, 0], q0, val[:, 1], q1)
+        t_src = dq.transform_point(blended, source)
+        sigma = jnp.sqrt(sigma2)
+        m0, m1, m2, _ = gto.filterreg_moments(
+            t_src / sigma, target / sigma, target, None,
+            need_m2=bool(update_sigma2))
+        new_dq, s2_est, q_new = _deformable_mstep(
+            t_src, m0, m1, m2, dqs, pair, val, sigma2, c,
+            gn_maxiter=gn_maxiter, gn_tol=gn_tol)
+        s2_next = s2_est if update_sigma2 else sigma2 * sigma2_decay
+        s2_next = jnp.maximum(s2_next, min_sigma2)
+        return (new_dq, s2_next, q_new, q, i + 1)
+
+    def cond(state):
+        _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    state = (dq0, sigma2_0, jnp.asarray(jnp.inf, source.dtype),
+             jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
+    dqs, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return dqs, sigma2, q
 
 
 @partial(jax.jit, static_argnames=(

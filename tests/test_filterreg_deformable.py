@@ -57,3 +57,70 @@ def test_deformable_kinematic_model_transform(rng):
     wr = np.clip((src[:, 0] + 1.0) / 2.0, 0.0, 1.0)
     np.testing.assert_allclose(moved[:, 1] - src[:, 1], 0.2 * wr, atol=0.02)
     np.testing.assert_allclose(moved[:, 0], src[:, 0], atol=0.02)
+
+
+def test_deformable_recovers_per_node_twists(rng):
+    """Round-3 quality gate: build the target from KNOWN per-node dual
+    quaternions through the same skinning model; registration must recover
+    each node's rotation and translation (not just shrink the residual).
+    Also pins the whole-EM runner path: one XLA program per registration."""
+    import jax.numpy as jnp
+
+    from probreg_tpu.utils import dualquat as dq
+
+    src, weights = make_two_segment_cloud(rng, n=240)
+    gt0 = dq.from_twist(jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    gt1 = dq.from_twist(jnp.asarray([0.0, 0.0, 0.18, 0.02, 0.1, -0.03]))
+    gt = jnp.stack([gt0, gt1])
+    model_gt = tf.DeformableKinematicModel(gt, weights)
+    tgt = np.asarray(model_gt.transform(src))
+
+    calls = []
+    orig = filterreg._run_em_deformable
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    filterreg._run_em_deformable = spy
+    try:
+        reg = filterreg.DeformableKinematicFilterReg(src, weights, 0.002)
+        res = reg.registration(tgt, maxiter=40, tol=1e-8)
+    finally:
+        filterreg._run_em_deformable = orig
+    assert calls == [1], "whole-EM runner must be dispatched exactly once"
+
+    qr_rec, t_rec = dq.to_rot_trans(res.transformation.dualquats)
+    qr_gt, t_gt = dq.to_rot_trans(gt)
+    for k in range(2):
+        qk = np.asarray(qr_rec[k])
+        gk = np.asarray(qr_gt[k])
+        if float(np.dot(qk, gk)) < 0:
+            qk = -qk
+        assert np.abs(qk - gk).max() < 0.02, (k, qk, gk)
+        assert np.abs(np.asarray(t_rec[k]) - np.asarray(t_gt[k])).max() \
+            < 0.02, (k, t_rec[k], t_gt[k])
+    # And the cloud-level residual collapses.
+    moved = np.asarray(res.transformation.transform(src))
+    assert np.linalg.norm(moved - tgt) < 0.05 * np.linalg.norm(src - tgt)
+
+
+def test_deformable_host_loop_matches_runner(rng):
+    """The eager host loop (taken when callbacks are present) and the
+    whole-EM runner must agree on the same problem."""
+    src, weights = make_two_segment_cloud(rng, n=80)
+    shift = np.zeros_like(src)
+    wr = np.clip((src[:, 0] + 1.0) / 2.0, 0.0, 1.0)
+    shift[:, 1] = 0.15 * wr
+    tgt = src + shift
+
+    reg1 = filterreg.DeformableKinematicFilterReg(src, weights, 0.002)
+    res1 = reg1.registration(tgt, maxiter=15, tol=1e-8)
+    seen = []
+    reg2 = filterreg.DeformableKinematicFilterReg(src, weights, 0.002)
+    reg2.set_callbacks([lambda tr: seen.append(tr)])
+    res2 = reg2.registration(tgt, maxiter=15, tol=1e-8)
+    assert len(seen) > 0  # callbacks force the host loop
+    m1 = np.asarray(res1.transformation.transform(src))
+    m2 = np.asarray(res2.transformation.transform(src))
+    np.testing.assert_allclose(m1, m2, atol=1e-4)
