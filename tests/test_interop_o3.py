@@ -1,13 +1,16 @@
-"""Open3D interop paths, exercised against a stub ``open3d`` module.
+"""Open3D interop paths — REAL open3d when importable, stub otherwise.
 
-The image has no open3d, so the optional-dependency branches in
-utils/interop.py (PointCloud / Vector3dVector conversion, the
-Vector3dVector round-trip of Transformation.transform — reference
-cpd.py:444 and transformation.py:23-26) were untested. A minimal stub with
-the same duck-typed surface covers them without the real package.
+The optional-dependency branches in utils/interop.py (PointCloud /
+Vector3dVector conversion, the Vector3dVector round-trip of
+Transformation.transform — reference cpd.py:444 and
+transformation.py:23-26) run against the real package on the CI leg that
+installs open3d (PROBREG_TPU_REQUIRE_O3=1 makes the fallback an error
+there); images without open3d exercise the same duck-typed surface via a
+minimal stub.
 """
 
 import importlib
+import os
 import sys
 import types
 
@@ -15,6 +18,14 @@ import numpy as np
 import pytest
 
 from probreg_tpu.utils import interop
+
+try:
+    import open3d as _real_o3  # noqa: F401
+    _HAS_REAL_O3 = True
+except Exception:
+    _HAS_REAL_O3 = False
+    if os.environ.get("PROBREG_TPU_REQUIRE_O3") == "1":
+        raise
 
 
 def _make_stub():
@@ -48,8 +59,23 @@ def _make_stub():
     return o3
 
 
+def _make_pc(o3, pts, normals=None):
+    """Build a PointCloud for both the real package and the stub."""
+    pc = o3.geometry.PointCloud()
+    pc.points = o3.utility.Vector3dVector(np.asarray(pts, np.float64))
+    if normals is not None:
+        pc.normals = o3.utility.Vector3dVector(
+            np.asarray(normals, np.float64))
+    return pc
+
+
 @pytest.fixture
 def o3_stub():
+    if _HAS_REAL_O3:
+        import open3d
+
+        yield open3d
+        return
     had = sys.modules.get("open3d")
     sys.modules["open3d"] = _make_stub()
     importlib.reload(interop)
@@ -65,21 +91,21 @@ def o3_stub():
 
 def test_as_points_pointcloud(o3_stub, rng):
     pts = rng.normal(size=(10, 3))
-    pc = o3_stub.geometry.PointCloud(pts)
+    pc = _make_pc(o3_stub, pts)
     out = interop.as_points(pc)
     assert out.dtype == np.float32
-    np.testing.assert_allclose(out, pts.astype(np.float32))
+    np.testing.assert_allclose(out, pts.astype(np.float32), rtol=1e-6)
     # Vector3dVector converts too.
     out2 = interop.as_points(o3_stub.utility.Vector3dVector(pts))
-    np.testing.assert_allclose(out2, pts.astype(np.float32))
+    np.testing.assert_allclose(out2, pts.astype(np.float32), rtol=1e-6)
 
 
 def test_as_normals_pointcloud(o3_stub, rng):
     pts = rng.normal(size=(7, 3))
     nrm = rng.normal(size=(7, 3))
-    pc = o3_stub.geometry.PointCloud(pts, nrm)
+    pc = _make_pc(o3_stub, pts, nrm)
     np.testing.assert_allclose(
-        interop.as_normals(pc), nrm.astype(np.float32))
+        interop.as_normals(pc), nrm.astype(np.float32), rtol=1e-6)
     assert interop.as_normals(None) is None
 
 
@@ -104,7 +130,47 @@ def test_registration_accepts_pointclouds(o3_stub, horse_cloud):
     rot = np.asarray(se3_op.euler2mat(*np.deg2rad([0.0, 0.0, 10.0])), np.float32)
     tgt = src @ rot.T
     res = cpd.registration_cpd(
-        o3_stub.geometry.PointCloud(src), o3_stub.geometry.PointCloud(tgt),
-        maxiter=50)
+        _make_pc(o3_stub, src), _make_pc(o3_stub, tgt), maxiter=50)
     got = np.rad2deg(np.asarray(se3_op.mat2euler(np.asarray(res.transformation.rot))))
     np.testing.assert_allclose(got, [0.0, 0.0, 10.0], atol=0.5)
+
+
+def test_plot2d_callback_real_matplotlib(tmp_path, rng, monkeypatch):
+    """Plot2DCallback against the REAL matplotlib (Agg backend): fires per
+    EM iteration, transforms the source, and writes sequential images with
+    save=True (reference callbacks.py:21-62 contract)."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    monkeypatch.chdir(tmp_path)  # image_%04d.png files land here
+
+    from probreg_tpu import callbacks, cpd
+
+    src = rng.normal(size=(40, 2)).astype(np.float32)
+    tgt = (src + np.array([0.05, -0.02], np.float32)).astype(np.float32)
+    cb = callbacks.Plot2DCallback(src, tgt, save=True, keep_window=False)
+    res = cpd.registration_cpd(src, tgt, maxiter=5, tol=0.0, callbacks=[cb])
+    assert cb._cnt >= 2  # constructor plot + >=1 iteration
+    pngs = sorted(p.name for p in tmp_path.glob("image_*.png"))
+    assert pngs[0] == "image_0000.png" and len(pngs) == cb._cnt
+    assert np.allclose(np.asarray(cb._result),
+                       np.asarray(res.transformation.transform(src)),
+                       atol=1e-5)
+
+
+@pytest.mark.skipif(not _HAS_REAL_O3, reason="real open3d not installed")
+def test_real_open3d_voxel_downsample_parity(rng):
+    """utils.io.voxel_down_sample is documented Open3D-compatible — pin
+    that against the real package when present."""
+    from probreg_tpu.utils import io as pio
+
+    pts = rng.normal(size=(500, 3)).astype(np.float64)
+    import open3d as o3
+
+    pc = _make_pc(o3, pts)
+    ref = np.asarray(pc.voxel_down_sample(0.25).points)
+    ours = pio.voxel_down_sample(pts, 0.25)
+    # Same voxel occupancy and same centroids (order-insensitive).
+    assert ours.shape == ref.shape
+    ref_sorted = ref[np.lexsort(ref.T)]
+    ours_sorted = ours[np.lexsort(ours.T)]
+    np.testing.assert_allclose(ours_sorted, ref_sorted, atol=1e-9)
