@@ -659,6 +659,42 @@ class FilterReg(abc.ABC):
             self._sigma2 = float(s2)
             return res
 
+        if (isinstance(self, RigidFilterReg)
+                and not self._callbacks
+                and self._estep_method == "dense"
+                and not _is_identity_feature(feature_fn)):
+            # Feature-mode whole-EM runner: the feature map is traced into
+            # the loop (one dispatch per registration). Feature fns outside
+            # JAX (numpy/sklearn/open3d) fail tracing and fall back to the
+            # host loop below.
+            normals = self._target_normals \
+                if objective_type == "pt2pl" else None
+            if objective_type == "pt2pl" and normals is None:
+                raise ValueError("pt2pl requires target_normals.")
+            auto = self._sigma2 is None
+            try:
+                ftarget_j = jnp.asarray(feature_fn(target))
+                rot, t, s2, q = _run_em_rigid_feature(
+                    self._source, target, normals, ftarget_j,
+                    jnp.asarray(self._tf_result.rot, self._source.dtype),
+                    jnp.asarray(self._tf_result.t, self._source.dtype),
+                    np.float32(0.0 if auto else self._sigma2),
+                    feature_fn=feature_fn, objective_type=objective_type,
+                    update_sigma2=bool(self._update_sigma2), w=float(w),
+                    maxiter=int(maxiter), tol=float(tol),
+                    min_sigma2=float(min_sigma2),
+                    sigma2_decay=float(sigma2_decay), auto_sigma2=auto)
+            except (TypeError, jax.errors.UnexpectedTracerError,
+                    jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError) as e:
+                log.info("feature_fn not traceable (%r); falling back to "
+                         "the per-iteration host loop", e)
+            else:
+                res = MstepResult(tf.RigidTransformation(rot, t), s2, q)
+                self._tf_result = res.transformation
+                self._sigma2 = float(s2)
+                return res
+
         ftarget = feature_fn(target)
         if self._sigma2 is None:
             if objective_type == "pt2pl":
@@ -974,6 +1010,63 @@ def _run_em_deformable(source, target, dq0, pair, val, sigma2_in, *,
              jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
     dqs, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
     return dqs, sigma2, q
+
+
+@partial(jax.jit, static_argnames=(
+    "feature_fn", "objective_type", "update_sigma2", "w", "min_sigma2",
+    "sigma2_decay", "auto_sigma2"))
+def _run_em_rigid_feature(source, target, normals, ftarget, rot0, t0,
+                          sigma2_in, *, feature_fn, objective_type,
+                          update_sigma2, w, maxiter, tol, min_sigma2,
+                          sigma2_decay=1.0, auto_sigma2=False):
+    """Whole-EM rigid FilterReg with a TRACED feature map: one XLA program.
+
+    ``feature_fn`` (static) is traced into the loop — the per-iteration
+    source features (e.g. the pure-JAX FPFH pipeline, ops/fpfh.py) are
+    recomputed on-device inside the while_loop instead of paying one host
+    dispatch RTT per EM iteration (round-2 weak #6; reference anchor
+    filterreg.py:121-133). The E-step runs in feature space, the M-step in
+    point space — exactly the host loop's semantics.
+    """
+    m, dim = source.shape
+    n = target.shape[0]
+    need_nx = objective_type == "pt2pl"
+    if auto_sigma2:
+        fsource0 = feature_fn(source)
+        sigma2_0 = jnp.maximum(mu.squared_kernel_sum(fsource0, ftarget),
+                               min_sigma2)
+    else:
+        sigma2_0 = jnp.asarray(sigma2_in, source.dtype)
+
+    def body(state):
+        rot, t, sigma2, q, _, i = state
+        t_src = source @ rot.T + t
+        fsrc = feature_fn(t_src)
+        sigma = jnp.sqrt(sigma2)
+        m0, m1, m2, nx = gto.filterreg_moments(
+            fsrc / sigma, ftarget / sigma, target,
+            normals if need_nx else None, need_m2=bool(update_sigma2))
+        c = _outlier_c(sigma2, w, m, n, dim)
+        if objective_type == "pt2pt":
+            rot_n, t_n, s2_est, q_new = rigid_mstep_pt2pt(
+                t_src, m0, m1, m2, rot, t, sigma2, c)
+        else:
+            rot_n, t_n, s2_est, q_new = rigid_mstep_pt2pl(
+                t_src, m0, m1, m2, nx, rot, t, sigma2, c)
+        s2_next = s2_est if update_sigma2 else sigma2 * sigma2_decay
+        s2_next = jnp.maximum(s2_next, min_sigma2)
+        return (rot_n, t_n, s2_next, q_new, q, i + 1)
+
+    def cond(state):
+        _, _, _, q, q_prev, i = state
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+    state = (rot0, t0, sigma2_0, jnp.asarray(jnp.inf, source.dtype),
+             jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
+    rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    return rot, t, sigma2, q
 
 
 @partial(jax.jit, static_argnames=(

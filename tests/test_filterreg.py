@@ -185,9 +185,23 @@ def test_filterreg_fpfh_feature_estep(horse_cloud):
     tgt = src @ rot.T
 
     fpfh = features.FPFH(radius_normal=0.02, radius_feature=0.05)
-    res_f = filterreg.registration_filterreg(
-        src, tgt, objective_type="pt2pt", feature_fn=fpfh, maxiter=40,
-        tol=1e-6)
+    calls = []
+    orig = filterreg._run_em_rigid_feature
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    filterreg._run_em_rigid_feature = spy
+    try:
+        res_f = filterreg.registration_filterreg(
+            src, tgt, objective_type="pt2pt", feature_fn=fpfh, maxiter=40,
+            tol=1e-6)
+    finally:
+        filterreg._run_em_rigid_feature = orig
+    # Round-3: the pure-JAX FPFH pipeline is traced INTO the EM loop —
+    # one dispatch per registration, not one per iteration.
+    assert calls == [1]
     rec_f = np.asarray(se3_op.mat2euler(res_f.transformation.rot))
     np.testing.assert_allclose(rec_f, ang, atol=2e-1)
     np.testing.assert_allclose(
