@@ -221,12 +221,14 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
         if not use_culled:
             pxp_loc, xx_loc = dense_local(None)
         else:
-            # Always the tiled culled kernel: its per-tile mask already
-            # adapts to sigma2 at runtime (all-active == dense compute),
-            # and unlike a lax.cond with a dense branch it never compiles
-            # an (M, N/P) allocation — the dense branch's buffer would be
-            # reserved even when the branch is never taken (observed OOM
-            # at 150k x 150k on one device).
+            # Always the tiled culled kernel (round 3: the single-exp
+            # g-stash variant — one exp + 8 stash-bytes per ACTIVE tile
+            # pair, >= the dense compute at every density): its per-tile
+            # mask already adapts to sigma2 at runtime, and unlike a
+            # lax.cond with a dense branch it never compiles an (M, N/P)
+            # allocation — the dense branch's buffer would be reserved
+            # even when the branch is never taken (observed OOM at
+            # 150k x 150k on one device).
             from ..ops import estep_pallas as ep
 
             nl = xs_sh.shape[1]
@@ -244,9 +246,9 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
             x2p = jnp.full((1, nlp), ep._BIG, f32).at[0, :nl].set(x2v)
             scal = jnp.stack([0.5 / sigma2, c]).astype(f32)
 
-            pt1p, p1p, pxp, xxp = ep.fused_core(
+            pt1p, p1p, pxp, xxp = ep.fused_stash_core(
                 scal, ys8, y2p, xs8, x2p, tile_m=tm, tile_n=tn,
-                interpret=culled_interpret, cull=True)
+                interpret=culled_interpret)
             pxp_loc = jnp.concatenate([pxp[:dim, :m], p1p[:, :m]], axis=0)
             xx_loc = xxp[0, 0]
 
