@@ -361,8 +361,13 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
 
 @partial(jax.jit, static_argnames=("w", "block"))
 def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
-                               tol, block=None):
+                               tol, block=None, zc_init_t=None,
+                               sigma2_init=None):
     """Whole-EM low-rank nonrigid loop, transposed layout + blocked E-step.
+
+    ``zc_init_t`` (D, K) / ``sigma2_init``: warm starts (coarse-to-fine
+    pyramid — the coarse displacement field projected onto this level's
+    Nystrom basis, and the coarse converged variance).
 
     Same math as _nonrigid_lowrank_step (Woodbury K x K solve,
     ops/lowrank.py) but lane-major like _run_em_t — points stay (D, M)
@@ -377,7 +382,11 @@ def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
     n = xs_t.shape[1]
     k = lam.shape[0]
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
-    sigma2_0 = mu.squared_kernel_sum(source, target)
+    if sigma2_init is not None:
+        sigma2_0 = jnp.maximum(
+            jnp.asarray(sigma2_init, source.dtype), _F32_EPS)
+    else:
+        sigma2_0 = mu.squared_kernel_sum(source, target)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
     xs_ext = jnp.concatenate(
         [xs_t, jnp.ones((1, n), xs_t.dtype)], axis=0)      # (D+1, N)
@@ -476,7 +485,9 @@ def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
             i < maxiter,
             jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
 
-    state = (jnp.zeros((dim, k), source.dtype), sigma2_0,
+    zc0_t = (jnp.zeros((dim, k), source.dtype) if zc_init_t is None
+             else jnp.asarray(zc_init_t, source.dtype))
+    state = (zc0_t, sigma2_0,
              jnp.asarray(jnp.inf, sigma2_0.dtype),
              jnp.asarray(jnp.inf, sigma2_0.dtype), jnp.asarray(0))
     zc_t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
@@ -936,12 +947,21 @@ class NonRigidCPD(CoherentPointDrift):
 
     def __init__(self, source=None, beta: float = 2.0, lmd: float = 2.0,
                  use_cuda: bool = False, use_pallas: Optional[bool] = None,
-                 rank: Optional[int] = None):
-        super().__init__(source, use_cuda, use_pallas)
+                 rank: Optional[int] = None,
+                 sigma2_init: Optional[float] = None, v_init=None):
+        super().__init__(source, use_cuda, use_pallas, sigma2_init)
         self._tf_type = tf.NonRigidTransformation
         self._beta = beta
         self._lmd = lmd
         self._rank = rank
+        # v_init: (M, D) initial displacement field at the source points
+        # (coarse-to-fine pyramid: the coarse field interpolated here).
+        # Low-rank only: it is projected onto the Nystrom basis by least
+        # squares; the dense model would need an M x M Gram solve.
+        if v_init is not None and rank is None:
+            raise ValueError("v_init requires rank= (low-rank nonrigid)")
+        self._v_init = None if v_init is None else jnp.asarray(
+            v_init, _config.config.dtype)
         self._tf_obj: Optional[tf.Transformation] = None
         if self._source is not None:
             self._make_tf_obj()
@@ -953,7 +973,10 @@ class NonRigidCPD(CoherentPointDrift):
         else:
             u, lam = lowrank.lowrank_rbf(
                 self._source, float(self._beta), int(self._rank))
-            zc0 = jnp.zeros((u.shape[1], self._source.shape[1]), u.dtype)
+            if self._v_init is not None:
+                zc0 = jnp.linalg.lstsq(u, self._v_init)[0]     # (K, D)
+            else:
+                zc0 = jnp.zeros((u.shape[1], self._source.shape[1]), u.dtype)
             self._tf_obj = tf.LowRankNonRigidTransformation(zc0, u, lam)
 
     def set_source(self, source):
@@ -980,11 +1003,15 @@ class NonRigidCPD(CoherentPointDrift):
         if self._rank is None:
             return None
         u, lam = self._tf_obj.u, self._tf_obj.lam
+        s2i = (None if self._sigma2_init is None
+               else jnp.asarray(self._sigma2_init, _config.config.dtype))
+        zc_init_t = None if self._v_init is None else self._tf_obj.zc.T
         zc_t, sigma2, q = _run_em_nonrigid_lowrank_t(
             self._source, target, u, lam,
             jnp.asarray(self._lmd, _config.config.dtype),
             w=float(w), maxiter=int(maxiter), tol=float(tol),
-            block=int(_config.config.estep_chunk))
+            block=int(_config.config.estep_chunk),
+            zc_init_t=zc_init_t, sigma2_init=s2i)
         return MstepResult(
             tf.LowRankNonRigidTransformation(zc_t.T, u, lam), sigma2, q)
 

@@ -133,7 +133,7 @@ def registration_cpd_pyramid(
     level_maxiters: Optional[Sequence[int]] = None,
     **kwargs: Any,
 ):
-    """Coarse-to-fine CPD registration (rigid / affine).
+    """Coarse-to-fine CPD registration (rigid / affine / low-rank nonrigid).
 
     Registers voxel-downsampled levels coarsest-first, warm-starting each
     finer level with the previous level's transform and variance. The
@@ -143,8 +143,10 @@ def registration_cpd_pyramid(
 
     Args:
         source / target: Point clouds (ndarray or open3d PointCloud).
-        tf_type_name: 'rigid' or 'affine' (order-free warm-startable
-            families; nonrigid deformation fields are resolution-bound).
+        tf_type_name: 'rigid', 'affine', or 'nonrigid' with ``rank=``
+            (the coarse displacement field is kernel-interpolated to each
+            finer level and projected onto its Nystrom basis as the
+            initial field).
         w, maxiter, tol, callbacks: As in registration_cpd; applied at
             every level (callbacks fire at every level with the global
             transform — it applies to the original clouds unchanged).
@@ -170,15 +172,21 @@ def registration_cpd_pyramid(
     """
     from . import cpd as _cpd
 
-    if tf_type_name not in ("rigid", "affine"):
+    nonrigid = tf_type_name == "nonrigid"
+    if tf_type_name not in ("rigid", "affine", "nonrigid"):
         raise ValueError(
-            "registration_cpd_pyramid supports 'rigid' and 'affine'; "
-            "nonrigid displacement fields are defined at the source points "
-            "and do not transfer across resolutions — use registration_cpd "
-            "with rank= for large nonrigid problems.")
-    if "tf_init_params" in kwargs or "sigma2_init" in kwargs:
-        raise ValueError("tf_init_params/sigma2_init are managed by the "
-                         "pyramid; pass them to registration_cpd instead.")
+            "registration_cpd_pyramid supports 'rigid', 'affine' and "
+            "low-rank 'nonrigid' (rank= required).")
+    if nonrigid and kwargs.get("rank") is None:
+        raise ValueError(
+            "nonrigid pyramid requires rank= (low-rank Nystrom): the "
+            "coarse displacement field is kernel-interpolated to each "
+            "finer level and projected onto its Nystrom basis (v_init); "
+            "the dense model has no cross-resolution warm start.")
+    for managed in ("tf_init_params", "sigma2_init", "v_init"):
+        if managed in kwargs:
+            raise ValueError(f"{managed} is managed by the pyramid; pass it "
+                             "to registration_cpd instead.")
 
     src = interop.as_points(source, dtype=_config.config.dtype)
     tgt = interop.as_points(target, dtype=_config.config.dtype)
@@ -210,15 +218,26 @@ def registration_cpd_pyramid(
     res = None
     tf_init = {}
     sigma2_init = None
+    v_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        res = _cpd.registration_cpd(
-            s_i, t_i, tf_type_name, w=w, maxiter=int(level_maxiters[i]),
-            tol=tol, callbacks=callbacks,
-            tf_init_params=dict(tf_init) or None,
-            sigma2_init=sigma2_init, **kwargs)
+        if nonrigid:
+            res = _cpd.registration_cpd(
+                s_i, t_i, "nonrigid", w=w, maxiter=int(level_maxiters[i]),
+                tol=tol, callbacks=callbacks,
+                sigma2_init=sigma2_init, v_init=v_init, **kwargs)
+        else:
+            res = _cpd.registration_cpd(
+                s_i, t_i, tf_type_name, w=w, maxiter=int(level_maxiters[i]),
+                tol=tol, callbacks=callbacks,
+                tf_init_params=dict(tf_init) or None,
+                sigma2_init=sigma2_init, **kwargs)
         if i + 1 < len(src_levels):
             tr = res.transformation
-            if tf_type_name == "rigid":
+            if nonrigid:
+                v_init = _interp_displacement(
+                    s_i, np.asarray(tr.transform(s_i)) - s_i,
+                    src_levels[i + 1], voxel_sizes[i])
+            elif tf_type_name == "rigid":
                 tf_init = {"rot": np.asarray(tr.rot),
                            "t": np.asarray(tr.t),
                            "scale": float(np.asarray(tr.scale))}
@@ -227,6 +246,30 @@ def registration_cpd_pyramid(
             sigma2_init = _carry_sigma2(
                 np.asarray(res.sigma2), voxel_sizes[i], sigma2_inflation)
     return res
+
+
+def _interp_displacement(coarse_pts, coarse_disp, fine_pts, voxel):
+    """Kernel-regress the coarse displacement field onto the fine points.
+
+    Nadaraya-Watson with a Gaussian of bandwidth ~2 voxels: one culled
+    Gauss-transform call evaluates both the weighted displacement sum and
+    the normalizer (ones channel). Fine points with no coarse support
+    (den ~ 0) get zero displacement.
+    """
+    import jax.numpy as jnp
+
+    from .ops import gausstransform as gto
+
+    dim = coarse_pts.shape[1]
+    h = 2.0 * float(voxel) if voxel else 1.0
+    wts = jnp.concatenate(
+        [jnp.asarray(coarse_disp, _config.config.dtype),
+         jnp.ones((coarse_pts.shape[0], 1), _config.config.dtype)], axis=1)
+    out = gto.gauss_transform(
+        jnp.asarray(coarse_pts, _config.config.dtype),
+        jnp.asarray(fine_pts, _config.config.dtype), wts, h)
+    den = jnp.maximum(out[:, dim:], float(np.finfo(np.float32).tiny) * 1e10)
+    return np.asarray(out[:, :dim] / den)
 
 
 def registration_filterreg_pyramid(

@@ -116,3 +116,60 @@ def test_sigma2_init_flat_entry(dense_pair):
         sigma2_init=float(np.asarray(res0.sigma2)) * 4.0)
     angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
     assert angle < 1e-2
+
+
+def test_pyramid_nonrigid_lowrank(rng):
+    """Low-rank nonrigid pyramid: the coarse displacement field is
+    interpolated down and projected onto each finer level's Nystrom basis;
+    quality must match the flat low-rank registration."""
+    n = 6000
+    source = _dense_cloud(rng, n)
+    target = (source + 0.12 * np.sin(1.5 * source[:, ::-1])).astype(np.float32)
+
+    flat = cpd.registration_cpd(source, target, "nonrigid", rank=40,
+                                beta=1.0, lmd=2.0, maxiter=40)
+    moved_f = np.asarray(flat.transformation.transform(source))
+    rmse_flat = np.sqrt(((moved_f - target) ** 2).sum(1)).mean()
+
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "nonrigid", rank=40, beta=1.0, lmd=2.0,
+        levels=2, coarse_points=1200, maxiter=40)
+    moved = np.asarray(res.transformation.transform(source))
+    rmse = np.sqrt(((moved - target) ** 2).sum(1)).mean()
+    rmse0 = np.sqrt(((source - target) ** 2).sum(1)).mean()
+    # The pyramid must at least MATCH the flat run — measured it beats it
+    # ~3x here (0.041 vs 0.124; the coarse level converges where the flat
+    # start temperature stalls) — and make real progress on the residual.
+    assert rmse < 0.5 * rmse0
+    assert rmse <= rmse_flat + 1e-4
+
+
+def test_pyramid_nonrigid_requires_rank(rng):
+    src = rng.random((100, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        pyramid.registration_cpd_pyramid(src, src, "nonrigid")
+
+
+def test_nonrigid_v_init_warm_start(rng):
+    """v_init + sigma2_init (the pyramid's warm-start pair) project an
+    initial displacement field onto the Nystrom basis and start EM in the
+    annealed regime: 5 warm iterations must land orders of magnitude
+    tighter than 5 cold ones (measured 1.3e-4 vs 0.24 mean residual).
+    v_init alone is inert — the diffuse first E-step at the default
+    start temperature overwrites any field."""
+    n = 500
+    src = rng.random((n, 3)).astype(np.float32)
+    disp = 0.1 * np.sin(2.0 * src[:, ::-1]).astype(np.float32)
+    tgt = src + disp
+    warm = cpd.registration_cpd(src, tgt, "nonrigid", rank=40, beta=1.0,
+                                lmd=2.0, maxiter=5, v_init=disp,
+                                sigma2_init=1e-3)
+    cold = cpd.registration_cpd(src, tgt, "nonrigid", rank=40, beta=1.0,
+                                lmd=2.0, maxiter=5)
+    mw = np.asarray(warm.transformation.transform(src))
+    mc = np.asarray(cold.transformation.transform(src))
+    rw = np.sqrt(((mw - tgt) ** 2).sum(1)).mean()
+    rc = np.sqrt(((mc - tgt) ** 2).sum(1)).mean()
+    r0 = np.sqrt(((src - tgt) ** 2).sum(1)).mean()
+    assert rw < 0.05 * r0
+    assert rw < 0.1 * rc
