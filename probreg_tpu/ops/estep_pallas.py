@@ -549,6 +549,147 @@ def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
     return pt1p, p1p, pxp, xx.reshape(1, 1)
 
 
+def _stash_den_raw_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref,
+                          xs_ref, x2_ref, den_ref, gst_ref):
+    """Pass A without the normalizer finalization: RAW column sums only.
+
+    The 2-D-mesh E-step psums the raw den across source shards (the
+    cross-device posterior normalizer) BETWEEN pass A and pass B — the
+    stash design splits exactly at the point where the collective goes.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(act_ref[i] == 1)
+    def _():
+        g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
+                       scal_ref[0])
+        gst_ref[:] = g
+        den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+
+def fused_stash_core_spmd(t_src_t, xs_loc, sm, xm, sigma2, c, *, m_axis,
+                          tile_m: int, tile_n: int, interpret: bool = False):
+    """Single-exp culled E-step INSIDE shard_map, source sharded on m_axis.
+
+    Args (all per-device locals): ``t_src_t`` (D, Ml) transformed source
+    shard, ``xs_loc`` (D, Nl) target shard, ``sm``/``xm`` (1, Ml)/(1, Nl)
+    validity masks, scalar ``sigma2`` and outlier constant ``c``.
+
+    For each target stripe: pass A computes the local active tiles' exp'd
+    blocks once (stashed to HBM) and their RAW column sums; ``den_j`` is
+    then ``psum``'d over ``m_axis`` — the cross-tile softmax denominator
+    spanning every source shard — finalized to a reciprocal, and pass B
+    reloads the stash to emit the moments without recomputing exp.
+
+    Returns LOCAL results: (pt1 (1, Nl) [replicated across m_axis],
+    p1 (Ml,), px_t (D, Ml), xx_part scalar) — the caller psums
+    p1/px/xx over the target axis.
+    """
+    dim, ml = t_src_t.shape
+    nl = xs_loc.shape[1]
+    f32 = jnp.float32
+    tile_m = min(tile_m, ((ml + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    tile_n = min(tile_n, ((nl + 127) // 128) * 128)
+    mp = -(-ml // tile_m) * tile_m
+    nlp = -(-nl // tile_n) * tile_n
+    n_i, n_j = mp // tile_m, nlp // tile_n
+    eps = jnp.asarray(jnp.finfo(f32).eps, f32)
+
+    ys8 = jnp.zeros((_SUBLANES, mp), f32).at[:dim, :ml].set(t_src_t)
+    y2v = jnp.sum(t_src_t * t_src_t, axis=0)
+    y2v = jnp.where(sm[0] > 0, y2v, _BIG)
+    y2p = jnp.full((1, mp), _BIG, f32).at[0, :ml].set(y2v)
+    xs8 = jnp.zeros((_SUBLANES, nlp), f32).at[:dim, :nl].set(xs_loc)
+    x2v = jnp.sum(xs_loc * xs_loc, axis=0)
+    x2v = jnp.where(xm[0] > 0, x2v, _BIG)
+    x2p = jnp.full((1, nlp), _BIG, f32).at[0, :nl].set(x2v)
+    inv2s2 = (0.5 / sigma2).astype(f32)
+    scal = jnp.stack([inv2s2, jnp.asarray(c, f32)])
+
+    ymin, ymax = _tile_bounds(ys8, y2p, tile_m)
+    xmin, xmax = _tile_bounds(xs8, x2p, tile_n)
+    mask = _active_mask(ymin, ymax, xmin, xmax, inv2s2)
+    act, eff = _stripe_compaction(mask)
+
+    xs_blocks = xs8.reshape(_SUBLANES, n_j, tile_n).transpose(1, 0, 2)
+    x2_blocks = x2p.reshape(1, n_j, tile_n).transpose(1, 0, 2)
+
+    den_raw_kernel = pl.pallas_call(
+        _stash_den_raw_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, tile_n), f32),
+            jax.ShapeDtypeStruct((mp, tile_n), f32),
+        ],
+        interpret=interpret,
+    )
+
+    moment_kernel = pl.pallas_call(
+        _stash_moment_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, i)),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), f32),
+            jax.ShapeDtypeStruct((_SUBLANES, mp), f32),
+        ],
+        interpret=interpret,
+    )
+
+    def stripe(carry, blk):
+        p1a, pxa, xxa = carry
+        xs_b, x2_b, act_b, eff_b = blk
+        den_part, gst = den_raw_kernel(act_b, eff_b, scal, ys8, y2p,
+                                       xs_b, x2_b)
+        # THE cross-device softmax denominator: every column's normalizer
+        # spans all source shards on the m-axis.
+        den_raw = jax.lax.psum(den_part, m_axis)
+        inv_den = 1.0 / (jnp.where(den_raw == 0.0, eps, den_raw) + scal[1])
+        pt1_b = den_raw * inv_den
+        xx_b = jnp.sum(jnp.where(x2_b < _BIG * 0.5, pt1_b * x2_b, 0.0))
+        p1_b, px_b = moment_kernel(act_b, eff_b, xs_b, inv_den, gst)
+        return (p1a + p1_b, pxa + px_b, xxa + xx_b), pt1_b
+
+    init = (jnp.zeros((1, mp), f32), jnp.zeros((_SUBLANES, mp), f32),
+            jnp.zeros((), f32))
+    (p1p, pxp, xx), pt1_stack = jax.lax.scan(
+        stripe, init, (xs_blocks, x2_blocks, act, eff))
+    pt1 = pt1_stack.transpose(1, 0, 2).reshape(1, nlp)[:, :nl]
+    return pt1, p1p[0, :ml], pxp[:dim, :ml], xx
+
+
 # --------------------------------------------------------------------------
 # Row-weighted culled E-step (BCPD)
 # --------------------------------------------------------------------------

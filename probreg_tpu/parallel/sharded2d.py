@@ -95,14 +95,22 @@ def _shard_axis_t(points, mesh: Mesh, axis: str):
 
 @partial(jax.jit,
          static_argnames=("kind", "w", "update_scale", "m", "n",
-                          "mesh", "maxiter"))
+                          "mesh", "maxiter", "use_culled",
+                          "culled_interpret", "culled_tile"))
 def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
-               *, kind, w, maxiter, tol, update_scale, m, n, mesh):
+               *, kind, w, maxiter, tol, update_scale, m, n, mesh,
+               use_culled=False, culled_interpret=False, culled_tile=512):
     """Whole-EM on the 2-D mesh; one SPMD program.
 
     kind: 'rigid' | 'affine' | 'nonrigid_lowrank'.
     ``u_sh``/``lam``/``lmd`` are only used by the low-rank kind (pass
     zero-size placeholders otherwise — jit specializes on shapes).
+
+    ``use_culled``: per-device single-exp g-stash E-step
+    (ops/estep_pallas.fused_stash_core_spmd) with the column normalizer
+    psum'd over the m-axis between the stash and moment passes. Needs
+    Morton-presorted clouds (registration_cpd_2d sorts) so each shard's
+    tiles are spatially compact.
     """
     dim = ys_t_sh.shape[0]
     eps = jnp.asarray(_F32_EPS, ys_t_sh.dtype)
@@ -116,6 +124,9 @@ def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
         in_specs=(P(None, M_AXIS), P(None, M_AXIS),
                   P(None, N_AXIS), P(None, N_AXIS), u_spec, P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # culled branch would fail shard_map's vma check otherwise.
+        check_vma=False,
     )
     def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_):
         # ---- masked squared_kernel_sum sigma2_0 (reference math_utils:28),
@@ -135,6 +146,19 @@ def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
             """Local block + cross-device normalizer. Returns m-sharded
             (px_t (D, Ml), p1 (Ml,)) and replicated (n_p, xx)."""
             c = estep_ops.outlier_constant(sigma2, w, m, n, dim)
+            if use_culled:
+                from ..ops import estep_pallas as ep
+
+                _, p1_loc, px_loc, xx_part = ep.fused_stash_core_spmd(
+                    t_src, xs_loc, sm, xm, sigma2, c, m_axis=M_AXIS,
+                    tile_m=culled_tile, tile_n=culled_tile,
+                    interpret=culled_interpret)
+                pxp = jax.lax.psum(jnp.concatenate(
+                    [px_loc, p1_loc[None, :]], axis=0), N_AXIS)
+                px_t, p1 = pxp[:dim], pxp[dim]
+                n_p = jax.lax.psum(jnp.sum(p1), M_AXIS)
+                xx = jax.lax.psum(xx_part, N_AXIS)
+                return px_t, p1, n_p, xx
             y2 = jnp.sum(t_src * t_src, axis=0)[:, None]       # (Ml, 1)
             xy = jax.lax.dot_general(
                 t_src, xs_loc, (((0,), (0,)), ((), ())),
@@ -327,6 +351,27 @@ def registration_cpd_2d(
     m, dim = src.shape
     n = tgt.shape[0]
 
+    use_culled = kwargs.pop("use_culled", None)
+    culled_interpret = bool(kwargs.pop("culled_interpret", False))
+    culled_tile = int(kwargs.pop("culled_tile", 512))
+    if use_culled is None:
+        use_culled = (jax.default_backend() == "tpu"
+                      and config.use_culled_estep
+                      and m * n >= config.culled_estep_min_pairs)
+    inv_perm = None
+    if use_culled:
+        # One-time host Morton sort: each contiguous shard (and each tile
+        # within it) becomes spatially compact so the per-device tile
+        # culling fires. Rigid/affine results are order-free; the low-rank
+        # U rows are un-permuted below before building the returned
+        # transformation (its transform is positional).
+        from ..ops.spatial import morton_order_np
+
+        perm_s = morton_order_np(src)
+        src = src[perm_s]
+        tgt = tgt[morton_order_np(tgt)]
+        inv_perm = np.argsort(perm_s)
+
     if tf_type_name == "nonrigid":
         if rank is None:
             raise ValueError(
@@ -358,13 +403,20 @@ def registration_cpd_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
         jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
         kind=kind, w=float(w), maxiter=int(maxiter), tol=float(tol),
-        update_scale=bool(update_scale), m=m_true, n=n_true, mesh=mesh)
+        update_scale=bool(update_scale), m=m_true, n=n_true, mesh=mesh,
+        use_culled=bool(use_culled), culled_interpret=culled_interpret,
+        culled_tile=culled_tile)
 
     if kind == "rigid":
         transf = tf.RigidTransformation(lin, t, scale)
     elif kind == "affine":
         transf = tf.AffineTransformation(lin, t)
     else:
+        u_out = u[:m]
+        if inv_perm is not None:
+            # Back to the caller's row order: displacement = U zc is
+            # positional, and (U[inv]) zc restores it exactly.
+            u_out = u_out[inv_perm]
         transf = tf.LowRankNonRigidTransformation(
-            lin.T, jnp.asarray(u[:m]), jnp.asarray(lam, config.dtype))
+            lin.T, jnp.asarray(u_out), jnp.asarray(lam, config.dtype))
     return cpd_mod.MstepResult(transf, sigma2, q)

@@ -103,3 +103,56 @@ def test_registration_cpd_sharded_dispatches_2d(mesh2d, rigid_pair):
     ang = float(se3_op.rotation_angle(
         np.asarray(res.transformation.rot), rot))
     assert ang < 1e-2
+
+
+def test_2d_culled_stash_matches_dense(mesh2d, rigid_pair):
+    """Per-device single-exp stash E-step with the den psum'd over the
+    m-axis (interpret-mode kernels) == the dense 2-D path and the
+    single-device registration."""
+    src, tgt, rot, t_gt = rigid_pair
+    res_dense = sharded2d.registration_cpd_2d(
+        src, tgt, "rigid", maxiter=30, tol=1e-6, mesh=mesh2d,
+        use_culled=False)
+    res_culled = sharded2d.registration_cpd_2d(
+        src, tgt, "rigid", maxiter=30, tol=1e-6, mesh=mesh2d,
+        use_culled=True, culled_interpret=True, culled_tile=128)
+    np.testing.assert_allclose(np.asarray(res_culled.transformation.rot),
+                               np.asarray(res_dense.transformation.rot),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res_culled.transformation.t),
+                               np.asarray(res_dense.transformation.t),
+                               atol=5e-4)
+    ang = float(se3_op.rotation_angle(
+        np.asarray(res_culled.transformation.rot), rot))
+    assert ang < 1e-2
+
+
+def test_2d_culled_lowrank_unpermutes(mesh2d, rng):
+    """Morton-sorted culled low-rank 2-D: the returned transformation's U
+    rows must be back in the CALLER's source order (transform positional)."""
+    n = 256
+    src = rng.random((n, 3)).astype(np.float32)
+    tgt = (src + 0.05 * np.sin(3.0 * src[:, :1])).astype(np.float32)
+    res_d = sharded2d.registration_cpd_2d(
+        src, tgt, "nonrigid", rank=24, beta=1.0, lmd=1.0, maxiter=25,
+        tol=1e-9, mesh=mesh2d, use_culled=False)
+    res_c = sharded2d.registration_cpd_2d(
+        src, tgt, "nonrigid", rank=24, beta=1.0, lmd=1.0, maxiter=25,
+        tol=1e-9, mesh=mesh2d, use_culled=True, culled_interpret=True,
+        culled_tile=128)
+    m_d = np.asarray(res_d.transformation.transform(src))
+    m_c = np.asarray(res_c.transformation.transform(src))
+    # Same field evaluated in the caller's order (Nystrom landmark draw
+    # differs between orderings, so compare registration quality + order
+    # coherence rather than bitwise).
+    rmse_d = np.sqrt(((m_d - tgt) ** 2).sum(1)).mean()
+    rmse_c = np.sqrt(((m_c - tgt) ** 2).sum(1)).mean()
+    rmse0 = np.sqrt(((src - tgt) ** 2).sum(1)).mean()
+    assert rmse_c < 0.2 * rmse0
+    assert rmse_c < 2.0 * rmse_d + 1e-4
+    # Row alignment: per-point displacements must be smooth functions of
+    # the ORIGINAL points (scrambled rows would decorrelate them).
+    d_c = m_c - src
+    d_true = tgt - src
+    corr = np.corrcoef(d_c.ravel(), d_true.ravel())[0, 1]
+    assert corr > 0.95, corr
