@@ -11,10 +11,13 @@ annealed tile-culled regime. Measured on one TPU v5e chip: 200k points in
 Run:  python examples/pyramid_rigid.py [n_points]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from probreg_tpu import pyramid
 from probreg_tpu import se3_op as so
