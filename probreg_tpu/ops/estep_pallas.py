@@ -713,22 +713,32 @@ def _wdist_tile(ys_t, y2, xs_t, x2, inv2s2, rowlog):
     return jnp.exp(rowlog.reshape(-1, 1) - d2 * inv2s2), d2
 
 
-def _wden_kernel(scal_ref, mbits_ref, ys_ref, y2_ref, rl_ref, xs_ref,
-                 x2_ref, den_ref, nud_ref):
-    i = pl.program_id(1)
-    j = pl.program_id(0)
-    n_i = pl.num_programs(1)
-    n_j = pl.num_programs(0)
+def _wstash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, rl_ref,
+                       xs_ref, x2_ref, den_ref, nud_ref, dmin_ref, gst_ref):
+    """Row-weighted pass A (one target stripe): stash exp'd blocks, raw
+    den, per-row d2 minima (computed HERE where d2 is live — the stash
+    holds only g, and recovering d2 from it would cost a log per pair,
+    exactly the transcendental the stash saves)."""
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
         den_ref[:] = jnp.zeros_like(den_ref)
 
-    @pl.when(_tile_active(mbits_ref, i * n_j + j))
+    @pl.when(act_ref[i] == 1)
     def _():
-        g, _ = _wdist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
-                           scal_ref[0], rl_ref[:])
+        g, d2 = _wdist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
+                            scal_ref[0], rl_ref[:])
+        gst_ref[:] = g
         den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+        # Padded target columns carry |x|^2 = _BIG, which d2 inherits, so
+        # no masking term is needed in the row minima.
+        dmin_ref[:] = jnp.min(d2, axis=1, keepdims=True).reshape(1, -1)
+
+    @pl.when(act_ref[i] == 0)
+    def _():
+        dmin_ref[:] = jnp.full_like(dmin_ref, _BIG)
 
     @pl.when(i == n_i - 1)
     def _():
@@ -736,35 +746,26 @@ def _wden_kernel(scal_ref, mbits_ref, ys_ref, y2_ref, rl_ref, xs_ref,
         den = den_raw + scal_ref[1]                  # c = w / n_eff
         den = jnp.where(den == 0.0, scal_ref[2], den)  # eps
         nud_ref[:] = den_raw / den
-        den_ref[:] = den
+        den_ref[:] = 1.0 / den                       # reciprocal for pass B
 
 
-def _wmoment_kernel(scal_ref, mbits_ref, ys_ref, y2_ref, rl_ref, xs_ref,
-                    x2_ref, v_ref, den_ref, mom_ref, dmin_ref):
+def _wstash_moment_kernel(act_ref, eff_ref, v_ref, den_ref, gst_ref,
+                          mom_ref):
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
 
-    @pl.when(j == 0)
+    @pl.when(act_ref[i] == 1)
     def _():
-        mom_ref[:] = jnp.zeros_like(mom_ref)
-        dmin_ref[:] = jnp.full_like(dmin_ref, _BIG)
-
-    @pl.when(_tile_active(mbits_ref, i * n_j + j))
-    def _():
-        g, d2 = _wdist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
-                            scal_ref[0], rl_ref[:])
-        p = g / den_ref[:]
-        mom_ref[:] += jax.lax.dot_general(
+        p = gst_ref[:] * den_ref[:]
+        mom_ref[:] = jax.lax.dot_general(
             v_ref[:], p,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (8, TM)
-        # Mask padded target columns out of the row minima (their |x|^2 is
-        # _BIG, which d2 inherits, so no masking term is needed).
-        dmin_ref[:] = jnp.minimum(
-            dmin_ref[:], jnp.min(d2, axis=1, keepdims=True).reshape(1, -1))
+
+    @pl.when(act_ref[i] == 0)
+    def _():
+        mom_ref[:] = jnp.zeros_like(mom_ref)
 
 
 def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
@@ -825,59 +826,79 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
         lb2 = lb2 + gapd * gapd                            # (n_i, n_j)
     rlmax = jnp.max(rl[0, :m])
     mask = (rlmax - lb2 * inv2s2 >= -_CUT).astype(jnp.float32)
-    mbits = _pack_mask_bits(mask)
+
 
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
     scal = jnp.stack([inv2s2, jnp.asarray(w_over_n, jnp.float32),
                       eps]).astype(jnp.float32)
+    act, eff = _stripe_compaction(mask)
 
-    den, nud = pl.pallas_call(
-        _wden_kernel,
-        grid=(n_j, n_i),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_SUBLANES, tile_m), lambda j, i: (0, i)),
-            pl.BlockSpec((1, tile_m), lambda j, i: (0, i)),
-            pl.BlockSpec((1, tile_m), lambda j, i: (0, i)),
-            pl.BlockSpec((_SUBLANES, tile_n), lambda j, i: (0, j)),
-            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
-            pl.BlockSpec((1, tile_n), lambda j, i: (0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, np_), jnp.float32),
-            jax.ShapeDtypeStruct((1, np_), jnp.float32),
-        ],
-        interpret=interpret,
-    )(scal, mbits, ys_t, y2, rl, xs_t, x2)
+    xs_blocks = xs_t.reshape(_SUBLANES, n_j, tile_n).transpose(1, 0, 2)
+    x2_blocks = x2.reshape(1, n_j, tile_n).transpose(1, 0, 2)
+    vt_blocks = vt.reshape(_SUBLANES, n_j, tile_n).transpose(1, 0, 2)
 
-    mom, dminp = pl.pallas_call(
-        _wmoment_kernel,
-        grid=(n_i, n_j),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_SUBLANES, tile_m), lambda i, j: (0, i)),
-            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
-            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
-            pl.BlockSpec((_SUBLANES, tile_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
-            pl.BlockSpec((_SUBLANES, tile_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((_SUBLANES, tile_m), lambda i, j: (0, i)),
-            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
-        ],
+    den_kernel = pl.pallas_call(
+        _wstash_den_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, eff[i])),
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, i)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+        ),
         out_shape=[
-            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
             jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((mp, tile_n), jnp.float32),
         ],
         interpret=interpret,
-    )(scal, mbits, ys_t, y2, rl, xs_t, x2, vt, den)
+    )
+
+    moment_kernel = pl.pallas_call(
+        _wstash_moment_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+            out_specs=pl.BlockSpec((_SUBLANES, tile_m),
+                                   lambda i, act, eff: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+        interpret=interpret,
+    )
+
+    def stripe(carry, blk):
+        mom_a, dmin_a = carry
+        xs_b, x2_b, vt_b, act_b, eff_b = blk
+        inv_den, nud_b, dmin_b, gst = den_kernel(
+            act_b, eff_b, scal, ys_t, y2, rl, xs_b, x2_b)
+        mom_b = moment_kernel(act_b, eff_b, vt_b, inv_den, gst)
+        return (mom_a + mom_b, jnp.minimum(dmin_a, dmin_b)), nud_b
+
+    init = (jnp.zeros((_SUBLANES, mp), jnp.float32),
+            jnp.full((1, mp), _BIG, jnp.float32))
+    (mom, dminp), nud_stack = jax.lax.scan(
+        stripe, init, (xs_blocks, x2_blocks, vt_blocks, act, eff))
+    nud = nud_stack.transpose(1, 0, 2).reshape(1, np_)
 
     # Fold culled tiles' box-gap lower bounds into the row minima: exact
     # whenever the NN lies in an active tile; a tight lower bound otherwise.
