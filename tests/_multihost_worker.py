@@ -49,8 +49,18 @@ def main():
                                             tol=1e-6, mesh=mesh)
     out_rot = np.asarray(jax.device_get(res.transformation.rot))
     out_t = np.asarray(jax.device_get(res.transformation.t))
+
+    # 2-D (m, n) mesh across the SAME processes: the cross-device posterior
+    # normalizer psums over an m-axis that spans process boundaries.
+    mesh2d = parallel.make_mesh_2d(2, 2)
+    res2d = parallel.registration_cpd_2d(src, tgt, "rigid", maxiter=60,
+                                         tol=1e-6, mesh=mesh2d)
+    rot2d = np.asarray(jax.device_get(res2d.transformation.rot))
+    t2d = np.asarray(jax.device_get(res2d.transformation.t))
+
     np.savez(os.path.join(outdir, f"proc{proc_id}.npz"),
-             rot=out_rot, t=out_t, ang=ang, t_true=t_true,
+             rot=out_rot, t=out_t, rot2d=rot2d, t2d=t2d,
+             ang=ang, t_true=t_true,
              nproc=jax.process_count(), ndev=jax.device_count())
     print(f"proc {proc_id} ok", flush=True)
 

@@ -74,3 +74,11 @@ def test_two_process_sharded_cpd(tmp_path):
     # Rotation-angle distance as a stricter aggregate check.
     err = float(np.asarray(se3_op.rotation_angle(r0["rot"], rot_true)))
     assert err < 5e-3, err
+
+    # 2-D (2, 2) mesh across the two processes: the den psum over the
+    # m-axis crosses the process boundary; same agreement + recovery bars.
+    np.testing.assert_array_equal(r0["rot2d"], r1["rot2d"])
+    np.testing.assert_array_equal(r0["t2d"], r1["t2d"])
+    err2d = float(np.asarray(se3_op.rotation_angle(r0["rot2d"], rot_true)))
+    assert err2d < 5e-3, err2d
+    np.testing.assert_allclose(r0["t2d"], r0["t_true"], atol=1e-3)
