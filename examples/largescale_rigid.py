@@ -33,3 +33,14 @@ res = filterreg.registration_filterreg(source, target, maxiter=40, tol=1e-8,
 dt = time.perf_counter() - t0
 rec = np.rad2deg(np.asarray(so.mat2euler(res.transformation.rot)))
 print(f"rigid FilterReg (streaming): {dt:.1f}s  recovered {rec.round(3)}")
+
+# Coarse-to-fine (round 3): the same problem through the pyramid — the
+# full-resolution iterations run warm-started in the culled regime
+# (examples/pyramid_rigid.py has the standalone version).
+from probreg_tpu import pyramid  # noqa: E402
+
+t0 = time.perf_counter()
+res = pyramid.registration_cpd_pyramid(source, target, "rigid", levels=3)
+dt = time.perf_counter() - t0
+err = float(np.asarray(so.rotation_angle(res.transformation.rot, rot)))
+print(f"rigid CPD pyramid {n:,} pts: {dt:.1f}s  rot_angle_err={err:.2e}")
