@@ -44,6 +44,12 @@ class Config:
     # Minimum M*N for the culled path (below this the XLA scan E-step or
     # the small single-launch kernel is faster anyway).
     culled_estep_min_pairs: int = 1 << 24
+    # Stash precision for the single-exp E-step's exp'd tiles. bfloat16
+    # halves the pass-B HBM traffic; measured on v5e at 131k it buys only
+    # ~3% dense (pass A's exp dominates), so the default stays exact f32.
+    # The posterior NORMALIZER stays f32 either way (summed before the
+    # cast); bf16 quantizes only the moment numerators (~0.4% relative).
+    stash_dtype: jnp.dtype = jnp.float32
     # Retained for API compatibility: the round-2 two-branch estep_auto
     # switched to the XLA scan above this active fraction; the round-3
     # single-exp kernel wins at every fraction, so nothing branches on

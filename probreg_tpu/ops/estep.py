@@ -194,7 +194,8 @@ def estep(
         return estep_pallas.estep_auto(
             t_source, target, sigma2, w,
             switch_frac=config.culled_switch_frac,
-            assume_sorted=assume_sorted)
+            assume_sorted=assume_sorted,
+            stash_dtype=config.stash_dtype)
     if use_pallas is None:
         use_pallas = (
             config.use_pallas

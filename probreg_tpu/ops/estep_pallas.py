@@ -385,7 +385,10 @@ def _stash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, xs_ref,
     def _():
         g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
                        scal_ref[0])
-        gst_ref[:] = g
+        # The stash may be bf16 (config.stash_dtype, opt-in): den is summed
+        # from the f32 g BEFORE the cast, so the normalizer stays exact and
+        # only the moment numerators carry the ~0.4% bf16 quantization.
+        gst_ref[:] = g.astype(gst_ref.dtype)
         den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
 
     @pl.when(i == n_i - 1)
@@ -410,7 +413,7 @@ def _stash_moment_kernel(act_ref, eff_ref, xs_ref, den_ref, gst_ref,
 
     @pl.when(act_ref[i] == 1)
     def _():
-        p = gst_ref[:] * den_ref[:]                        # (TM, TN)*(1, TN)
+        p = gst_ref[:].astype(jnp.float32) * den_ref[:]    # (TM, TN)*(1, TN)
         p1_ref[:] = jnp.sum(p, axis=1, keepdims=True).reshape(1, -1)
         px_ref[:] = jax.lax.dot_general(
             xs_ref[:], p,
@@ -448,12 +451,16 @@ def _stripe_compaction(mask):
 
 
 def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
-                     mask=None, interpret: bool = False):
+                     mask=None, interpret: bool = False,
+                     stash_dtype=jnp.float32):
     """Single-exp culled E-step on PRE-PADDED transposed operands.
 
     Same contract as :func:`fused_core` (inputs padded to tile multiples,
     outputs still padded), one exp per active pair, 8 active-bytes/pair of
     HBM stash traffic. ``mask``: optional precomputed (n_i, n_j) tile mask.
+    ``stash_dtype``: bfloat16 halves the stash traffic (6 B/pair) at ~0.4%
+    relative error on the moment numerators — the normalizer stays f32 (see
+    _stash_den_kernel); opt-in via config.stash_dtype.
     """
     mp, np_ = ys_t.shape[1], xs_t.shape[1]
     n_i, n_j = mp // tile_m, np_ // tile_n
@@ -493,7 +500,7 @@ def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
             jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
             jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((mp, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((mp, tile_n), stash_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * tile_n * (_SUBLANES + 2),
@@ -1085,7 +1092,7 @@ def estep_culled(
 @functools.partial(
     jax.jit,
     static_argnames=("w", "tile_m", "tile_n", "interpret", "switch_frac",
-                     "block", "assume_sorted"),
+                     "block", "assume_sorted", "stash_dtype"),
 )
 def estep_auto(
     t_source: jax.Array,
@@ -1098,6 +1105,7 @@ def estep_auto(
     switch_frac: float = None,
     block=None,
     assume_sorted: bool = False,
+    stash_dtype=jnp.float32,
 ) -> EstepMoments:
     """Density-adaptive exact E-step: the single-exp g-stash kernel.
 
@@ -1146,7 +1154,7 @@ def estep_auto(
     scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
     pt1p, p1p, pxp, xx = fused_stash_core(
         scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
-        interpret=interpret)
+        interpret=interpret, stash_dtype=stash_dtype)
     pt1s = pt1p[0, :n]
     p1s = p1p[0, :m]
     pxs = pxp[:dim, :m].T

@@ -376,3 +376,27 @@ def test_stripe_compaction_properties():
     # active steps always map to themselves.
     np.testing.assert_array_equal(eff[act == 1],
                                   np.nonzero(act.ravel())[0] % 4)
+
+
+def test_stash_bf16_within_tolerance():
+    """Opt-in bfloat16 stash: the normalizer stays f32 (summed before the
+    cast), so pt1 is near-exact and the moment numerators carry only bf16
+    quantization (~4e-3 relative)."""
+    from probreg_tpu.ops.estep import outlier_constant
+
+    src, tgt = _blob_clouds(700, 900, seed=23)
+    s = src[np.asarray(morton_order(src))]
+    t = tgt[np.asarray(morton_order(tgt))]
+    m, n, dim, w, sigma2 = 700, 900, 3, 0.05, 0.5
+    c = outlier_constant(jnp.float32(sigma2), w, m, n, dim)
+    scal = jnp.stack([0.5 / jnp.float32(sigma2), c]).astype(jnp.float32)
+    ys_t, y2 = ep._pad_transpose(jnp.asarray(s), 128)
+    xs_t, x2 = ep._pad_transpose(jnp.asarray(t), 128)
+    ref = ep.fused_stash_core(scal, ys_t, y2, xs_t, x2, tile_m=128,
+                              tile_n=128, interpret=True)
+    out = ep.fused_stash_core(scal, ys_t, y2, xs_t, x2, tile_m=128,
+                              tile_n=128, interpret=True,
+                              stash_dtype=jnp.bfloat16)
+    assert _rel(ref[0], out[0]) < 1e-5          # pt1: exact-normalizer path
+    assert _rel(ref[1], out[1]) < 8e-3          # p1: bf16 numerators
+    assert _rel(ref[2], out[2]) < 8e-3          # px
