@@ -156,17 +156,21 @@ def shard_points_t(points, mesh: Mesh, axis: str = AXIS):
                      "n", "mesh", "axis", "use_culled", "culled_interpret",
                      "culled_tile"),
 )
-def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
+def _run_em_sharded_t(source, xs_t_sh, mask_sh, init=None, sigma2_init=None,
+                      *, kind, w, maxiter, tol,
                       update_scale, n, mesh, axis, use_culled=False,
                       culled_interpret=False, culled_tile=1024):
     """Sharded whole-EM in transposed layout; source (M, D) replicated.
 
     ``use_culled``: per-shard tile-culled Pallas E-step
-    (ops/estep_pallas.fused_core). The per-tile cull mask adapts to sigma2
-    at runtime inside the kernel, so no branch is needed; memory stays
-    tiled at every size (the dense path materializes (M, N/P) per device).
-    Requires Morton-presorted clouds (registration_cpd_sharded does this)
-    so each contiguous target shard is spatially compact.
+    (ops/estep_pallas.fused_stash_core). The per-tile cull mask adapts to
+    sigma2 at runtime inside the kernel, so no branch is needed; memory
+    stays tiled at every size (the dense path materializes (M, N/P) per
+    device). Requires Morton-presorted clouds (registration_cpd_sharded
+    does this) so each contiguous target shard is spatially compact.
+
+    ``init``: packed (D*D + D + 1,) warm-start (lin, t, scale);
+    ``sigma2_init``: warm-start variance (pyramid.py threads both).
     """
     ys_t = source.T
     dim, m = ys_t.shape
@@ -183,7 +187,10 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
         st = jax.lax.psum(jnp.sum(xs_sh * msk, axis=1), axis)
         return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) / float(m * dim * n)
 
-    sigma2_0 = init_sigma2(ys_t, xs_t_sh, mask_sh)
+    if sigma2_init is not None:
+        sigma2_0 = jnp.maximum(jnp.asarray(sigma2_init, source.dtype), eps)
+    else:
+        sigma2_0 = init_sigma2(ys_t, xs_t_sh, mask_sh)
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
 
     @partial(
@@ -279,9 +286,15 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, *, kind, w, maxiter, tol,
         lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
         return (lin, t, scale, sigma2, q_new, q, i + 1)
 
-    state = (jnp.eye(dim, dtype=source.dtype),
-             jnp.zeros(dim, source.dtype),
-             jnp.asarray(1.0, source.dtype), sigma2_0, q0,
+    if init is None:
+        lin0 = jnp.eye(dim, dtype=source.dtype)
+        t0 = jnp.zeros(dim, source.dtype)
+        scale0 = jnp.asarray(1.0, source.dtype)
+    else:
+        lin0 = init[: dim * dim].reshape(dim, dim)
+        t0 = init[dim * dim: dim * dim + dim]
+        scale0 = init[dim * dim + dim]
+    state = (lin0, t0, scale0, sigma2_0, q0,
              jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
     lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
     return lin, t, scale, sigma2, q
@@ -373,6 +386,8 @@ def registration_cpd_sharded(
     use_culled = kwargs.pop("use_culled", None)
     culled_interpret = bool(kwargs.pop("culled_interpret", False))
     culled_tile = int(kwargs.pop("culled_tile", 1024))
+    tf_init_params = dict(kwargs.pop("tf_init_params", None) or {})
+    sigma2_init = kwargs.pop("sigma2_init", None)
     # Keep device arrays on device (np.asarray on a device array is a
     # host round trip — CLAUDE.md); only the culled branch needs host data
     # for its one-time Morton sort.
@@ -398,10 +413,20 @@ def registration_cpd_sharded(
             src = src[morton_order_np(src)]
             tgt = tgt[morton_order_np(tgt)]
         src = jnp.asarray(src)
+        init = None
+        if tf_init_params:
+            p = tf_init_params
+            key = "rot" if tf_type_name == "rigid" else "b"
+            init = np.concatenate([
+                np.asarray(p.get(key, np.eye(dim)), np.float32).ravel(),
+                np.asarray(p.get("t", np.zeros(dim)), np.float32),
+                np.atleast_1d(np.float32(p.get("scale", 1.0)))])
+        s2i = (None if sigma2_init is None
+               else jnp.asarray(sigma2_init, config.dtype))
         # Transposed fast path: lane-sharded target, single jit dispatch.
         xs_t_sh, mask_sh, n = shard_points_t(tgt, mesh, axis)
         lin, t, scale, sigma2, q = _run_em_sharded_t(
-            src, xs_t_sh, mask_sh, kind=tf_type_name, w=float(w),
+            src, xs_t_sh, mask_sh, init, s2i, kind=tf_type_name, w=float(w),
             maxiter=int(maxiter), tol=float(tol),
             update_scale=bool(update_scale), n=n, mesh=mesh, axis=axis,
             use_culled=bool(use_culled),

@@ -131,6 +131,7 @@ def registration_cpd_pyramid(
     factor: float = 4.0,
     sigma2_inflation: float = 3.0,
     level_maxiters: Optional[Sequence[int]] = None,
+    mesh=None,
     **kwargs: Any,
 ):
     """Coarse-to-fine CPD registration (rigid / affine / low-rank nonrigid).
@@ -156,6 +157,10 @@ def registration_cpd_pyramid(
         coarse_points: Auto-schedule target size of the coarsest level.
         factor: Auto-schedule geometric voxel ratio between levels.
         sigma2_inflation: Safety factor on the carried variance.
+        mesh: Optional 1-D device mesh (jax.sharding.Mesh): every level
+            runs through parallel.registration_cpd_sharded with the same
+            warm starts — the pyramid schedule composes with multi-chip
+            target sharding (rigid/affine only).
         level_maxiters: Per-level maxiter override (coarsest first).
             Default: full ``maxiter`` at the coarsest level, half at
             intermediate levels, and a ``maxiter // 5`` (>= 10) polish
@@ -215,6 +220,11 @@ def registration_cpd_pyramid(
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
+    if mesh is not None and (nonrigid or callbacks):
+        raise ValueError("mesh= pyramid supports rigid/affine without "
+                         "callbacks (the sharded runner has no callback "
+                         "or displacement warm-start path)")
+
     res = None
     tf_init = {}
     sigma2_init = None
@@ -225,6 +235,14 @@ def registration_cpd_pyramid(
                 s_i, t_i, "nonrigid", w=w, maxiter=int(level_maxiters[i]),
                 tol=tol, callbacks=callbacks,
                 sigma2_init=sigma2_init, v_init=v_init, **kwargs)
+        elif mesh is not None:
+            from .parallel import sharded as _sharded
+
+            res = _sharded.registration_cpd_sharded(
+                s_i, t_i, tf_type_name, w=w,
+                maxiter=int(level_maxiters[i]), tol=tol, mesh=mesh,
+                tf_init_params=dict(tf_init) or None,
+                sigma2_init=sigma2_init, **kwargs)
         else:
             res = _cpd.registration_cpd(
                 s_i, t_i, tf_type_name, w=w, maxiter=int(level_maxiters[i]),

@@ -173,3 +173,28 @@ def test_nonrigid_v_init_warm_start(rng):
     r0 = np.sqrt(((src - tgt) ** 2).sum(1)).mean()
     assert rw < 0.05 * r0
     assert rw < 0.1 * rc
+
+
+def test_pyramid_sharded_mesh(dense_pair):
+    """mesh= pyramid: every level runs through the sharded runner with the
+    same warm starts; results match the single-device pyramid."""
+    from probreg_tpu import parallel
+
+    source, target, rot_gt, t_gt = dense_pair
+    src, tgt = source[:30000], target[:30000]
+    res_flat = pyramid.registration_cpd_pyramid(
+        src, tgt, "rigid", levels=2, coarse_points=1500, tol=1e-6)
+    res_mesh = pyramid.registration_cpd_pyramid(
+        src, tgt, "rigid", levels=2, coarse_points=1500, tol=1e-6,
+        mesh=parallel.make_mesh())
+    np.testing.assert_allclose(np.asarray(res_mesh.transformation.rot),
+                               np.asarray(res_flat.transformation.rot),
+                               atol=1e-4)
+    ang = float(so.rotation_angle(
+        np.asarray(res_mesh.transformation.rot), rot_gt))
+    assert ang < 1e-3
+    assert np.allclose(np.asarray(res_mesh.transformation.t), t_gt,
+                       atol=1e-4)
+    with pytest.raises(ValueError):
+        pyramid.registration_cpd_pyramid(
+            src, tgt, "nonrigid", rank=16, mesh=parallel.make_mesh())
