@@ -37,13 +37,9 @@ HIGHER_IS_BETTER = {"estep_stash_dense_gpairs", "estep_stash_culled_gpairs",
 
 
 def _surface_cloud(n, seed=0):
-    rng = np.random.default_rng(seed)
-    theta = rng.uniform(0, np.pi, n)
-    phi = rng.uniform(0, 2 * np.pi, n)
-    r = 1.0 + 0.25 * np.sin(3 * theta) * np.cos(2 * phi)
-    return np.stack([r * np.sin(theta) * np.cos(phi),
-                     r * np.sin(theta) * np.sin(phi),
-                     r * np.cos(theta)], 1).astype(np.float32)
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    return blobby_surface(n, seed)
 
 
 def _timeit(fn, reps=5):
@@ -182,13 +178,17 @@ def main():
         assert_floors = False
 
     results = {}
+    failed = []
     for fn in (bench_estep, bench_bunny_batch, bench_svr, bench_pyramid):
         try:
             fn(results)
-        except Exception as e:  # report, keep the rest of the suite running
+        except Exception as e:  # keep the rest of the suite running, but a
+            # crashed benchmark IS a failure — a kernel that stops lowering
+            # must turn the gate red, not vanish from the report.
             print(f"ERROR in {fn.__name__}: {e!r}", file=sys.stderr)
+            if assert_floors:
+                failed.append(fn.__name__)
 
-    failed = []
     for metric, (value, unit) in results.items():
         floor = FLOORS.get(metric)
         if not assert_floors or floor is None:
@@ -207,5 +207,8 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for `bench`
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))  # repo root for `import bench`
     main()

@@ -25,13 +25,9 @@ from probreg_tpu import transformation as tf
 
 
 def make_cloud(n, seed=0):
-    rng = np.random.default_rng(seed)
-    theta = rng.uniform(0, np.pi, n)
-    phi = rng.uniform(0, 2 * np.pi, n)
-    r = 1.0 + 0.25 * np.sin(3 * theta) * np.cos(2 * phi)
-    return np.stack([r * np.sin(theta) * np.cos(phi),
-                     r * np.sin(theta) * np.sin(phi),
-                     r * np.cos(theta)], 1).astype(np.float32)
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    return blobby_surface(n, seed)
 
 
 def main():

@@ -699,7 +699,11 @@ class CoherentPointDrift(abc.ABC):
     def _initialize(self, target) -> MstepResult:
         dim = self._source.shape[1]
         if self._sigma2_init is not None:
-            sigma2 = jnp.asarray(self._sigma2_init, _config.config.dtype)
+            # Same eps clamp as the fast paths (_run_em_t): sigma2_init=0
+            # would otherwise produce q0 = -inf and a 0-div first E-step.
+            sigma2 = jnp.maximum(
+                jnp.asarray(self._sigma2_init, _config.config.dtype),
+                _F32_EPS)
         else:
             sigma2 = mu.squared_kernel_sum(self._source, target)
         q = 1.0 + target.shape[0] * dim * 0.5 * jnp.log(sigma2)

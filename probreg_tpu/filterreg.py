@@ -1032,9 +1032,19 @@ def _run_em_rigid_feature(source, target, normals, ftarget, rot0, t0,
     n = target.shape[0]
     need_nx = objective_type == "pt2pl"
     if auto_sigma2:
-        fsource0 = feature_fn(source)
-        sigma2_0 = jnp.maximum(mu.squared_kernel_sum(fsource0, ftarget),
-                               min_sigma2)
+        if need_nx:
+            # Point-spacing scale, like the host loop and every other
+            # runner (see registration()): a cloud-scale sigma2 makes
+            # pt2pl diverge (the smoothed virtual targets sit inward of
+            # the surface).
+            from .ops import pairwise as _pw
+
+            sigma2_0 = jnp.maximum(_pw.point_spacing_sq(target),
+                                   min_sigma2 * 0.01)
+        else:
+            fsource0 = feature_fn(source)
+            sigma2_0 = jnp.maximum(mu.squared_kernel_sum(fsource0, ftarget),
+                                   min_sigma2)
     else:
         sigma2_0 = jnp.asarray(sigma2_in, source.dtype)
 

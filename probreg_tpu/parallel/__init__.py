@@ -10,12 +10,6 @@ psum payloads — O(M*D) bytes summarizing O(M*N) compute.
 from .sharded import (  # noqa: F401
     estep_sharded,
     make_mesh,
-)
-from .sharded2d import (  # noqa: F401
-    make_mesh_2d,
-    registration_cpd_2d,
-)
-from .sharded import (  # noqa: F401
     registration_bcpd_sharded,
     registration_cpd_batch_sharded,
     registration_cpd_sharded,
@@ -25,6 +19,10 @@ from .sharded import (  # noqa: F401
     registration_svr_sharded,
     shard_points,
     shard_points_t,
+)
+from .sharded2d import (  # noqa: F401
+    make_mesh_2d,
+    registration_cpd_2d,
 )
 
 

@@ -440,8 +440,16 @@ def registration_cpd_sharded(
 
     src = jnp.asarray(src)
 
+    if tf_init_params:
+        raise ValueError("tf_init_params warm starts are rigid/affine-only "
+                         "on the sharded path (the nonrigid field has no "
+                         "packed init)")
     target_sh, mask_sh, n = shard_points(target, mesh, axis)
-    sigma2 = mu.squared_kernel_sum(src, tgt)
+    if sigma2_init is not None:
+        sigma2 = jnp.maximum(jnp.asarray(sigma2_init, config.dtype),
+                             jnp.finfo(jnp.float32).eps)
+    else:
+        sigma2 = mu.squared_kernel_sum(src, tgt)
     q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2)
 
     if tf_type_name == "nonrigid":

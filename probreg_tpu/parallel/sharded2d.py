@@ -98,6 +98,7 @@ def _shard_axis_t(points, mesh: Mesh, axis: str):
                           "mesh", "maxiter", "use_culled",
                           "culled_interpret", "culled_tile"))
 def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
+               init=None, sigma2_init=None,
                *, kind, w, maxiter, tol, update_scale, m, n, mesh,
                use_culled=False, culled_interpret=False, culled_tile=512):
     """Whole-EM on the 2-D mesh; one SPMD program.
@@ -111,24 +112,36 @@ def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
     psum'd over the m-axis between the stash and moment passes. Needs
     Morton-presorted clouds (registration_cpd_2d sorts) so each shard's
     tiles are spatially compact.
+
+    ``init``: packed (D*D + D + 1,) warm-start (lin, t, scale) — always an
+    array (the caller packs identity when no warm start was given).
+    ``sigma2_init``: scalar; <= 0 keeps the squared_kernel_sum default.
     """
     dim = ys_t_sh.shape[0]
     eps = jnp.asarray(_F32_EPS, ys_t_sh.dtype)
     lowrank_kind = kind == "nonrigid_lowrank"
     k = u_sh.shape[1] if lowrank_kind else 0
+    if init is None:
+        init = jnp.concatenate([
+            jnp.eye(dim, dtype=ys_t_sh.dtype).ravel(),
+            jnp.zeros((dim,), ys_t_sh.dtype),
+            jnp.ones((1,), ys_t_sh.dtype)])
+    if sigma2_init is None:
+        sigma2_init = jnp.asarray(-1.0, ys_t_sh.dtype)
 
     u_spec = P(M_AXIS, None) if lowrank_kind else P(None, None)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, M_AXIS), P(None, M_AXIS),
-                  P(None, N_AXIS), P(None, N_AXIS), u_spec, P(), P()),
+                  P(None, N_AXIS), P(None, N_AXIS), u_spec, P(), P(),
+                  P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
         # pallas_call outputs carry no varying-mesh-axes annotation; the
         # culled branch would fail shard_map's vma check otherwise.
         check_vma=False,
     )
-    def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_):
+    def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_, init_, s2i_):
         # ---- masked squared_kernel_sum sigma2_0 (reference math_utils:28),
         # both axes partial: psum_m the source sums, psum_n the target sums.
         sy2 = jax.lax.psum(jnp.sum(ys_loc * ys_loc * sm), M_AXIS)
@@ -137,6 +150,7 @@ def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
         sx = jax.lax.psum(jnp.sum(xs_loc * xm, axis=1), N_AXIS)
         sigma2_0 = (n * sy2 + m * sx2 - 2.0 * jnp.dot(sy, sx)) \
             / float(m * dim * n)
+        sigma2_0 = jnp.where(s2i_ > 0.0, jnp.maximum(s2i_, eps), sigma2_0)
         q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
 
         x2 = jnp.sum(xs_loc * xs_loc, axis=0, keepdims=True)   # (1, Nl)
@@ -303,14 +317,16 @@ def _run_em_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
             lin, t, scale, sigma2, q_new = step(lin, t, scale, sigma2)
             return (lin, t, scale, sigma2, q_new, q, i + 1)
 
-        state = (jnp.eye(dim, dtype=ys_loc.dtype),
-                 jnp.zeros(dim, ys_loc.dtype),
-                 jnp.asarray(1.0, ys_loc.dtype), sigma2_0, q0,
+        state = (init_[: dim * dim].reshape(dim, dim),
+                 init_[dim * dim: dim * dim + dim],
+                 init_[dim * dim + dim], sigma2_0, q0,
                  jnp.asarray(jnp.inf, ys_loc.dtype), jnp.asarray(0))
         lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
         return lin, t, scale, sigma2, q
 
-    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd)
+    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
+               jnp.asarray(init, ys_t_sh.dtype),
+               jnp.asarray(sigma2_init, ys_t_sh.dtype))
 
 
 def registration_cpd_2d(
@@ -354,6 +370,15 @@ def registration_cpd_2d(
     use_culled = kwargs.pop("use_culled", None)
     culled_interpret = bool(kwargs.pop("culled_interpret", False))
     culled_tile = int(kwargs.pop("culled_tile", 512))
+    tf_init_params = dict(kwargs.pop("tf_init_params", None) or {})
+    sigma2_init = kwargs.pop("sigma2_init", None)
+    if kwargs:
+        # Silently dropping e.g. a misspelled warm-start kwarg would return
+        # a cold-start registration that LOOKS like it honored the arg.
+        raise TypeError(f"registration_cpd_2d: unknown kwargs {sorted(kwargs)}")
+    if tf_init_params and tf_type_name == "nonrigid":
+        raise ValueError("tf_init_params is rigid/affine-only on the 2-D "
+                         "mesh (the low-rank field has no packed init)")
     if use_culled is None:
         use_culled = (jax.default_backend() == "tpu"
                       and config.use_culled_estep
@@ -399,9 +424,19 @@ def registration_cpd_2d(
     else:
         u_sh = jax.device_put(u, NamedSharding(mesh, P(None, None)))
 
+    init = None
+    if tf_init_params:
+        p = tf_init_params
+        key = "rot" if tf_type_name == "rigid" else "b"
+        init = np.concatenate([
+            np.asarray(p.get(key, np.eye(dim)), np.float32).ravel(),
+            np.asarray(p.get("t", np.zeros(dim)), np.float32),
+            np.atleast_1d(np.float32(p.get("scale", 1.0)))])
+    s2i = None if sigma2_init is None else np.float32(sigma2_init)
     lin, t, scale, sigma2, q = _run_em_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
         jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
+        init, s2i,
         kind=kind, w=float(w), maxiter=int(maxiter), tol=float(tol),
         update_scale=bool(update_scale), m=m_true, n=n_true, mesh=mesh,
         use_culled=bool(use_culled), culled_interpret=culled_interpret,

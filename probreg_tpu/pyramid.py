@@ -305,6 +305,8 @@ def registration_filterreg_pyramid(
     coarse_points: int = 3000,
     factor: float = 4.0,
     sigma2_inflation: float = 3.0,
+    sigma2_decay: float = 0.9,
+    update_sigma2: bool = False,
     **kwargs: Any,
 ):
     """Coarse-to-fine FilterReg registration (pt2pt).
@@ -312,6 +314,14 @@ def registration_filterreg_pyramid(
     Same schedule as :func:`registration_cpd_pyramid`. pt2pl needs
     per-level target normals, so only the full-resolution level uses
     ``target_normals``; coarser levels run pt2pt to produce the warm start.
+
+    ``sigma2_decay`` defaults to 0.9 here (the flat entry point defaults to
+    1.0): FilterReg with a FIXED sigma2 never anneals, so its final sigma2
+    is just the initial estimate and carrying it down would hand finer
+    levels a cloud-scale variance. With annealing (or ``update_sigma2``)
+    the converged variance is meaningful and the carry works like CPD's;
+    without either, each level estimates its own sigma2 and only the
+    transform warm-starts.
     """
     from . import filterreg as _frg
 
@@ -336,6 +346,7 @@ def registration_filterreg_pyramid(
     res = None
     tf_init = None
     sigma2 = None
+    sigma2_meaningful = update_sigma2 or sigma2_decay < 1.0
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
         last = i + 1 == len(src_levels)
         res = _frg.registration_filterreg(
@@ -344,10 +355,13 @@ def registration_filterreg_pyramid(
             sigma2=sigma2, w=w,
             objective_type=objective_type if last else "pt2pt",
             maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
             callbacks=callbacks, tf_init_params=tf_init or {}, **kwargs)
         if not last:
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
-            sigma2 = _carry_sigma2(
-                np.asarray(res.sigma2), voxel_sizes[i], sigma2_inflation)
+            if sigma2_meaningful:
+                sigma2 = _carry_sigma2(
+                    np.asarray(res.sigma2), voxel_sizes[i],
+                    sigma2_inflation)
     return res

