@@ -245,7 +245,7 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
                                    "culled_interpret"))
 def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
               block=None, smask=None, tmask=None, use_culled=False,
-              culled_interpret=False):
+              culled_interpret=False, init_params=None):
     """Whole-VI while_loop in transposed (D, M) layout for the hot E-step.
 
     (M, 3)-layout ops inside TPU loops cost ~0.25 ms each in lane relayouts
@@ -264,6 +264,13 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     it is complete within its block) — peak memory O(M * block) instead of
     the O(M * N) posterior (which the reference also materializes,
     bcpd.py:57-70).
+
+    ``init_params``: optional ``(rot0, t0, scale0, v0_t)`` warm start (in
+    the SAME coordinate frame as ``source``/``target``; ``v0_t`` is the
+    transposed (D, M) displacement field, or None for zeros). Used by the
+    coarse-to-fine pyramid (pyramid.py) — the warm-started first E-step
+    runs at the carried ``sigma2_0`` instead of the dense start
+    temperature.
     """
     use_culled = use_culled and smask is None and tmask is None
     m, dim = source.shape
@@ -401,12 +408,21 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     alpha0 = smask / m_eff if masked \
         else jnp.full((m,), 1.0 / m, source.dtype)
     inf = jnp.asarray(jnp.inf, source.dtype)
-    best0 = (jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
-             jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
-             sigma2_0, inf)
+    if init_params is None:
+        rot0 = jnp.eye(dim, dtype=source.dtype)
+        t0 = jnp.zeros(dim, source.dtype)
+        scale0 = jnp.asarray(1.0, source.dtype)
+        v0_t = jnp.zeros_like(ys_t)
+    else:
+        rot0, t0, scale0, v0_t = init_params
+        rot0 = jnp.asarray(rot0, source.dtype)
+        t0 = jnp.asarray(t0, source.dtype)
+        scale0 = jnp.asarray(scale0, source.dtype)
+        v0_t = (jnp.zeros_like(ys_t) if v0_t is None
+                else jnp.asarray(v0_t, source.dtype))
+    best0 = (rot0, t0, scale0, v0_t, sigma2_0, inf)
     state = (
-        jnp.eye(dim, dtype=source.dtype), jnp.zeros(dim, source.dtype),
-        jnp.asarray(1.0, source.dtype), jnp.zeros_like(ys_t),
+        rot0, t0, scale0, v0_t,
         jnp.ones((m,), source.dtype), alpha0, sigma2_0,
         inf, inf, jnp.asarray(0), best0,
     )
@@ -492,19 +508,33 @@ class BayesianCoherentPointDrift(abc.ABC):
 
     def registration(self, target, w: float = 0.0, maxiter: int = 50,
                      tol: float = 0.001,
-                     callback_chunk: int = 1) -> tf.Transformation:
+                     callback_chunk: int = 1,
+                     tf_init_params=None, v_init=None,
+                     sigma2_init=None) -> tf.Transformation:
         """``callback_chunk``: VI iterations per device dispatch in callback
         mode; callbacks still fire once per iteration from the fetched chunk
-        history (utils/chunked.py). Ignored without callbacks."""
+        history (utils/chunked.py). Ignored without callbacks.
+
+        ``tf_init_params`` ({'rot', 't', 'scale'}), ``v_init`` ((M, D)
+        displacement field) and ``sigma2_init`` warm-start the VI loop in
+        the instance's coordinate frame (the pyramid converts from raw
+        coordinates before calling)."""
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
         if not self._callbacks:
-            return self._registration_jit(target, w, maxiter, tol)
+            return self._registration_jit(
+                target, w, maxiter, tol, tf_init_params=tf_init_params,
+                v_init=v_init, sigma2_init=sigma2_init)
+        if tf_init_params or v_init is not None or sigma2_init is not None:
+            raise ValueError("warm starts are only supported on the jitted "
+                             "(no-callback) path")
         return self._registration_loop(target, w, maxiter, tol,
                                        callback_chunk=int(callback_chunk))
 
     @abc.abstractmethod
-    def _registration_jit(self, target, w, maxiter, tol):
+    def _registration_jit(self, target, w, maxiter, tol,
+                          tf_init_params=None, v_init=None,
+                          sigma2_init=None):
         ...
 
     @abc.abstractmethod
@@ -558,7 +588,9 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             jnp.asarray(self.k, self._source.dtype), jnp.asarray(sigma2_p))
         return MstepResult(*out)
 
-    def _registration_jit(self, target, w, maxiter, tol):
+    def _registration_jit(self, target, w, maxiter, tol,
+                          tf_init_params=None, v_init=None,
+                          sigma2_init=None):
         m = int(self._source.shape[0])
         n = int(jnp.shape(target)[0])
         use_culled = (
@@ -579,17 +611,32 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             perm_s = morton_order_np(src_np)
             self._source = jnp.asarray(src_np[perm_s])
             target = jnp.asarray(tgt_np[morton_order_np(tgt_np)])
+        init_params = None
+        if tf_init_params or v_init is not None:
+            p = dict(tf_init_params or {})
+            dim = int(self._source.shape[1])
+            v0 = None
+            if v_init is not None:
+                v0 = np.asarray(v_init, np.float64)
+                if perm_s is not None:
+                    v0 = v0[perm_s]
+                v0 = v0.T                                   # (D, M)
+            init_params = (p.get("rot", np.eye(dim)),
+                           p.get("t", np.zeros(dim)),
+                           p.get("scale", 1.0), v0)
         try:
             self._initialize(target)
-            sigma2 = self.gamma * mu.squared_kernel_sum(self._source, target)
-            transf, *_ = _run_bcpd(
+            sigma2 = (self.gamma * mu.squared_kernel_sum(self._source, target)
+                      if sigma2_init is None else sigma2_init)
+            transf, _, _, sigma2_out, _ = _run_bcpd(
                 self._source, target, self.gmat,
                 jnp.asarray(self.lmd, self._source.dtype),
                 jnp.asarray(self.k, self._source.dtype),
                 jnp.asarray(sigma2, self._source.dtype),
                 w=float(w), maxiter=int(maxiter), tol=float(tol),
                 block=int(_config.config.estep_chunk),
-                use_culled=bool(use_culled))
+                use_culled=bool(use_culled), init_params=init_params)
+            self._final_sigma2 = sigma2_out
         finally:
             self._source = orig_source
             if perm_s is not None:
@@ -679,6 +726,9 @@ def registration_bcpd(
     callbacks: List[Callable] = [],
     normalize: bool = True,
     callback_chunk: int = 1,
+    tf_init_params=None,
+    v_init=None,
+    sigma2_init=None,
     **kwargs: Any,
 ) -> tf.Transformation:
     """BCPD registration — drop-in for reference bcpd.py:159-185.
@@ -704,26 +754,55 @@ def registration_bcpd(
             raw reference behavior. For dense clouds a larger ``lmd``
             (e.g. 10) strengthens the motion-coherence prior and speeds
             convergence of the rigid component.
+        tf_init_params / v_init / sigma2_init: Warm start in RAW
+            coordinates — {'rot','t','scale'} rigid params, the (M, D)
+            nonrigid displacement field, and the starting variance. Used
+            by :func:`probreg_tpu.pyramid.registration_bcpd_pyramid` to
+            carry the coarse level's solution down; each is converted to
+            the normalized frame internally.
 
     Returns:
         tf.Transformation: Estimated CombinedTransformation.
     """
+    transf, _ = _registration_bcpd_impl(
+        source, target, w=w, maxiter=maxiter, tol=tol, callbacks=callbacks,
+        normalize=normalize, callback_chunk=callback_chunk,
+        tf_init_params=tf_init_params, v_init=v_init,
+        sigma2_init=sigma2_init, **kwargs)
+    return transf
+
+
+def _registration_bcpd_impl(
+    source, target, *, w, maxiter, tol, callbacks, normalize,
+    callback_chunk, tf_init_params=None, v_init=None, sigma2_init=None,
+    **kwargs: Any,
+):
+    """registration_bcpd body; additionally returns the final RAW-frame
+    sigma2 (None on paths that do not track it) for the pyramid carry."""
     src = np.asarray(interop.as_points(source), dtype=np.float64)
     tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    warm = (tf_init_params or v_init is not None
+            or sigma2_init is not None)
     n_starts = int(kwargs.pop("n_starts", 1))
     if n_starts > 1:
         if callbacks or not normalize:
             raise ValueError("n_starts > 1 requires the normalized "
                              "no-callback path")
+        if warm:
+            raise ValueError("n_starts > 1 is incompatible with warm "
+                             "starts (the orientation grid replaces them)")
         results = _registration_bcpd_multistart_batch(
             [src], [tgt], w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, **kwargs)
-        return results[0]
+        return results[0], None
     if not normalize:
         bc = CombinedBCPD(src, **kwargs)
         bc.set_callbacks(callbacks)
-        return bc.registration(tgt, w, maxiter, tol,
-                               callback_chunk=callback_chunk)
+        res = bc.registration(tgt, w, maxiter, tol,
+                              callback_chunk=callback_chunk,
+                              tf_init_params=tf_init_params, v_init=v_init,
+                              sigma2_init=sigma2_init)
+        return res, getattr(bc, "_final_sigma2", None)
 
     centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
     src_h, tgt_h = src - centroid, tgt - centroid
@@ -733,16 +812,36 @@ def registration_bcpd(
         - 2.0 * float(src_h.sum(0) @ tgt_h.sum(0))
     ) / (m * dim * tgt.shape[0])
     scale = max(np.sqrt(skc), 1e-12)
+    # Warm start raw -> normalized frame. With y_n = (y - c)/sc the raw
+    # transform s R (y + v) + t becomes s R (y_n + v_n) + t_n with
+    # v_n = (v + c)/sc, t_n = (t - c)/sc (the exact inverse of the
+    # denormalization below); variances scale by 1/sc^2.
+    tf_init_n = None
+    if tf_init_params:
+        tf_init_n = dict(tf_init_params)
+        if "t" in tf_init_n:
+            tf_init_n["t"] = (np.asarray(tf_init_n["t"], np.float64)
+                              - centroid) / scale
+    v_init_n = None if v_init is None \
+        else (np.asarray(v_init, np.float64) + centroid) / scale
+    sigma2_init_n = None if sigma2_init is None \
+        else float(sigma2_init) / scale ** 2
     bc = CombinedBCPD((src - centroid) / scale, **kwargs)
     bc.set_callbacks(callbacks)
     res = bc.registration((tgt - centroid) / scale, w, maxiter, tol,
-                          callback_chunk=callback_chunk)
+                          callback_chunk=callback_chunk,
+                          tf_init_params=tf_init_n, v_init=v_init_n,
+                          sigma2_init=sigma2_init_n)
     # Denormalize: y -> s R (y + v_raw) + t_raw with
     # v_raw = scale * v_hat - centroid, t_raw = scale * t_hat + centroid.
     rt = res.rigid_trans
     v_raw = scale * res.v - centroid
     t_raw = scale * rt.t + centroid
-    return tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw)
+    sigma2_raw = getattr(bc, "_final_sigma2", None)
+    if sigma2_raw is not None:
+        sigma2_raw = float(sigma2_raw) * scale ** 2
+    return (tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw),
+            sigma2_raw)
 
 
 def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,

@@ -35,6 +35,7 @@ __all__ = [
     "auto_voxel_sizes",
     "registration_cpd_pyramid",
     "registration_filterreg_pyramid",
+    "registration_bcpd_pyramid",
 ]
 
 
@@ -288,6 +289,110 @@ def _interp_displacement(coarse_pts, coarse_disp, fine_pts, voxel):
         jnp.asarray(fine_pts, _config.config.dtype), wts, h)
     den = jnp.maximum(out[:, dim:], float(np.finfo(np.float32).tiny) * 1e10)
     return np.asarray(out[:, :dim] / den)
+
+
+def registration_bcpd_pyramid(
+    source,
+    target,
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    levels: int = 3,
+    voxel_sizes: Optional[Sequence[float]] = None,
+    coarse_points: int = 3000,
+    factor: float = 4.0,
+    sigma2_inflation: float = 3.0,
+    level_maxiters: Optional[Sequence[int]] = None,
+    **kwargs: Any,
+):
+    """Coarse-to-fine BCPD registration (combined rigid+scale+nonrigid).
+
+    Same schedule as :func:`registration_cpd_pyramid`: each finer level is
+    warm-started with the coarse level's rigid parameters, its
+    kernel-interpolated nonrigid displacement field (``v_init``) and its
+    converged variance (``sigma2_init``), all carried in RAW coordinates
+    (registration_bcpd converts to each level's normalized frame). Unlike
+    the CPD nonrigid pyramid, NO ``rank=`` is required: the BCPD M-step
+    re-solves the full field every iteration (reference bcpd.py:130-136),
+    so ``v_init`` only seeds the first E-step position — dense and
+    low-rank (``rank=``) models both warm-start exactly. ``rank=`` is
+    still what makes large-N levels tractable (K x K Woodbury vs M x M
+    solve).
+
+    Args:
+        source / target: Point clouds (ndarray or open3d PointCloud).
+        w, maxiter, tol: As in registration_bcpd, applied per level.
+        levels / voxel_sizes / coarse_points / factor: Pyramid schedule
+            (see registration_cpd_pyramid).
+        sigma2_inflation: Safety factor on the carried variance.
+        level_maxiters: Per-level maxiter override (coarsest first).
+            Default: full budget coarse, half at intermediate levels,
+            ``maxiter // 3`` (>= 10) at full resolution — BCPD's
+            fine-scale deformation needs a few more polish iterations
+            than the rigid pyramid's default.
+        **kwargs: Forwarded to registration_bcpd (lmd, k, gamma, rank,
+            normalize, ...). Callbacks are not supported (warm starts
+            ride the jitted no-callback path).
+
+    Returns:
+        tf.CombinedTransformation for the full-resolution source.
+    """
+    from . import bcpd as _bcpd
+
+    for managed in ("tf_init_params", "sigma2_init", "v_init"):
+        if managed in kwargs:
+            raise ValueError(f"{managed} is managed by the pyramid; pass it "
+                             "to registration_bcpd instead.")
+    if kwargs.get("callbacks"):
+        raise ValueError("registration_bcpd_pyramid does not support "
+                         "callbacks (warm starts require the jitted path)")
+    kwargs.pop("callbacks", None)
+
+    src = interop.as_points(source, dtype=_config.config.dtype)
+    tgt = interop.as_points(target, dtype=_config.config.dtype)
+    src_np = np.asarray(src)
+    tgt_np = np.asarray(tgt)
+    if voxel_sizes is None:
+        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
+                                       coarse_points, factor)
+    voxel_sizes = list(voxel_sizes)
+    src_levels = build_pyramid(src_np, voxel_sizes)
+    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
+
+    if level_maxiters is None:
+        nl = len(voxel_sizes)
+        if nl == 1:
+            level_maxiters = [maxiter]
+        else:
+            polish = max(maxiter // 3, 10)
+            level_maxiters = ([maxiter]
+                              + [max(maxiter // 2, 10)] * (nl - 2)
+                              + [polish])
+    if len(level_maxiters) != len(voxel_sizes):
+        raise ValueError("level_maxiters length must match the level count")
+
+    normalize = bool(kwargs.pop("normalize", True))
+    res = None
+    tf_init = None
+    v_init = None
+    sigma2_init = None
+    for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        res, sigma2_raw = _bcpd._registration_bcpd_impl(
+            s_i, t_i, w=w, maxiter=int(level_maxiters[i]), tol=tol,
+            callbacks=[], normalize=normalize,
+            callback_chunk=1, tf_init_params=tf_init, v_init=v_init,
+            sigma2_init=sigma2_init, **kwargs)
+        if i + 1 < len(src_levels):
+            rt = res.rigid_trans
+            tf_init = {"rot": np.asarray(rt.rot),
+                       "t": np.asarray(rt.t),
+                       "scale": float(np.asarray(rt.scale))}
+            v_init = _interp_displacement(
+                s_i, np.asarray(res.v), src_levels[i + 1], voxel_sizes[i])
+            if sigma2_raw is not None:
+                sigma2_init = _carry_sigma2(
+                    sigma2_raw, voxel_sizes[i], sigma2_inflation)
+    return res
 
 
 def registration_filterreg_pyramid(

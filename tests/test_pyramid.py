@@ -197,3 +197,79 @@ def test_pyramid_sharded_mesh(dense_pair):
     with pytest.raises(ValueError):
         pyramid.registration_cpd_pyramid(
             src, tgt, "nonrigid", rank=16, mesh=parallel.make_mesh())
+
+
+def _nn_rmse(a, b):
+    d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+    return float(np.sqrt(d2.min(axis=1).mean()))
+
+
+def test_pyramid_bcpd_matches_flat_quality(rng):
+    """BCPD pyramid: rigid params + interpolated v field + variance carried
+    down in raw coordinates; quality must match the flat VI run (scored by
+    the NN criterion the algorithm itself optimizes, reference
+    bcpd.py:95-99)."""
+    from probreg_tpu import bcpd
+
+    source = _dense_cloud(rng, 4000)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([8.0, -4.0, 6.0])), np.float32)
+    defo = (0.02 * np.sin(3.0 * source[:, :1])
+            * np.array([[1.0, 0.5, -0.3]])).astype(np.float32)
+    target = ((source + defo) @ rot.T).astype(np.float32)
+    base = _nn_rmse(source, target)
+
+    flat = bcpd.registration_bcpd(source, target, maxiter=50, tol=0.0,
+                                  lmd=10.0, rank=48)
+    rmse_flat = _nn_rmse(np.asarray(flat.transform(source)), target)
+
+    res = pyramid.registration_bcpd_pyramid(
+        source, target, maxiter=50, tol=0.0, lmd=10.0, rank=48,
+        levels=2, coarse_points=1000)
+    rmse = _nn_rmse(np.asarray(res.transform(source)), target)
+    # The blobby surface under an 8-deg rotation is a hard BCPD case (the
+    # combined model splits the motion); the flat run itself lands ~0.55x
+    # identity here. The pyramid's contract is matching the FLAT result.
+    assert rmse < 0.7 * base
+    assert rmse <= 1.15 * rmse_flat + 1e-5
+
+
+def test_bcpd_warm_start_resumes_converged_state(rng):
+    """Warm-starting registration_bcpd with a converged run's output (in
+    raw coordinates) must immediately reproduce that run's quality — the
+    best-visited tracking scores the warm state before any VI update."""
+    from probreg_tpu import bcpd
+
+    source = _dense_cloud(rng, 1500)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([6.0, 3.0, -5.0])), np.float32)
+    target = (source @ rot.T + np.float32(0.02)).astype(np.float32)
+
+    full = bcpd.registration_bcpd(source, target, maxiter=50, tol=0.0,
+                                  lmd=10.0, rank=48)
+    rmse_full = _nn_rmse(np.asarray(full.transform(source)), target)
+    rt = full.rigid_trans
+    warm = bcpd.registration_bcpd(
+        source, target, maxiter=3, tol=0.0, lmd=10.0, rank=48,
+        tf_init_params={"rot": np.asarray(rt.rot), "t": np.asarray(rt.t),
+                        "scale": float(np.asarray(rt.scale))},
+        v_init=np.asarray(full.v), sigma2_init=1e-5)
+    rmse_warm = _nn_rmse(np.asarray(warm.transform(source)), target)
+    cold = bcpd.registration_bcpd(source, target, maxiter=3, tol=0.0,
+                                  lmd=10.0, rank=48)
+    rmse_cold = _nn_rmse(np.asarray(cold.transform(source)), target)
+    assert rmse_warm <= rmse_full + 1e-6
+    assert rmse_warm < rmse_cold
+
+
+def test_bcpd_pyramid_rejections(rng):
+    from probreg_tpu import bcpd, pyramid as pyr
+
+    src = rng.random((100, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        pyr.registration_bcpd_pyramid(src, src, v_init=np.zeros((100, 3)))
+    with pytest.raises(ValueError):
+        pyr.registration_bcpd_pyramid(src, src, callbacks=[print])
+    with pytest.raises(ValueError):
+        bcpd.registration_bcpd(src, src, n_starts=4, sigma2_init=0.1)
+    with pytest.raises(ValueError):
+        bcpd.registration_bcpd(src, src, callbacks=[print],
+                               sigma2_init=0.1)
