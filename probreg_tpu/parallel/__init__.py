@@ -22,7 +22,9 @@ from .sharded import (  # noqa: F401
 )
 from .sharded2d import (  # noqa: F401
     make_mesh_2d,
+    registration_bcpd_2d,
     registration_cpd_2d,
+    registration_filterreg_2d,
 )
 
 

@@ -644,11 +644,21 @@ def registration_filterreg_sharded(
 ):
     """Multi-device rigid FilterReg; target (and normals) sharded over the
     mesh, moments psum'd. Same semantics as registration_filterreg's fast
-    path. Returns an MstepResult."""
+    path. Returns an MstepResult. A 2-D ``(m, n)`` mesh shards BOTH clouds
+    (parallel/sharded2d.py)."""
     from .. import filterreg as frg_mod
 
     if mesh is None:
         mesh = make_mesh()
+    if len(mesh.axis_names) == 2:
+        from .sharded2d import registration_filterreg_2d
+
+        return registration_filterreg_2d(
+            source, target, target_normals=target_normals,
+            objective_type=objective_type, sigma2=sigma2, w=w,
+            maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
+            mesh=mesh)
     axis = mesh.axis_names[0]
     src = jnp.asarray(interop.as_points(source, dtype=config.dtype))
     xs_t_sh, mask_sh, n = shard_points_t(target, mesh, axis)
@@ -874,6 +884,16 @@ def registration_bcpd_sharded(
 
     if mesh is None:
         mesh = make_mesh()
+    if len(mesh.axis_names) == 2:
+        from .sharded2d import registration_bcpd_2d
+
+        if rank is None:
+            raise ValueError("a 2-D mesh requires rank= (the dense M x M "
+                             "Sigma solve does not distribute over the "
+                             "m-axis)")
+        return registration_bcpd_2d(
+            source, target, w=w, maxiter=maxiter, tol=tol, lmd=lmd, k=k,
+            gamma=gamma, rank=rank, normalize=normalize, mesh=mesh)
     axis = mesh.axis_names[0]
     src = np.asarray(interop.as_points(source), dtype=np.float64)
     tgt = np.asarray(interop.as_points(target), dtype=np.float64)

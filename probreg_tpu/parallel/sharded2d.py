@@ -455,3 +455,499 @@ def registration_cpd_2d(
         transf = tf.LowRankNonRigidTransformation(
             lin.T, jnp.asarray(u_out), jnp.asarray(lam, config.dtype))
     return cpd_mod.MstepResult(transf, sigma2, q)
+
+
+# --------------------------------------------------------------------------
+# FilterReg on the 2-D mesh
+# --------------------------------------------------------------------------
+#
+# FilterReg's E-step moments M0/M1(/M2/NX) are PER-SOURCE-ROW sums over the
+# target (reference filterreg.py:78-108) — no column normalizer, so the
+# m-axis needs no den psum; the moments psum over n and stay m-sharded. The
+# M-step reductions (weighted Kabsch centroids/covariance, pt2pl J^T J) are
+# all sums over source rows: local partial sums + one psum_m yield the
+# replicated D x D / 6 x 6 system every device solves identically.
+
+@partial(jax.jit,
+         static_argnames=("objective_type", "update_sigma2", "w",
+                          "maxiter", "min_sigma2", "sigma2_decay",
+                          "auto_sigma2", "m", "n", "mesh"))
+def _run_filterreg_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
+                      sigma2_in, *, objective_type, update_sigma2, w,
+                      maxiter, tol, min_sigma2, sigma2_decay, auto_sigma2,
+                      m, n, mesh):
+    from .. import filterreg as frg_mod
+
+    dim = ys_t_sh.shape[0]
+    pt2pl = objective_type == "pt2pl"
+    nrm_spec = P(None, N_AXIS) if pt2pl else P()
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, M_AXIS), P(None, M_AXIS),
+                  P(None, N_AXIS), P(None, N_AXIS), nrm_spec, P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def run(ys_loc, sm, xs_loc, xm, nrm_loc, s2_in):
+        x2 = jnp.sum(xs_loc * xs_loc, axis=0, keepdims=True)   # (1, Nl)
+
+        # ---- sigma2_0 (same init as registration_filterreg's fast path)
+        if auto_sigma2 and pt2pl:
+            # Target point-spacing: each n-shard queries the FULL target
+            # (one all_gather; replicated over the m-axis).
+            xs_full = jax.lax.all_gather(xs_loc, N_AXIS, axis=1, tiled=True)
+            msk_full = jax.lax.all_gather(xm, N_AXIS, axis=1, tiled=True)
+            x2f = jnp.sum(xs_full * xs_full, axis=0, keepdims=True)
+            d2 = jnp.maximum(
+                x2.T + x2f - 2.0 * jax.lax.dot_general(
+                    xs_loc, xs_full, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0)
+            invalid = (xm.T <= 0.0) | (msk_full <= 0.0) | (d2 <= 1e-12)
+            nn2 = jnp.min(jnp.where(invalid, jnp.inf, d2), axis=1)
+            nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
+            cnt = jax.lax.psum(jnp.sum(xm), N_AXIS)
+            sigma2_0 = jax.lax.psum(jnp.sum(nn2), N_AXIS) \
+                / jnp.maximum(cnt, 1.0)
+            sigma2_0 = jnp.maximum(sigma2_0, min_sigma2 * 0.01)
+        elif auto_sigma2:
+            sy2 = jax.lax.psum(jnp.sum(ys_loc * ys_loc * sm), M_AXIS)
+            sy = jax.lax.psum(jnp.sum(ys_loc * sm, axis=1), M_AXIS)
+            sx2 = jax.lax.psum(jnp.sum(xs_loc * xs_loc * xm), N_AXIS)
+            sx = jax.lax.psum(jnp.sum(xs_loc * xm, axis=1), N_AXIS)
+            sigma2_0 = (n * sy2 + m * sx2 - 2.0 * jnp.dot(sy, sx)) \
+                / float(m * dim * n)
+            sigma2_0 = jnp.maximum(sigma2_0, min_sigma2)
+        else:
+            sigma2_0 = s2_in
+
+        chans = [xm, xs_loc]
+        if update_sigma2:
+            chans.append(x2 * xm)
+        if pt2pl:
+            chans.append(nrm_loc)
+        v_t = jnp.concatenate(chans, axis=0)                   # (C, Nl)
+
+        def step(rot, t, sigma2):
+            t_src = rot @ ys_loc + t[:, None]                  # (D, Ml)
+            y2 = jnp.sum(t_src * t_src, axis=0)[:, None]
+            xy = jax.lax.dot_general(
+                t_src, xs_loc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            kk = jnp.exp(-jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)
+                         * (0.5 / sigma2)) * xm
+            mom = jax.lax.psum(jax.lax.dot_general(
+                v_t, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), N_AXIS)  # (C, Ml)
+            m0 = mom[0]
+            m1_t = mom[1:1 + dim]
+            col = 1 + dim
+            m2 = None
+            if update_sigma2:
+                m2 = mom[col]
+                col += 1
+            nx_t = mom[col:col + dim] if pt2pl else None
+
+            c = frg_mod._outlier_c(sigma2, w, m, n, dim)
+            mask = (m0 > 0.0).astype(t_src.dtype) * sm[0]
+            m0_safe = jnp.maximum(m0, frg_mod._EPS)
+            m1m0_t = m1_t / m0_safe[None, :]
+            m0m0 = m0 / jnp.maximum(m0 + c, frg_mod._EPS)
+            drxdx = mask * jnp.sqrt(m0m0 / sigma2)
+            if pt2pl:
+                nxm0_t = nx_t / m0_safe[None, :]
+                tw, q = _pt2pl_2d(t_src, m1m0_t, nxm0_t, drxdx)
+                from ..utils import se3_op as so
+
+                rot_n, t_n = so.twist_mul(tw, rot, t)
+            else:
+                dr, dt = _kabsch_2d(t_src, m1m0_t, drxdx)
+                rx2 = jnp.sum(
+                    (drxdx[None, :] * (t_src - m1m0_t)) ** 2, axis=0)
+                q = jax.lax.psum(jnp.sum(jnp.sqrt(rx2)), M_AXIS)
+                rot_n, t_n = dr @ rot, dr @ t + dt
+            if m2 is None:
+                return rot_n, t_n, sigma2 * sigma2_decay, q
+            num = m0 * jnp.sum(t_src * t_src, axis=0) \
+                - 2.0 * jnp.sum(t_src * m1_t, axis=0) + m2
+            s2 = jax.lax.psum(jnp.sum(
+                mask * num / jnp.maximum(m0 + c, frg_mod._EPS)), M_AXIS)
+            s2 = s2 / (dim * jnp.maximum(
+                jax.lax.psum(jnp.sum(mask * m0m0), M_AXIS), frg_mod._EPS))
+            return rot_n, t_n, s2, q
+
+        def cond(state):
+            _, _, _, q, q_prev, i = state
+            return jnp.logical_and(
+                i < maxiter,
+                jnp.logical_or(i == 0, jnp.abs(q - q_prev) >= tol))
+
+        def body(state):
+            rot, t, sigma2, q, _, i = state
+            rot, t, s2, q_new = step(rot, t, sigma2)
+            s2 = jnp.maximum(s2, min_sigma2)
+            return (rot, t, s2, q_new, q, i + 1)
+
+        state = (jnp.eye(dim, dtype=ys_loc.dtype),
+                 jnp.zeros(dim, ys_loc.dtype), sigma2_0,
+                 jnp.asarray(jnp.inf, ys_loc.dtype),
+                 jnp.asarray(jnp.inf, ys_loc.dtype), jnp.asarray(0))
+        rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+        return rot, t, sigma2, q
+
+    nrm = nrm_t_sh if nrm_t_sh is not None else sigma2_in
+    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm, sigma2_in)
+
+
+def _kabsch_2d(model_t, target_t, w):
+    """filterreg._kabsch_t with every source-row reduction psum_m'd.
+    Inputs are m-sharded (D, Ml) columns; the returned (rot, t) is the
+    replicated solve of the psum'd centroids/covariance."""
+    dim = model_t.shape[0]
+    total = jax.lax.psum(jnp.sum(w), M_AXIS)
+    safe = jnp.where(total == 0.0, 1.0, total)
+    mc = jax.lax.psum(model_t @ w, M_AXIS) / safe
+    tc = jax.lax.psum(target_t @ w, M_AXIS) / safe
+    w2 = w * w
+    hh = jax.lax.psum(jax.lax.dot_general(
+        (model_t - mc[:, None]) * w2[None, :], target_t - tc[:, None],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST), M_AXIS)
+    h_weight = jax.lax.psum(jnp.sum(w2), M_AXIS)
+    hh = hh / jnp.where(h_weight == 0.0, 1.0, h_weight)
+    u, _, vh = jnp.linalg.svd(hh)
+    s = jnp.ones(dim, hh.dtype).at[-1].set(jnp.linalg.det(u @ vh.T))
+    r = (vh.T * s) @ u.T
+    t = tc - r @ mc
+    eye = jnp.eye(dim, dtype=model_t.dtype)
+    r = jnp.where(total == 0.0, eye, r)
+    t = jnp.where(total == 0.0, jnp.zeros_like(t), t)
+    return r, t
+
+
+def _pt2pl_2d(model_t, target_t, normal_t, w):
+    """filterreg._pt2pl_t with the 6x6 GN system psum_m'd."""
+    resid = jnp.sum(normal_t * (target_t - model_t), axis=0)
+    cx = model_t[1] * normal_t[2] - model_t[2] * normal_t[1]
+    cy = model_t[2] * normal_t[0] - model_t[0] * normal_t[2]
+    cz = model_t[0] * normal_t[1] - model_t[1] * normal_t[0]
+    jac = jnp.stack([cx, cy, cz, normal_t[0], normal_t[1], normal_t[2]])
+    ata = jax.lax.psum(jax.lax.dot_general(
+        jac * w[None, :], jac, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST), M_AXIS)          # (6, 6)
+    atb = jax.lax.psum(jac @ (w * resid), M_AXIS)
+    r_sum = jax.lax.psum(jnp.sum(w * w * resid * resid), M_AXIS)
+    degenerate = jnp.max(jnp.abs(ata)) == 0.0
+    safe_ata = jnp.where(degenerate, jnp.eye(6, dtype=ata.dtype), ata)
+    tw = jnp.linalg.lstsq(safe_ata, atb, rcond=1e-6)[0]
+    tw = jnp.where(degenerate, jnp.zeros_like(tw), tw)
+    wn = jnp.linalg.norm(tw[:3])
+    tw = tw * jnp.minimum(1.0, 0.5 / jnp.maximum(wn, 1e-12))
+    return tw, r_sum
+
+
+def registration_filterreg_2d(
+    source,
+    target,
+    target_normals=None,
+    objective_type: str = "pt2pt",
+    sigma2: Optional[float] = None,
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    min_sigma2: float = 1.0e-4,
+    sigma2_decay: float = 1.0,
+    update_sigma2: bool = False,
+    mesh: Optional[Mesh] = None,
+):
+    """Rigid FilterReg on a 2-D ``(m, n)`` mesh: BOTH clouds sharded.
+
+    Same semantics as registration_filterreg's fast path /
+    registration_filterreg_sharded; per-device memory is O(M/Pm * N/Pn)
+    and no device holds an M-row or N-row array. Returns an MstepResult.
+    """
+    from .. import filterreg as frg_mod
+
+    if mesh is None:
+        mesh = make_mesh_2d()
+    _check_mesh_2d(mesh, "registration_filterreg_2d")
+    ys_t_sh, smask_sh, m = _shard_axis_t(source, mesh, M_AXIS)
+    xs_t_sh, xmask_sh, n = _shard_axis_t(target, mesh, N_AXIS)
+    nrm_t_sh = None
+    if objective_type == "pt2pl":
+        if target_normals is None:
+            raise ValueError("pt2pl requires target_normals.")
+        nrm_t_sh, _, _ = _shard_axis_t(target_normals, mesh, N_AXIS)
+    elif objective_type != "pt2pt":
+        raise ValueError("unknown objective_type %s" % objective_type)
+    rot, t, sigma2_out, q = _run_filterreg_2d(
+        ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
+        jnp.asarray(0.0 if sigma2 is None else sigma2, config.dtype),
+        objective_type=objective_type, update_sigma2=bool(update_sigma2),
+        w=float(w), maxiter=int(maxiter), tol=float(tol),
+        min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
+        auto_sigma2=sigma2 is None, m=m, n=n, mesh=mesh)
+    return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2_out, q)
+
+
+def _check_mesh_2d(mesh: Mesh, who: str):
+    if len(mesh.axis_names) != 2:
+        raise ValueError(f"{who} needs a 2-D mesh; got axes "
+                         f"{mesh.axis_names}")
+    if tuple(mesh.axis_names) != (M_AXIS, N_AXIS):
+        raise ValueError(f"2-D mesh axes must be named ({M_AXIS!r}, "
+                         f"{N_AXIS!r}); got {mesh.axis_names}")
+
+
+# --------------------------------------------------------------------------
+# BCPD (low-rank) on the 2-D mesh
+# --------------------------------------------------------------------------
+#
+# The VI E-step has the SAME column normalizer as CPD (den_j sums over all
+# source rows, reference bcpd.py:64) -> psum_m; its moments nu/px/s1 psum
+# over n and stay m-sharded. The M-step distributes through the Woodbury
+# factorization: U is m-sharded, the K x K core (U^T diag(nu) U) and the
+# normal-equation strips psum over m, and diag(Sigma) / the v field are
+# recovered row-locally from the replicated core — no device ever holds an
+# M-row object (the dense M x M Sigma solve does not distribute; rank= is
+# required).
+
+@partial(jax.jit, static_argnames=("w", "maxiter", "m", "n", "mesh"))
+def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
+                 sigma2_0, *, w, maxiter, tol, m, n, mesh):
+    dim = ys_t_sh.shape[0]
+    krank = u_sh.shape[1]
+    eps = jnp.asarray(_F32_EPS, ys_t_sh.dtype)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, M_AXIS), P(None, M_AXIS),
+                  P(None, N_AXIS), P(None, N_AXIS), P(M_AXIS, None),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(None, M_AXIS)),
+    )
+    def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_, k_, s2_0):
+        ml = ys_loc.shape[1]
+        sm1 = sm[0]                                            # (Ml,)
+        x2 = jnp.sum(xs_loc * xs_loc, axis=0, keepdims=True)   # (1, Nl)
+        v_chan = jnp.concatenate([xs_loc, xm, x2 * xm], axis=0)
+        eye_k = jnp.eye(krank, dtype=ys_loc.dtype)
+
+        def estep(t_src_t, row, sigma2):
+            """row: (Ml,) mixing/Sigma-correction factor (already masked).
+            Returns m-sharded px_t/nu, replicated s1, per-row dmin."""
+            y2 = jnp.sum(t_src_t * t_src_t, axis=0)[:, None]
+            xy = jax.lax.dot_general(
+                t_src_t, xs_loc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(y2 + x2 - 2.0 * xy, 0.0)
+            dmin = jnp.min(jnp.where(xm > 0, d2, jnp.inf), axis=1)
+            dmin = jax.lax.pmin(dmin, N_AXIS)
+            g = jnp.exp(-d2 / (2.0 * sigma2)) \
+                / (2.0 * jnp.pi * sigma2) ** (dim * 0.5) * xm
+            pmat = g * row[:, None]
+            # Cross-device posterior normalizer (reference bcpd.py:64):
+            # den_j spans every source shard.
+            den = w / n + jax.lax.psum(
+                jnp.sum(pmat, axis=0, keepdims=True), M_AXIS)
+            den = jnp.where(den == 0.0, eps, den)
+            pmat = pmat / den
+            mom = jax.lax.psum(jax.lax.dot_general(
+                v_chan, pmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), N_AXIS)  # (D+2, Ml)
+            px_t, nu = mom[:dim], mom[dim]
+            s1 = jax.lax.psum(jnp.sum(mom[dim + 1]), M_AXIS)
+            return px_t, nu, s1, dmin
+
+        def body(state):
+            (rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _,
+             rmse_prev, i, best) = state
+            t_src_t = scale * rot @ (ys_loc + v_hat_t) + t[:, None]
+            row = (1.0 - w) * alpha * jnp.exp(
+                -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim) * sm1
+            px_t, nu, s1, dmin = estep(t_src_t, row, sigma2)
+            rmse = jax.lax.psum(
+                jnp.sum(jnp.where(sm1 > 0, jnp.sqrt(dmin), 0.0)),
+                M_AXIS) / m
+
+            # ---- M-step (_vi_mstep_t with psum_m reductions)
+            n_p = jnp.maximum(jax.lax.psum(jnp.sum(nu), M_AXIS), eps)
+            x_hat_t = px_t / jnp.maximum(nu, eps)[None, :]
+            s2s2 = scale ** 2 / (sigma2 ** 2)
+            residual_t = rot.T @ ((x_hat_t - t[:, None]) / scale) - ys_loc
+            # regularized_sigma (ops/lowrank.py:145) distributed: the K x K
+            # core psums over m; diag(Sigma) is row-local from the core.
+            cmat = jax.lax.psum(
+                (u_loc * nu[:, None]).T @ u_loc, M_AXIS)       # (K, K)
+            mk = lmd_ * eye_k + s2s2 * lam_[:, None] * cmat
+            s_core = jnp.diag(lam_) - s2s2 * jnp.linalg.solve(
+                mk, lam_[:, None] * cmat * lam_[None, :])
+            s_core = 0.5 * (s_core + s_core.T)
+            sigma_diag_new = jnp.sum((u_loc @ s_core) * u_loc, axis=1) / lmd_
+            strip = jax.lax.psum(jax.lax.dot_general(
+                residual_t * nu[None, :], u_loc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), M_AXIS)  # (D, K)
+            v_new_t = (s2s2 / lmd_) * jax.lax.dot_general(
+                strip @ s_core, u_loc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (D, Ml)
+            u_hat_t = ys_loc + v_new_t
+            alpha_new = jnp.exp(
+                jax.scipy.special.digamma(k_ + nu)
+                - jax.scipy.special.digamma(k_ * m + n_p))
+            x_m = jax.lax.psum(x_hat_t @ nu, M_AXIS) / n_p
+            sigma2_m = jax.lax.psum(
+                jnp.sum(nu * sigma_diag_new), M_AXIS) / n_p
+            u_m = jax.lax.psum(u_hat_t @ nu, M_AXIS) / n_p
+            u_hm = u_hat_t - u_m[:, None]
+            s_xu = jax.lax.psum(jax.lax.dot_general(
+                (x_hat_t - x_m[:, None]) * nu[None, :], u_hm,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), M_AXIS) / n_p
+            s_uu = jax.lax.psum(jax.lax.dot_general(
+                u_hm * nu[None, :], u_hm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), M_AXIS) / n_p \
+                + sigma2_m * jnp.eye(dim, dtype=ys_loc.dtype)
+            phi, _, psih = jnp.linalg.svd(s_xu, full_matrices=True)
+            cdet = jnp.ones(dim, ys_loc.dtype).at[-1].set(
+                jnp.linalg.det(phi @ psih))
+            rot_new = (phi * cdet) @ psih
+            scale_new = jnp.trace(rot_new @ s_xu) / jnp.trace(s_uu)
+            t_new = x_m - scale_new * rot_new @ u_m
+            # Reference parity (bcpd.py:151): y_hat with the PREVIOUS
+            # transform.
+            y_hat_t = scale * rot @ (ys_loc + v_new_t) + t[:, None]
+            s2v = jax.lax.psum(jnp.sum(px_t * y_hat_t), M_AXIS)
+            s3 = jax.lax.psum(
+                jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0)), M_AXIS)
+            sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
+                + scale_new ** 2 * sigma2_m
+
+            b_rot, b_t, b_scale, b_v, b_rmse = best
+            better = rmse < b_rmse
+            best = (jnp.where(better, rot, b_rot),
+                    jnp.where(better, t, b_t),
+                    jnp.where(better, scale, b_scale),
+                    jnp.where(better, v_hat_t, b_v),
+                    jnp.minimum(rmse, b_rmse))
+            return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
+                    alpha_new, sigma2_new, rmse, state[7], i + 1, best)
+
+        def cond(state):
+            rmse, rmse_prev, i = state[7], state[8], state[9]
+            return jnp.logical_and(
+                i < maxiter,
+                jnp.logical_or(i < 2, jnp.abs(rmse - rmse_prev) >= tol))
+
+        inf = jnp.asarray(jnp.inf, ys_loc.dtype)
+        # m-sharded carries must start with the 'm' varying-mesh-axis
+        # annotation their loop-body outputs have: zeros_like(ys_loc) and
+        # ones_like(sm1) inherit it from the sharded inputs.
+        best0 = (jnp.eye(dim, dtype=ys_loc.dtype),
+                 jnp.zeros(dim, ys_loc.dtype),
+                 jnp.asarray(1.0, ys_loc.dtype),
+                 jnp.zeros_like(ys_loc), inf)
+        state = (
+            jnp.eye(dim, dtype=ys_loc.dtype), jnp.zeros(dim, ys_loc.dtype),
+            jnp.asarray(1.0, ys_loc.dtype), jnp.zeros_like(ys_loc),
+            jnp.ones_like(sm1), sm1 / m, s2_0,
+            inf, inf, jnp.asarray(0), best0,
+        )
+        state = jax.lax.while_loop(cond, body, state)
+        rot, t, scale, v_hat_t = state[:4]
+        b_rot, b_t, b_scale, b_v, b_rmse = state[10]
+        # Score the last iterate once; keep the better of (last, best).
+        t_src_t = scale * rot @ (ys_loc + v_hat_t) + t[:, None]
+        _, _, _, dmin = estep(t_src_t, sm1, s2_0)
+        rmse_last = jax.lax.psum(
+            jnp.sum(jnp.where(sm1 > 0, jnp.sqrt(dmin), 0.0)), M_AXIS) / m
+        use_last = rmse_last <= b_rmse
+        rot = jnp.where(use_last, rot, b_rot)
+        t = jnp.where(use_last, t, b_t)
+        scale = jnp.where(use_last, scale, b_scale)
+        v_hat_t = jnp.where(use_last, v_hat_t, b_v)
+        return rot, t, scale, v_hat_t
+
+    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
+               jnp.asarray(k, config.dtype),
+               jnp.asarray(sigma2_0, config.dtype))
+
+
+def registration_bcpd_2d(
+    source,
+    target,
+    w: float = 0.0,
+    maxiter: int = 50,
+    tol: float = 0.001,
+    lmd: float = 2.0,
+    k: float = 1.0e20,
+    gamma: float = 1.0,
+    rank: int = 64,
+    normalize: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """BCPD on a 2-D ``(m, n)`` mesh: BOTH clouds sharded, low-rank Sigma.
+
+    Same semantics (incl. the default scale normalization) as
+    registration_bcpd with ``rank=``; the VI E-step's posterior normalizer
+    psums over the m-axis and the Woodbury Sigma update runs through
+    psum_m'd K x K moments — per-device memory O(M/Pm * (N/Pn + K)).
+    Returns a CombinedTransformation.
+    """
+    from ..ops import lowrank as lr
+    from ..utils import math_utils as mu_
+
+    if mesh is None:
+        mesh = make_mesh_2d()
+    _check_mesh_2d(mesh, "registration_bcpd_2d")
+    if rank is None:
+        raise ValueError("registration_bcpd_2d requires rank= (the dense "
+                         "M x M Sigma solve does not distribute)")
+    src = np.asarray(interop.as_points(source), dtype=np.float64)
+    tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    if normalize:
+        centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
+        src_h, tgt_h = src - centroid, tgt - centroid
+        m0_, dim0 = src.shape
+        skc = float(
+            (src_h ** 2).sum() * tgt.shape[0] + (tgt_h ** 2).sum() * m0_
+            - 2.0 * float(src_h.sum(0) @ tgt_h.sum(0))
+        ) / (m0_ * dim0 * tgt.shape[0])
+        scale0 = max(np.sqrt(skc), 1e-12)
+    else:
+        centroid, scale0 = np.zeros(src.shape[1]), 1.0
+    src_n = ((src - centroid) / scale0).astype(np.float32)
+    tgt_n = ((tgt - centroid) / scale0).astype(np.float32)
+
+    # Nystrom factors from the full source on the host driver (O(M K)),
+    # then sharded over m alongside the points.
+    u, lam = lr.lowrank_imq(jnp.asarray(src_n), 1.0, int(rank))
+    u = np.asarray(u)
+    sigma2_0 = gamma * float(
+        mu_.squared_kernel_sum(jnp.asarray(src_n), jnp.asarray(tgt_n)))
+
+    ys_t_sh, smask_sh, m = _shard_axis_t(src_n, mesh, M_AXIS)
+    xs_t_sh, xmask_sh, n = _shard_axis_t(tgt_n, mesh, N_AXIS)
+    pad = ys_t_sh.shape[1] - m
+    if pad:
+        u = np.concatenate([u, np.zeros((pad, u.shape[1]), u.dtype)], 0)
+    u_sh = jax.device_put(u, NamedSharding(mesh, P(M_AXIS, None)))
+
+    rot, t, scale, v_hat_t = _run_bcpd_2d(
+        ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
+        jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
+        float(k), np.float32(sigma2_0),
+        w=float(w), maxiter=int(maxiter), tol=float(tol), m=m, n=n,
+        mesh=mesh)
+    v_raw = scale0 * np.asarray(v_hat_t.T, np.float64)[:m] - centroid
+    t_raw = scale0 * np.asarray(t, np.float64) + centroid
+    return tf.CombinedTransformation(
+        np.asarray(rot, np.float64), t_raw, float(scale), v_raw)

@@ -156,3 +156,116 @@ def test_2d_culled_lowrank_unpermutes(mesh2d, rng):
     d_true = tgt - src
     corr = np.corrcoef(d_c.ravel(), d_true.ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+# --------------------------------------------------------------------------
+# FilterReg on the 2-D mesh
+# --------------------------------------------------------------------------
+
+def test_2d_filterreg_pt2pt_matches_single(mesh2d, rigid_pair):
+    from probreg_tpu import filterreg
+    from probreg_tpu.parallel import sharded as sh
+
+    src, tgt, rot, t_gt = rigid_pair
+    res_1dev = filterreg.registration_filterreg(
+        src, tgt, maxiter=30, tol=1e-6, sigma2_decay=0.9)
+    res_1d = sh.registration_filterreg_sharded(
+        src, tgt, maxiter=30, tol=1e-6, sigma2_decay=0.9,
+        mesh=sh.make_mesh())
+    res_2d = sharded2d.registration_filterreg_2d(
+        src, tgt, maxiter=30, tol=1e-6, sigma2_decay=0.9, mesh=mesh2d)
+    np.testing.assert_allclose(np.asarray(res_2d.transformation.rot),
+                               np.asarray(res_1dev.transformation.rot),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_2d.transformation.t),
+                               np.asarray(res_1dev.transformation.t),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_2d.transformation.rot),
+                               np.asarray(res_1d.transformation.rot),
+                               atol=1e-5)
+    ang = float(se3_op.rotation_angle(
+        np.asarray(res_2d.transformation.rot), rot))
+    assert ang < 2e-2
+
+
+def test_2d_filterreg_pt2pl_uneven(mesh2d, rigid_pair):
+    """pt2pl on the 2-D mesh with padding on both axes; PCA surface
+    normals like the flat pt2pl test (test_filterreg.py)."""
+    from test_filterreg import estimate_normals_pca
+
+    from probreg_tpu import filterreg
+
+    src, tgt, rot, t_gt = rigid_pair
+    src = src[:901]
+    tgt = (src @ rot.T + t_gt).astype(np.float32)
+    nrm_t = estimate_normals_pca(tgt)
+    res_flat = filterreg.registration_filterreg(
+        src, tgt, target_normals=nrm_t, objective_type="pt2pl",
+        maxiter=30, tol=1e-6)
+    res_2d = sharded2d.registration_filterreg_2d(
+        src, tgt, target_normals=nrm_t, objective_type="pt2pl",
+        maxiter=30, tol=1e-6, mesh=mesh2d)
+    np.testing.assert_allclose(np.asarray(res_2d.transformation.rot),
+                               np.asarray(res_flat.transformation.rot),
+                               atol=1e-4)
+    ang = float(se3_op.rotation_angle(
+        np.asarray(res_2d.transformation.rot), rot))
+    assert ang < 5e-2
+
+
+def test_registration_filterreg_sharded_dispatches_2d(mesh2d, rigid_pair):
+    from probreg_tpu.parallel import sharded as sh
+
+    src, tgt, rot, t_gt = rigid_pair
+    res = sh.registration_filterreg_sharded(
+        src[:512], tgt[:512], maxiter=20, mesh=mesh2d)
+    ang = float(se3_op.rotation_angle(
+        np.asarray(res.transformation.rot), rot))
+    assert ang < 5e-2
+
+
+# --------------------------------------------------------------------------
+# BCPD (low-rank) on the 2-D mesh
+# --------------------------------------------------------------------------
+
+def _nn_rmse(a, b):
+    d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+    return float(np.sqrt(d2.min(axis=1).mean()))
+
+
+def test_2d_bcpd_matches_single_device(mesh2d, rigid_pair):
+    from probreg_tpu import bcpd
+
+    src, tgt, rot, t_gt = rigid_pair
+    src = src[:600]
+    tgt = (src @ rot.T + t_gt).astype(np.float32)
+    res_1dev = bcpd.registration_bcpd(src, tgt, maxiter=40, tol=0.0,
+                                      lmd=10.0, rank=32)
+    res_2d = sharded2d.registration_bcpd_2d(src, tgt, maxiter=40, tol=0.0,
+                                            lmd=10.0, rank=32, mesh=mesh2d)
+    m1 = np.asarray(res_1dev.transform(src))
+    m2 = np.asarray(res_2d.transform(src))
+    base = _nn_rmse(src, tgt)
+    assert _nn_rmse(m2, tgt) < 0.5 * base
+    # Same VI math, different reduction order: the trajectories agree to
+    # f32 collective-reduction tolerance.
+    assert abs(_nn_rmse(m2, tgt) - _nn_rmse(m1, tgt)) < 0.1 * base
+
+
+def test_2d_bcpd_uneven_padding(mesh2d, rigid_pair):
+    from probreg_tpu.parallel import sharded as sh
+
+    src, tgt, rot, t_gt = rigid_pair
+    src_u = src[:601]                      # pads the m axis (601 % 2 != 0)
+    tgt_u = (src_u @ rot.T + t_gt).astype(np.float32)[:555]  # pads n
+    res = sharded2d.registration_bcpd_2d(src_u, tgt_u, maxiter=40, tol=0.0,
+                                         lmd=10.0, rank=32, mesh=mesh2d)
+    moved = np.asarray(res.transform(src_u))
+    assert _nn_rmse(moved, tgt_u) < 0.5 * _nn_rmse(src_u, tgt_u)
+    # Dispatch from the 1-D entry point (requires rank on a 2-D mesh).
+    res_d = sh.registration_bcpd_sharded(src_u, tgt_u, maxiter=20,
+                                         lmd=10.0, rank=32, mesh=mesh2d)
+    assert _nn_rmse(np.asarray(res_d.transform(src_u)), tgt_u) \
+        < 0.7 * _nn_rmse(src_u, tgt_u)
+    with pytest.raises(ValueError):
+        sh.registration_bcpd_sharded(src_u, tgt_u, mesh=mesh2d, rank=None)
