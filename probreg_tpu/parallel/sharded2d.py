@@ -727,7 +727,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         in_specs=(P(None, M_AXIS), P(None, M_AXIS),
                   P(None, N_AXIS), P(None, N_AXIS), P(M_AXIS, None),
                   P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(None, M_AXIS)),
+        out_specs=(P(), P(), P(), P()),
     )
     def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_, k_, s2_0):
         ml = ys_loc.shape[1]
@@ -874,7 +874,17 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         t = jnp.where(use_last, t, b_t)
         scale = jnp.where(use_last, scale, b_scale)
         v_hat_t = jnp.where(use_last, v_hat_t, b_v)
-        return rot, t, scale, v_hat_t
+        # Gather the v field to every device: the result must be host-
+        # fetchable from EVERY controller in a multi-process run (an
+        # m-sharded output spans non-addressable devices). Placement+psum
+        # instead of all_gather so the output's varying-mesh-axes type is
+        # invariant (all_gather output still types as m-varying).
+        buf = jnp.zeros((dim, ml * jax.lax.axis_size(M_AXIS)),
+                        v_hat_t.dtype)
+        buf = jax.lax.dynamic_update_slice(
+            buf, v_hat_t, (0, jax.lax.axis_index(M_AXIS) * ml))
+        v_full = jax.lax.psum(buf, M_AXIS)
+        return rot, t, scale, v_full
 
     return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
                jnp.asarray(k, config.dtype),

@@ -58,8 +58,29 @@ def main():
     rot2d = np.asarray(jax.device_get(res2d.transformation.rot))
     t2d = np.asarray(jax.device_get(res2d.transformation.t))
 
+    # FilterReg + low-rank BCPD on the same cross-process 2-D mesh: the
+    # FilterReg M-step psum_m and BCPD's den psum_m / Woodbury K x K psums
+    # all cross the process boundary. BCPD needs a structured cloud (the
+    # VI collapses to its initial state on uniform noise), so these cases
+    # use the blobby surface fixture generator.
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    src_b = blobby_surface(400, seed=7).astype(np.float32)
+    tgt_b = (src_b @ rot.T + 0.02).astype(np.float32)
+    res2df = parallel.registration_filterreg_2d(src_b, tgt_b, maxiter=50,
+                                                tol=1e-6, sigma2_decay=0.9,
+                                                mesh=mesh2d)
+    rot2df = np.asarray(jax.device_get(res2df.transformation.rot))
+    res2db = parallel.registration_bcpd_2d(src_b, tgt_b, maxiter=30,
+                                           tol=0.0, lmd=10.0, rank=16,
+                                           mesh=mesh2d)
+    rot2db = np.asarray(jax.device_get(res2db.rigid_trans.rot))
+    moved2db = np.asarray(res2db.transform(src_b))
+
     np.savez(os.path.join(outdir, f"proc{proc_id}.npz"),
              rot=out_rot, t=out_t, rot2d=rot2d, t2d=t2d,
+             rot2df=rot2df, rot2db=rot2db, moved2db=moved2db,
+             src_b=src_b, tgt_b=tgt_b,
              ang=ang, t_true=t_true,
              nproc=jax.process_count(), ndev=jax.device_count())
     print(f"proc {proc_id} ok", flush=True)

@@ -82,3 +82,17 @@ def test_two_process_sharded_cpd(tmp_path):
     err2d = float(np.asarray(se3_op.rotation_angle(r0["rot2d"], rot_true)))
     assert err2d < 5e-3, err2d
     np.testing.assert_allclose(r0["t2d"], r0["t_true"], atol=1e-3)
+
+    # FilterReg + low-rank BCPD on the same cross-process 2-D mesh:
+    # bitwise SPMD agreement + transform recovery.
+    np.testing.assert_array_equal(r0["rot2df"], r1["rot2df"])
+    errf = float(np.asarray(se3_op.rotation_angle(r0["rot2df"], rot_true)))
+    assert errf < 5e-2, errf
+    np.testing.assert_array_equal(r0["rot2db"], r1["rot2db"])
+    np.testing.assert_array_equal(r0["moved2db"], r1["moved2db"])
+    # BCPD splits motion between the rigid part and v; score the moved
+    # cloud by the NN criterion the algorithm optimizes.
+    src_b, tgt_b = r0["src_b"], r0["tgt_b"]
+    d2_id = ((src_b[:, None] - tgt_b[None]) ** 2).sum(-1)
+    d2_mv = ((r0["moved2db"][:, None] - tgt_b[None]) ** 2).sum(-1)
+    assert np.sqrt(d2_mv.min(1).mean()) < 0.5 * np.sqrt(d2_id.min(1).mean())
