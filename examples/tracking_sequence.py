@@ -1,0 +1,80 @@
+"""Frame-to-frame tracking with warm-started registration.
+
+A rigid object drifts over T frames; each frame is registered to the next
+with the previous frame's result as the starting point:
+
+- ``tf_init_params``  — last frame's (rot, t, scale) seeds the transform,
+  so the EM starts already near the optimum;
+- ``sigma2_init``     — last frame's converged variance skips the dense
+  start-temperature regime entirely (the same lever the coarse-to-fine
+  pyramid uses, pyramid.py).
+
+Because every frame has the same point count, all warm frames reuse ONE
+compiled EM program — the whole sequence after frame 0 runs at steady-state
+device speed. Compare against the cold loop that restarts every frame from
+identity/dense sigma2.
+
+Run on the TPU (default backend); CPU works but is slower:
+    cd examples && python tracking_sequence.py
+
+Measured (v5e, one chip): 20k pts x 11 pairs — warm 2.64 s vs cold 3.44 s
+(1.3x); 100k pts x 5 pairs — warm 18.7 s vs cold 29.3 s (1.6x); CPU at
+1.5k pts — 4.5x. The warm gain grows with the cost of the dense
+start-temperature iterations the warm variance skips.
+"""
+
+import os
+import time
+
+import numpy as np
+import utils  # noqa: F401  (puts the repo root on sys.path)
+
+from probreg_tpu import cpd
+from probreg_tpu.utils import se3_op as so
+
+rng = np.random.default_rng(3)
+n = int(os.environ.get("TRACKING_N", 20_000))
+n_frames = int(os.environ.get("TRACKING_FRAMES", 12))
+base = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+
+# Per-frame motion: ~2 deg rotation + small translation, composed over time.
+frames, poses = [base], [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
+for k in range(n_frames - 1):
+    d_rot = np.asarray(
+        so.euler2mat(*np.deg2rad(rng.uniform(-2.0, 2.0, 3))), np.float32)
+    d_t = rng.uniform(-0.02, 0.02, 3).astype(np.float32)
+    r_prev, t_prev = poses[-1]
+    r_new, t_new = d_rot @ r_prev, d_rot @ t_prev + d_t
+    poses.append((r_new, t_new))
+    frames.append((base @ r_new.T + t_new).astype(np.float32))
+
+
+def track(warm: bool):
+    """Register frame k -> k+1 for all k; return (wall_s, max_pose_err)."""
+    init_tf, init_s2 = None, None
+    errs = []
+    t0 = time.perf_counter()
+    for k in range(n_frames - 1):
+        res = cpd.registration_cpd(
+            frames[k], frames[k + 1], maxiter=40, tol=1e-6,
+            tf_init_params=init_tf, sigma2_init=init_s2)
+        tr = res.transformation
+        if warm:  # next frame's motion is similar — reuse pose + variance
+            init_tf = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t),
+                       "scale": float(np.asarray(tr.scale))}
+            init_s2 = float(np.asarray(res.sigma2))
+        # True frame-to-frame motion: pose_{k+1} o pose_k^{-1}.
+        (rk, tk), (rk1, tk1) = poses[k], poses[k + 1]
+        r_true = rk1 @ rk.T
+        errs.append(float(np.asarray(so.rotation_angle(tr.rot, r_true))))
+    return time.perf_counter() - t0, max(errs)
+
+
+wall_w, err_w = track(warm=True)   # first: pays all compiles
+wall_c, err_c = track(warm=False)  # same shapes -> fully warm cache
+wall_w2, _ = track(warm=True)      # warm-start loop at steady state
+
+print(f"{n_frames - 1} frame pairs, {n:,} pts each")
+print(f"cold starts : {wall_c:.2f}s  max rot err {err_c:.2e} rad")
+print(f"warm starts : {wall_w2:.2f}s  max rot err {err_w:.2e} rad "
+      f"({wall_c / max(wall_w2, 1e-9):.1f}x)")

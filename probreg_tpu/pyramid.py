@@ -36,6 +36,8 @@ __all__ = [
     "registration_cpd_pyramid",
     "registration_filterreg_pyramid",
     "registration_bcpd_pyramid",
+    "registration_gmmtree_pyramid",
+    "registration_icp_pyramid",
 ]
 
 
@@ -118,6 +120,38 @@ def _carry_sigma2(prev_sigma2: float, prev_voxel: float,
                float(np.finfo(np.float32).eps))
 
 
+def _prepare_levels(source, target, voxel_sizes, levels, coarse_points,
+                    factor, keep_device_last=True):
+    """Shared level-prep: interop, auto schedule, per-level downsampling.
+
+    Returns ``(src_levels, tgt_levels, voxel_sizes)``; when
+    ``keep_device_last`` and the finest level is full resolution, the
+    caller's (possibly on-device) arrays are passed through unchanged.
+    """
+    src = interop.as_points(source, dtype=_config.config.dtype)
+    tgt = interop.as_points(target, dtype=_config.config.dtype)
+    src_np = np.asarray(src)
+    tgt_np = np.asarray(tgt)
+    if voxel_sizes is None:
+        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
+                                       coarse_points, factor)
+    voxel_sizes = list(voxel_sizes)
+    src_levels = build_pyramid(src_np, voxel_sizes)
+    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
+    if keep_device_last and voxel_sizes[-1] in (0.0, None):
+        src_levels[-1] = src
+        tgt_levels[-1] = tgt
+    return src_levels, tgt_levels, voxel_sizes
+
+
+def _default_level_maxiters(n_levels, maxiter, polish_divisor):
+    """Full budget coarse, half at intermediates, polish at full res."""
+    if n_levels == 1:
+        return [maxiter]
+    polish = max(maxiter // polish_divisor, 10)
+    return ([maxiter] + [max(maxiter // 2, 10)] * (n_levels - 2) + [polish])
+
+
 def registration_cpd_pyramid(
     source,
     target,
@@ -194,30 +228,12 @@ def registration_cpd_pyramid(
             raise ValueError(f"{managed} is managed by the pyramid; pass it "
                              "to registration_cpd instead.")
 
-    src = interop.as_points(source, dtype=_config.config.dtype)
-    tgt = interop.as_points(target, dtype=_config.config.dtype)
-    src_np = np.asarray(src)
-    tgt_np = np.asarray(tgt)
-    if voxel_sizes is None:
-        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
-                                       coarse_points, factor)
-    voxel_sizes = list(voxel_sizes)
-    src_levels = build_pyramid(src_np, voxel_sizes)
-    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
     # Keep the caller's device arrays at full resolution (no host round trip).
-    if voxel_sizes[-1] in (0.0, None):
-        src_levels[-1] = src
-        tgt_levels[-1] = tgt
+    src_levels, tgt_levels, voxel_sizes = _prepare_levels(
+        source, target, voxel_sizes, levels, coarse_points, factor)
 
     if level_maxiters is None:
-        nl = len(voxel_sizes)
-        if nl == 1:
-            level_maxiters = [maxiter]
-        else:
-            polish = max(maxiter // 5, 10)
-            level_maxiters = ([maxiter]
-                              + [max(maxiter // 2, 10)] * (nl - 2)
-                              + [polish])
+        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 5)
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
@@ -348,26 +364,12 @@ def registration_bcpd_pyramid(
                          "callbacks (warm starts require the jitted path)")
     kwargs.pop("callbacks", None)
 
-    src = interop.as_points(source, dtype=_config.config.dtype)
-    tgt = interop.as_points(target, dtype=_config.config.dtype)
-    src_np = np.asarray(src)
-    tgt_np = np.asarray(tgt)
-    if voxel_sizes is None:
-        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
-                                       coarse_points, factor)
-    voxel_sizes = list(voxel_sizes)
-    src_levels = build_pyramid(src_np, voxel_sizes)
-    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
+    src_levels, tgt_levels, voxel_sizes = _prepare_levels(
+        source, target, voxel_sizes, levels, coarse_points, factor,
+        keep_device_last=False)
 
     if level_maxiters is None:
-        nl = len(voxel_sizes)
-        if nl == 1:
-            level_maxiters = [maxiter]
-        else:
-            polish = max(maxiter // 3, 10)
-            level_maxiters = ([maxiter]
-                              + [max(maxiter // 2, 10)] * (nl - 2)
-                              + [polish])
+        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 3)
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
@@ -434,19 +436,8 @@ def registration_filterreg_pyramid(
         raise ValueError("tf_init_params/sigma2 are managed by the pyramid; "
                          "pass them to registration_filterreg instead.")
 
-    src = interop.as_points(source, dtype=_config.config.dtype)
-    tgt = interop.as_points(target, dtype=_config.config.dtype)
-    src_np = np.asarray(src)
-    tgt_np = np.asarray(tgt)
-    if voxel_sizes is None:
-        voxel_sizes = auto_voxel_sizes(src_np, tgt_np, levels,
-                                       coarse_points, factor)
-    voxel_sizes = list(voxel_sizes)
-    src_levels = build_pyramid(src_np, voxel_sizes)
-    tgt_levels = build_pyramid(tgt_np, voxel_sizes)
-    if voxel_sizes[-1] in (0.0, None):
-        src_levels[-1] = src
-        tgt_levels[-1] = tgt
+    src_levels, tgt_levels, voxel_sizes = _prepare_levels(
+        source, target, voxel_sizes, levels, coarse_points, factor)
 
     res = None
     tf_init = None
@@ -469,4 +460,107 @@ def registration_filterreg_pyramid(
                 sigma2 = _carry_sigma2(
                     np.asarray(res.sigma2), voxel_sizes[i],
                     sigma2_inflation)
+    return res
+
+
+def registration_gmmtree_pyramid(
+    source,
+    target,
+    maxiter: int = 20,
+    tol: float = 1.0e-4,
+    callbacks: List[Callable] = [],
+    levels: int = 3,
+    voxel_sizes: Optional[Sequence[float]] = None,
+    coarse_points: int = 3000,
+    factor: float = 4.0,
+    level_maxiters: Optional[Sequence[int]] = None,
+    **kwargs: Any,
+):
+    """Coarse-to-fine GMMTree registration.
+
+    Per level: a GMM tree is built from the downsampled source and the
+    downsampled target registers against it, warm-started with the coarse
+    transform. GMMTree's EM moves the TARGET toward the source model and
+    returns the inverse (reference gmmtree.py:86-96), so the carried
+    initializer is the INVERSE of the previous level's returned transform.
+    No variance carry — node covariances come from the per-level tree
+    build. ``tree_level`` may stay constant across levels: at coarse
+    resolutions deeper leaves simply soak up fewer points.
+
+    Args: As in :func:`probreg_tpu.gmmtree.registration_gmmtree`; pyramid
+        schedule args as in :func:`registration_cpd_pyramid`. ``n_starts``
+        (if given) applies to the COARSEST level only — that is where the
+        orientation search belongs; finer levels refine the carried pose.
+    """
+    from . import gmmtree as _gt
+
+    if "tf_init_params" in kwargs:
+        raise ValueError("tf_init_params is managed by the pyramid; pass it "
+                         "to registration_gmmtree instead.")
+    n_starts = int(kwargs.pop("n_starts", 1))
+
+    src_levels, tgt_levels, voxel_sizes = _prepare_levels(
+        source, target, voxel_sizes, levels, coarse_points, factor)
+    if level_maxiters is None:
+        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 2)
+    if len(level_maxiters) != len(voxel_sizes):
+        raise ValueError("level_maxiters length must match the level count")
+
+    res = None
+    tf_init: dict = {}
+    for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        res = _gt.registration_gmmtree(
+            s_i, t_i, maxiter=int(level_maxiters[i]), tol=tol,
+            callbacks=callbacks, tf_init_params=dict(tf_init) or {},
+            n_starts=n_starts if i == 0 else 1, **kwargs)
+        if i + 1 < len(src_levels):
+            inv = res.transformation.inverse()
+            tf_init = {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
+    return res
+
+
+def registration_icp_pyramid(
+    source,
+    target,
+    maxiter: int = 50,
+    tol: float = 1.0e-6,
+    trim_fraction: float = 0.0,
+    levels: int = 3,
+    voxel_sizes: Optional[Sequence[float]] = None,
+    coarse_points: int = 3000,
+    factor: float = 4.0,
+    level_maxiters: Optional[Sequence[int]] = None,
+    **kwargs: Any,
+):
+    """Coarse-to-fine point-to-point ICP.
+
+    The classic multiresolution ICP: each finer level starts at the coarse
+    level's pose, so the exact nearest-neighbor iterations at full
+    resolution only polish. Args as in
+    :func:`probreg_tpu.icp.registration_icp`; pyramid schedule args as in
+    :func:`registration_cpd_pyramid`.
+    """
+    from . import icp as _icp
+
+    if "tf_init_params" in kwargs:
+        raise ValueError("tf_init_params is managed by the pyramid; pass it "
+                         "to registration_icp instead.")
+
+    src_levels, tgt_levels, voxel_sizes = _prepare_levels(
+        source, target, voxel_sizes, levels, coarse_points, factor)
+    if level_maxiters is None:
+        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 2)
+    if len(level_maxiters) != len(voxel_sizes):
+        raise ValueError("level_maxiters length must match the level count")
+
+    res = None
+    tf_init: dict = {}
+    for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        res = _icp.registration_icp(
+            s_i, t_i, maxiter=int(level_maxiters[i]), tol=tol,
+            trim_fraction=trim_fraction, tf_init_params=dict(tf_init),
+            **kwargs)
+        if i + 1 < len(src_levels):
+            tr = res.transformation
+            tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
     return res

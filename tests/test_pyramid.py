@@ -273,3 +273,42 @@ def test_bcpd_pyramid_rejections(rng):
     with pytest.raises(ValueError):
         bcpd.registration_bcpd(src, src, callbacks=[print],
                                sigma2_init=0.1)
+
+
+def test_pyramid_gmmtree(dense_pair):
+    from probreg_tpu import gmmtree  # noqa: F401  (entry exists)
+
+    source, target, rot_gt, t_gt = dense_pair
+    source = source[:6000]
+    target = np.asarray(
+        tf.RigidTransformation(rot_gt, t_gt).transform(source))
+    res = pyramid.registration_gmmtree_pyramid(
+        source, target, levels=2, coarse_points=1500, maxiter=20)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot_gt))
+    assert angle < 5e-2
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=5e-2)
+
+
+def test_pyramid_icp(dense_pair):
+    source, target, rot_gt, t_gt = dense_pair
+    source = source[:6000]
+    rot_small = np.asarray(so.euler2mat(*np.deg2rad([6.0, -4.0, 8.0])),
+                           np.float32)
+    target = source @ rot_small.T + t_gt
+    res = pyramid.registration_icp_pyramid(
+        source, target, levels=2, coarse_points=1500, maxiter=40)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot_small))
+    assert angle < 1e-3
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=1e-3)
+
+
+def test_pyramid_gmmtree_icp_reject_managed_kwargs(dense_pair):
+    source, target = dense_pair[0][:500], dense_pair[1][:500]
+    with pytest.raises(ValueError, match="managed by the pyramid"):
+        pyramid.registration_gmmtree_pyramid(
+            source, target, tf_init_params={"rot": np.eye(3)})
+    with pytest.raises(ValueError, match="managed by the pyramid"):
+        pyramid.registration_icp_pyramid(
+            source, target, tf_init_params={"rot": np.eye(3)})
