@@ -243,3 +243,22 @@ def test_streaming_runner_matches_fast_path(horse_cloud):
     np.testing.assert_allclose(np.asarray(res_str.transformation.t),
                                np.asarray(res_fast.transformation.t),
                                atol=5e-4)
+
+
+def test_filterreg_lattice_runner_matches_host_loop(clouds):
+    # No callbacks -> the jitted whole-EM lattice runner; with callbacks ->
+    # the per-iteration host loop. Same math, same blur switch: the
+    # recovered transforms must agree to f32 loop tolerance.
+    src, tgt, ang, _ = clouds
+    res_j = filterreg.registration_filterreg(
+        src, tgt, maxiter=20, tol=0.0, estep_method="lattice")
+    seen = []
+    res_h = filterreg.registration_filterreg(
+        src, tgt, maxiter=20, tol=0.0, estep_method="lattice",
+        callbacks=[lambda tr: seen.append(tr)])
+    assert len(seen) == 20
+    np.testing.assert_allclose(np.asarray(res_j.transformation.rot),
+                               np.asarray(res_h.transformation.rot),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_j.transformation.t),
+                               np.asarray(res_h.transformation.t), atol=1e-4)
