@@ -190,7 +190,10 @@ def _mstep_from_moments_t(t_src, m0, m1_t, m2, nx_t, rot, t, sigma2, w, m, n,
     mask = (m0 > 0.0).astype(t_src.dtype)
     m0_safe = jnp.maximum(m0, _EPS)
     m1m0_t = m1_t / m0_safe[None, :]
-    m0m0 = m0 / (m0 + c)
+    # Guard m0 + c: with w = 0 (c = 0) the sparse LATTICE E-step yields
+    # exact zeros for unsupported source points — 0/0 would NaN-poison the
+    # Kabsch weights (cf. the same guard in parallel/sharded2d.py).
+    m0m0 = m0 / jnp.maximum(m0 + c, _EPS)
     drxdx = mask * jnp.sqrt(m0m0 / sigma2)
     if objective_type == "pt2pt":
         dr, dt = _kabsch_t(t_src, m1m0_t, drxdx)
@@ -205,7 +208,7 @@ def _mstep_from_moments_t(t_src, m0, m1_t, m2, nx_t, rot, t, sigma2, w, m, n,
         return rot_n, t_n, sigma2, q
     num = m0 * jnp.sum(t_src * t_src, axis=0) \
         - 2.0 * jnp.sum(t_src * m1_t, axis=0) + m2
-    s2 = jnp.sum(mask * num / (m0 + c))
+    s2 = jnp.sum(mask * num / jnp.maximum(m0 + c, _EPS))
     s2 = s2 / (dim * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
     return rot_n, t_n, s2, q
 
@@ -700,6 +703,7 @@ class FilterReg(abc.ABC):
             self._sigma2 = float(res.sigma2)
             return res
 
+        ftarget_precomputed = None
         if (isinstance(self, RigidFilterReg)
                 and not self._callbacks
                 and self._estep_method == "dense"
@@ -715,6 +719,7 @@ class FilterReg(abc.ABC):
             auto = self._sigma2 is None
             try:
                 ftarget_j = jnp.asarray(feature_fn(target))
+                ftarget_precomputed = ftarget_j
                 rot, t, s2, q = _run_em_rigid_feature(
                     self._source, target, normals, ftarget_j,
                     jnp.asarray(self._tf_result.rot, self._source.dtype),
@@ -736,7 +741,13 @@ class FilterReg(abc.ABC):
                 self._sigma2 = float(s2)
                 return res
 
-        ftarget = feature_fn(target)
+        # Reuse the target features already computed by the traced-runner
+        # attempt above (feature_fn(target) succeeded eagerly even when
+        # tracing the per-iteration source features failed) — FPFH-class
+        # features on a large cloud are too expensive to compute twice.
+        ftarget = ftarget_precomputed
+        if ftarget is None:
+            ftarget = feature_fn(target)
         if self._sigma2 is None:
             if objective_type == "pt2pl":
                 # The reference initializes sigma2 at cloud-size scale

@@ -354,13 +354,7 @@ def registration_cpd_2d(
 
     if mesh is None:
         mesh = make_mesh_2d()
-    if len(mesh.axis_names) != 2:
-        raise ValueError("registration_cpd_2d needs a 2-D mesh; got axes "
-                         f"{mesh.axis_names} (use registration_cpd_sharded)")
-    m_ax, n_ax = mesh.axis_names
-    if (m_ax, n_ax) != (M_AXIS, N_AXIS):
-        raise ValueError(f"2-D mesh axes must be named ({M_AXIS!r}, "
-                         f"{N_AXIS!r}); got {mesh.axis_names}")
+    _check_mesh_2d(mesh, "registration_cpd_2d")
 
     src = np.asarray(interop.as_points(source, dtype=config.dtype))
     tgt = np.asarray(interop.as_points(target, dtype=config.dtype))
@@ -414,13 +408,13 @@ def registration_cpd_2d(
         lam = jnp.zeros((0,), config.dtype)
         kind = tf_type_name
 
-    ys_t_sh, smask_sh, m_true = _shard_axis_t(src, mesh, m_ax)
-    xs_t_sh, xmask_sh, n_true = _shard_axis_t(tgt, mesh, n_ax)
+    ys_t_sh, smask_sh, m_true = _shard_axis_t(src, mesh, M_AXIS)
+    xs_t_sh, xmask_sh, n_true = _shard_axis_t(tgt, mesh, N_AXIS)
     if kind == "nonrigid_lowrank":
         pad = ys_t_sh.shape[1] - m
         if pad:
             u = np.concatenate([u, np.zeros((pad, u.shape[1]), u.dtype)], 0)
-        u_sh = jax.device_put(u, NamedSharding(mesh, P(m_ax, None)))
+        u_sh = jax.device_put(u, NamedSharding(mesh, P(M_AXIS, None)))
     else:
         u_sh = jax.device_put(u, NamedSharding(mesh, P(None, None)))
 
@@ -913,7 +907,6 @@ def registration_bcpd_2d(
     Returns a CombinedTransformation.
     """
     from ..ops import lowrank as lr
-    from ..utils import math_utils as mu_
 
     if mesh is None:
         mesh = make_mesh_2d()
@@ -941,8 +934,19 @@ def registration_bcpd_2d(
     # then sharded over m alongside the points.
     u, lam = lr.lowrank_imq(jnp.asarray(src_n), 1.0, int(rank))
     u = np.asarray(u)
-    sigma2_0 = gamma * float(
-        mu_.squared_kernel_sum(jnp.asarray(src_n), jnp.asarray(tgt_n)))
+    # squared_kernel_sum(src_n, tgt_n) == skc / scale0^2 (the mean pairwise
+    # sqdist is invariant to the shared centroid shift), i.e. exactly 1.0
+    # under normalization — computed host-side, no eager device dispatch
+    # (CLAUDE.md: one jit dispatch per registration).
+    if normalize:
+        sigma2_0 = gamma
+    else:
+        m0_, dim0 = src_n.shape
+        sigma2_0 = gamma * float(
+            (src_n ** 2).sum() * tgt_n.shape[0]
+            + (tgt_n ** 2).sum() * m0_
+            - 2.0 * float(src_n.sum(0) @ tgt_n.sum(0))
+        ) / (m0_ * dim0 * tgt_n.shape[0])
 
     ys_t_sh, smask_sh, m = _shard_axis_t(src_n, mesh, M_AXIS)
     xs_t_sh, xmask_sh, n = _shard_axis_t(tgt_n, mesh, N_AXIS)

@@ -414,6 +414,7 @@ def registration_filterreg_pyramid(
     sigma2_inflation: float = 3.0,
     sigma2_decay: float = 0.9,
     update_sigma2: bool = False,
+    level_maxiters: Optional[Sequence[int]] = None,
     **kwargs: Any,
 ):
     """Coarse-to-fine FilterReg registration (pt2pt).
@@ -438,6 +439,13 @@ def registration_filterreg_pyramid(
 
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)
+    if level_maxiters is None:
+        # FilterReg's q is a shrinking annealed residual, so the |q - q_prev|
+        # tol rarely stops the full-resolution level early — cap it at a
+        # warm-started polish budget like the other pyramid entry points.
+        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 3)
+    if len(level_maxiters) != len(voxel_sizes):
+        raise ValueError("level_maxiters length must match the level count")
 
     res = None
     tf_init = None
@@ -450,7 +458,7 @@ def registration_filterreg_pyramid(
             target_normals=target_normals if last else None,
             sigma2=sigma2, w=w,
             objective_type=objective_type if last else "pt2pt",
-            maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
+            maxiter=int(level_maxiters[i]), tol=tol, min_sigma2=min_sigma2,
             sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
             callbacks=callbacks, tf_init_params=tf_init or {}, **kwargs)
         if not last:
