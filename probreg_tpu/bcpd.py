@@ -408,22 +408,32 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     alpha0 = smask / m_eff if masked \
         else jnp.full((m,), 1.0 / m, source.dtype)
     inf = jnp.asarray(jnp.inf, source.dtype)
+    alpha_i = sdiag_i = None
     if init_params is None:
         rot0 = jnp.eye(dim, dtype=source.dtype)
         t0 = jnp.zeros(dim, source.dtype)
         scale0 = jnp.asarray(1.0, source.dtype)
         v0_t = jnp.zeros_like(ys_t)
     else:
-        rot0, t0, scale0, v0_t = init_params
+        # 6-tuple: a sliced-dispatch resume also carries the VI's mixing
+        # weights and Sigma diagonal (either may be None).
+        if len(init_params) == 6:
+            rot0, t0, scale0, v0_t, alpha_i, sdiag_i = init_params
+        else:
+            rot0, t0, scale0, v0_t = init_params
         rot0 = jnp.asarray(rot0, source.dtype)
         t0 = jnp.asarray(t0, source.dtype)
         scale0 = jnp.asarray(scale0, source.dtype)
         v0_t = (jnp.zeros_like(ys_t) if v0_t is None
                 else jnp.asarray(v0_t, source.dtype))
+    if alpha_i is not None:
+        alpha0 = jnp.asarray(alpha_i, source.dtype)
+    sdiag0 = jnp.ones((m,), source.dtype) if sdiag_i is None \
+        else jnp.asarray(sdiag_i, source.dtype)
     best0 = (rot0, t0, scale0, v0_t, sigma2_0, inf)
     state = (
         rot0, t0, scale0, v0_t,
-        jnp.ones((m,), source.dtype), alpha0, sigma2_0,
+        sdiag0, alpha0, sigma2_0,
         inf, inf, jnp.asarray(0), best0,
     )
     state = jax.lax.while_loop(cond, body, state)
@@ -463,6 +473,11 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     else:
         rmse_last = jnp.mean(jnp.sqrt(minrow))
     use_last = rmse_last <= b_rmse
+    # The raw final iterate (NOT the best-of selection below): a sliced-
+    # dispatch restart must continue the VI trajectory from here — during
+    # the start-temperature phase the best-visited state is still ~the
+    # initial one, so restarting from it would never progress.
+    last = (rot, t, scale, v_hat_t, sigma2, sigma_diag, alpha)
     rot = jnp.where(use_last, rot, b_rot)
     t = jnp.where(use_last, t, b_t)
     scale = jnp.where(use_last, scale, b_scale)
@@ -470,7 +485,7 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     sigma2 = jnp.where(use_last, sigma2, b_s2)
     rmse = jnp.minimum(rmse_last, b_rmse)
     return (tf.CombinedTransformation(rot, t, scale, v_hat_t.T),
-            sigma_diag, alpha, sigma2, rmse)
+            sigma_diag, alpha, sigma2, rmse, last)
 
 
 class BayesianCoherentPointDrift(abc.ABC):
@@ -510,7 +525,7 @@ class BayesianCoherentPointDrift(abc.ABC):
                      tol: float = 0.001,
                      callback_chunk: int = 1,
                      tf_init_params=None, v_init=None,
-                     sigma2_init=None) -> tf.Transformation:
+                     sigma2_init=None, extra_init=None) -> tf.Transformation:
         """``callback_chunk``: VI iterations per device dispatch in callback
         mode; callbacks still fire once per iteration from the fetched chunk
         history (utils/chunked.py). Ignored without callbacks.
@@ -524,8 +539,10 @@ class BayesianCoherentPointDrift(abc.ABC):
         if not self._callbacks:
             return self._registration_jit(
                 target, w, maxiter, tol, tf_init_params=tf_init_params,
-                v_init=v_init, sigma2_init=sigma2_init)
-        if tf_init_params or v_init is not None or sigma2_init is not None:
+                v_init=v_init, sigma2_init=sigma2_init,
+                extra_init=extra_init)
+        if tf_init_params or v_init is not None or sigma2_init is not None \
+                or extra_init is not None:
             raise ValueError("warm starts are only supported on the jitted "
                              "(no-callback) path")
         return self._registration_loop(target, w, maxiter, tol,
@@ -534,7 +551,7 @@ class BayesianCoherentPointDrift(abc.ABC):
     @abc.abstractmethod
     def _registration_jit(self, target, w, maxiter, tol,
                           tf_init_params=None, v_init=None,
-                          sigma2_init=None):
+                          sigma2_init=None, extra_init=None):
         ...
 
     @abc.abstractmethod
@@ -590,7 +607,7 @@ class CombinedBCPD(BayesianCoherentPointDrift):
 
     def _registration_jit(self, target, w, maxiter, tol,
                           tf_init_params=None, v_init=None,
-                          sigma2_init=None):
+                          sigma2_init=None, extra_init=None):
         m = int(self._source.shape[0])
         n = int(jnp.shape(target)[0])
         use_culled = (
@@ -612,7 +629,7 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             self._source = jnp.asarray(src_np[perm_s])
             target = jnp.asarray(tgt_np[morton_order_np(tgt_np)])
         init_params = None
-        if tf_init_params or v_init is not None:
+        if tf_init_params or v_init is not None or extra_init is not None:
             p = dict(tf_init_params or {})
             dim = int(self._source.shape[1])
             v0 = None
@@ -621,14 +638,21 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                 if perm_s is not None:
                     v0 = v0[perm_s]
                 v0 = v0.T                                   # (D, M)
+            alpha0, sdiag0 = extra_init if extra_init is not None \
+                else (None, None)
+            if perm_s is not None:
+                if alpha0 is not None:
+                    alpha0 = np.asarray(alpha0, np.float64)[perm_s]
+                if sdiag0 is not None:
+                    sdiag0 = np.asarray(sdiag0, np.float64)[perm_s]
             init_params = (p.get("rot", np.eye(dim)),
                            p.get("t", np.zeros(dim)),
-                           p.get("scale", 1.0), v0)
+                           p.get("scale", 1.0), v0, alpha0, sdiag0)
         try:
             self._initialize(target)
             sigma2 = (self.gamma * mu.squared_kernel_sum(self._source, target)
                       if sigma2_init is None else sigma2_init)
-            transf, _, _, sigma2_out, _ = _run_bcpd(
+            transf, _, _, sigma2_out, _, last = _run_bcpd(
                 self._source, target, self.gmat,
                 jnp.asarray(self.lmd, self._source.dtype),
                 jnp.asarray(self.k, self._source.dtype),
@@ -649,6 +673,17 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             rt = transf.rigid_trans
             v = jnp.zeros_like(transf.v).at[perm_s].set(transf.v)
             transf = tf.CombinedTransformation(rt.rot, rt.t, rt.scale, v)
+        # Keep the raw FINAL iterate (vs the best-of result above) so a
+        # sliced-dispatch caller can resume the VI trajectory mid-flight.
+        rot_l, t_l, scale_l, v_l_t, s2_l, sdiag_l, alpha_l = last
+        v_l = v_l_t.T
+        if perm_s is not None:
+            v_l = jnp.zeros_like(v_l).at[perm_s].set(v_l)
+            sdiag_l = jnp.zeros_like(sdiag_l).at[perm_s].set(sdiag_l)
+            alpha_l = jnp.zeros_like(alpha_l).at[perm_s].set(alpha_l)
+        self._last_state = (
+            tf.CombinedTransformation(rot_l, t_l, scale_l, v_l), s2_l,
+            alpha_l, sdiag_l)
         return transf
 
     def _registration_loop(self, target, w, maxiter, tol, callback_chunk=1):
@@ -772,13 +807,44 @@ def registration_bcpd(
     return transf
 
 
+def _last_state_kwargs(bc, centroid, scale):
+    """Raw-frame warm-start kwargs from the runner's final VI iterate
+    (None when the executed path does not track it, e.g. callback loops).
+    Frame math mirrors the denormalization in _registration_bcpd_impl."""
+    last = getattr(bc, "_last_state", None)
+    if last is None:
+        return None
+    lt, ls2, lalpha, lsdiag = last
+    lrt = lt.rigid_trans
+    return {
+        "tf_init_params": {
+            "rot": np.asarray(lrt.rot),
+            "t": scale * np.asarray(lrt.t) + centroid,
+            "scale": float(np.asarray(lrt.scale)),
+        },
+        "v_init": scale * np.asarray(lt.v) - centroid,
+        "sigma2_init": float(np.asarray(ls2)) * scale ** 2,
+        # Opaque VI-state carries (valid only when re-fed with the SAME
+        # source/target pair): mixing weights + diag(Sigma) in raw units.
+        "_alpha_init": np.asarray(lalpha),
+        "_sdiag_init": np.asarray(lsdiag) * scale ** 2,
+    }
+
+
 def _registration_bcpd_impl(
     source, target, *, w, maxiter, tol, callbacks, normalize,
     callback_chunk, tf_init_params=None, v_init=None, sigma2_init=None,
+    return_last=False, _alpha_init=None, _sdiag_init=None,
     **kwargs: Any,
 ):
     """registration_bcpd body; additionally returns the final RAW-frame
-    sigma2 (None on paths that do not track it) for the pyramid carry."""
+    sigma2 (None on paths that do not track it) for the pyramid carry.
+
+    ``return_last``: additionally return the raw-frame FINAL VI iterate as
+    a kwargs dict ({tf_init_params, v_init, sigma2_init}, or None on paths
+    that do not track it) — feeding it back continues the trajectory
+    mid-flight (sliced dispatch), unlike the best-visited result state.
+    """
     src = np.asarray(interop.as_points(source), dtype=np.float64)
     tgt = np.asarray(interop.as_points(target), dtype=np.float64)
     warm = (tf_init_params or v_init is not None
@@ -794,15 +860,21 @@ def _registration_bcpd_impl(
         results = _registration_bcpd_multistart_batch(
             [src], [tgt], w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, **kwargs)
-        return results[0], None
+        return (results[0], None, None) if return_last \
+            else (results[0], None)
     if not normalize:
         bc = CombinedBCPD(src, **kwargs)
         bc.set_callbacks(callbacks)
+        extra = None if _alpha_init is None and _sdiag_init is None \
+            else (_alpha_init, _sdiag_init)
         res = bc.registration(tgt, w, maxiter, tol,
                               callback_chunk=callback_chunk,
                               tf_init_params=tf_init_params, v_init=v_init,
-                              sigma2_init=sigma2_init)
-        return res, getattr(bc, "_final_sigma2", None)
+                              sigma2_init=sigma2_init, extra_init=extra)
+        s2f = getattr(bc, "_final_sigma2", None)
+        if not return_last:
+            return res, s2f
+        return res, s2f, _last_state_kwargs(bc, np.zeros(src.shape[1]), 1.0)
 
     centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
     src_h, tgt_h = src - centroid, tgt - centroid
@@ -826,12 +898,17 @@ def _registration_bcpd_impl(
         else (np.asarray(v_init, np.float64) + centroid) / scale
     sigma2_init_n = None if sigma2_init is None \
         else float(sigma2_init) / scale ** 2
+    extra_n = None
+    if _alpha_init is not None or _sdiag_init is not None:
+        extra_n = (_alpha_init,
+                   None if _sdiag_init is None
+                   else np.asarray(_sdiag_init, np.float64) / scale ** 2)
     bc = CombinedBCPD((src - centroid) / scale, **kwargs)
     bc.set_callbacks(callbacks)
     res = bc.registration((tgt - centroid) / scale, w, maxiter, tol,
                           callback_chunk=callback_chunk,
                           tf_init_params=tf_init_n, v_init=v_init_n,
-                          sigma2_init=sigma2_init_n)
+                          sigma2_init=sigma2_init_n, extra_init=extra_n)
     # Denormalize: y -> s R (y + v_raw) + t_raw with
     # v_raw = scale * v_hat - centroid, t_raw = scale * t_hat + centroid.
     rt = res.rigid_trans
@@ -840,8 +917,10 @@ def _registration_bcpd_impl(
     sigma2_raw = getattr(bc, "_final_sigma2", None)
     if sigma2_raw is not None:
         sigma2_raw = float(sigma2_raw) * scale ** 2
-    return (tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw),
-            sigma2_raw)
+    out = tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw)
+    if not return_last:
+        return out, sigma2_raw
+    return out, sigma2_raw, _last_state_kwargs(bc, centroid, scale)
 
 
 def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,
@@ -865,7 +944,7 @@ def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,
         else:
             sigma2_0 = gamma * mu.masked_squared_kernel_sum_t(
                 src_r.T, target.T, smask, tmask)
-        transf, _, _, s2, rmse = _run_bcpd(
+        transf, _, _, s2, rmse, _ = _run_bcpd(
             src_r, target, gmat, lmd, k, sigma2_0,
             w=w, maxiter=maxiter, tol=tol, block=block,
             smask=smask, tmask=tmask)

@@ -348,7 +348,11 @@ def registration_bcpd_pyramid(
             than the rigid pyramid's default.
         **kwargs: Forwarded to registration_bcpd (lmd, k, gamma, rank,
             normalize, ...). Callbacks are not supported (warm starts
-            ride the jitted no-callback path).
+            ride the jitted no-callback path). ``dispatch_chunk`` (int)
+            slices each level's VI iterations into warm-started device
+            programs of at most that many iterations — bounds
+            single-program device time (preemptible fleets, very large
+            levels) for one extra host round trip per chunk.
 
     Returns:
         tf.CombinedTransformation for the full-resolution source.
@@ -374,16 +378,35 @@ def registration_bcpd_pyramid(
         raise ValueError("level_maxiters length must match the level count")
 
     normalize = bool(kwargs.pop("normalize", True))
+    dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     res = None
     tf_init = None
     v_init = None
     sigma2_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        res, sigma2_raw = _bcpd._registration_bcpd_impl(
-            s_i, t_i, w=w, maxiter=int(level_maxiters[i]), tol=tol,
-            callbacks=[], normalize=normalize,
-            callback_chunk=1, tf_init_params=tf_init, v_init=v_init,
-            sigma2_init=sigma2_init, **kwargs)
+        # ``dispatch_chunk``: slice this level's VI iterations into several
+        # warm-started device programs of <= chunk iterations each (the
+        # carry is the same raw-frame tf/v/sigma2 state the pyramid already
+        # threads between levels). Bounds single-program device time — for
+        # preemptible TPU fleets and very large levels — at the cost of one
+        # host round trip per chunk.
+        budget = int(level_maxiters[i])
+        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+        warm = {"tf_init_params": tf_init, "v_init": v_init,
+                "sigma2_init": sigma2_init}
+        while budget > 0:
+            res, sigma2_raw, last = _bcpd._registration_bcpd_impl(
+                s_i, t_i, w=w, maxiter=min(chunk, budget), tol=tol,
+                callbacks=[], normalize=normalize,
+                callback_chunk=1, return_last=True, **warm, **kwargs)
+            budget -= chunk
+            if budget > 0:
+                if last is None:
+                    break  # path without last-state tracking: no slicing
+                # Resume from the raw FINAL VI iterate — the best-visited
+                # result state would stall during the start-temperature
+                # phase (it is still ~the initial state there).
+                warm = last
         if i + 1 < len(src_levels):
             rt = res.rigid_trans
             tf_init = {"rot": np.asarray(rt.rot),

@@ -312,3 +312,32 @@ def test_pyramid_gmmtree_icp_reject_managed_kwargs(dense_pair):
     with pytest.raises(ValueError, match="managed by the pyramid"):
         pyramid.registration_icp_pyramid(
             source, target, tf_init_params={"rot": np.eye(3)})
+
+
+def test_bcpd_pyramid_dispatch_chunk(rng):
+    # dispatch_chunk slices each level into warm-started programs; the VI
+    # trajectory differs (mixing weights reset per chunk) but the final
+    # registration quality must match the unchunked run.
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    src = blobby_surface(3000, seed=5).astype(np.float32)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([8.0, -4.0, 6.0])), np.float32)
+    defo = (0.02 * np.sin(3.0 * src[:, :1])
+            * np.array([[1.0, 0.5, -0.3]])).astype(np.float32)
+    tgt = ((src + defo) @ rot.T).astype(np.float32)
+
+    def nn_rmse(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(1).mean()))
+
+    full = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=30, tol=0.0, lmd=10.0, rank=16, levels=2,
+        coarse_points=800)
+    chunked = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=30, tol=0.0, lmd=10.0, rank=16, levels=2,
+        coarse_points=800, dispatch_chunk=7)
+    r_full = nn_rmse(np.asarray(full.transform(src)), tgt)
+    r_chunk = nn_rmse(np.asarray(chunked.transform(src)), tgt)
+    base = nn_rmse(src, tgt)
+    assert r_chunk < 0.6 * base
+    assert r_chunk < 2.0 * r_full + 1e-3
