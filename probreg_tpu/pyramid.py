@@ -205,7 +205,10 @@ def registration_cpd_pyramid(
             less wall time), and the CPD tol is an absolute threshold on q
             that rarely triggers at large N.
         **kwargs: Forwarded to registration_cpd at every level
-            (update_scale, use_pallas, ...).
+            (update_scale, use_pallas, ...). ``dispatch_chunk`` (int)
+            slices each level's EM into warm-resumed device programs of at
+            most that many iterations (exact resume — CPD's result is its
+            last EM iterate); bounds single-program device time.
 
     Returns:
         MstepResult from the finest (full-resolution) level.
@@ -237,6 +240,7 @@ def registration_cpd_pyramid(
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
+    dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     if mesh is not None and (nonrigid or callbacks):
         raise ValueError("mesh= pyramid supports rigid/affine without "
                          "callbacks (the sharded runner has no callback "
@@ -247,25 +251,47 @@ def registration_cpd_pyramid(
     sigma2_init = None
     v_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        if nonrigid:
-            res = _cpd.registration_cpd(
-                s_i, t_i, "nonrigid", w=w, maxiter=int(level_maxiters[i]),
-                tol=tol, callbacks=callbacks,
-                sigma2_init=sigma2_init, v_init=v_init, **kwargs)
-        elif mesh is not None:
-            from .parallel import sharded as _sharded
+        # ``dispatch_chunk``: slice this level's EM into warm-resumed
+        # programs of <= chunk iterations. CPD's result IS its last EM
+        # iterate, so resuming from (transform, sigma2) — or the positional
+        # displacement field for nonrigid — continues the trajectory
+        # exactly (cf. the BCPD pyramid's sliced dispatch).
+        budget = int(level_maxiters[i])
+        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+        tf_c, v_c, s2_c = dict(tf_init), v_init, sigma2_init
+        while budget > 0:
+            if nonrigid:
+                res = _cpd.registration_cpd(
+                    s_i, t_i, "nonrigid", w=w, maxiter=min(chunk, budget),
+                    tol=tol, callbacks=callbacks,
+                    sigma2_init=s2_c, v_init=v_c, **kwargs)
+            elif mesh is not None:
+                from .parallel import sharded as _sharded
 
-            res = _sharded.registration_cpd_sharded(
-                s_i, t_i, tf_type_name, w=w,
-                maxiter=int(level_maxiters[i]), tol=tol, mesh=mesh,
-                tf_init_params=dict(tf_init) or None,
-                sigma2_init=sigma2_init, **kwargs)
-        else:
-            res = _cpd.registration_cpd(
-                s_i, t_i, tf_type_name, w=w, maxiter=int(level_maxiters[i]),
-                tol=tol, callbacks=callbacks,
-                tf_init_params=dict(tf_init) or None,
-                sigma2_init=sigma2_init, **kwargs)
+                res = _sharded.registration_cpd_sharded(
+                    s_i, t_i, tf_type_name, w=w,
+                    maxiter=min(chunk, budget), tol=tol, mesh=mesh,
+                    tf_init_params=tf_c or None,
+                    sigma2_init=s2_c, **kwargs)
+            else:
+                res = _cpd.registration_cpd(
+                    s_i, t_i, tf_type_name, w=w, maxiter=min(chunk, budget),
+                    tol=tol, callbacks=callbacks,
+                    tf_init_params=tf_c or None,
+                    sigma2_init=s2_c, **kwargs)
+            budget -= chunk
+            if budget > 0:
+                tr = res.transformation
+                if nonrigid:
+                    v_c = np.asarray(tr.transform(s_i)) - s_i
+                elif tf_type_name == "rigid":
+                    tf_c = {"rot": np.asarray(tr.rot),
+                            "t": np.asarray(tr.t),
+                            "scale": float(np.asarray(tr.scale))}
+                else:
+                    tf_c = {"b": np.asarray(tr.b), "t": np.asarray(tr.t)}
+                s2_c = max(float(np.asarray(res.sigma2)),
+                           float(np.finfo(np.float32).eps))
         if i + 1 < len(src_levels):
             tr = res.transformation
             if nonrigid:

@@ -341,3 +341,21 @@ def test_bcpd_pyramid_dispatch_chunk(rng):
     base = nn_rmse(src, tgt)
     assert r_chunk < 0.6 * base
     assert r_chunk < 2.0 * r_full + 1e-3
+
+
+def test_cpd_pyramid_dispatch_chunk(dense_pair):
+    # CPD's result is its final EM iterate, so sliced dispatch resumes
+    # exactly: same recovered transform as the single-program run.
+    source, target, rot_gt, t_gt = dense_pair
+    source, target = source[:5000], np.asarray(
+        tf.RigidTransformation(rot_gt, t_gt).transform(source[:5000]))
+    full = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", levels=2, coarse_points=1000, tol=0.0)
+    chunked = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", levels=2, coarse_points=1000, tol=0.0,
+        dispatch_chunk=7)
+    np.testing.assert_allclose(np.asarray(chunked.transformation.rot),
+                               np.asarray(full.transformation.rot),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.transformation.t),
+                               np.asarray(full.transformation.t), atol=1e-5)
