@@ -76,3 +76,21 @@ config = Config()
 
 def eps(dtype=None) -> float:
     return float(jnp.finfo(dtype or config.dtype).eps)
+
+
+def enable_compilation_cache(cache_dir: str,
+                             min_compile_secs: float = 1.0) -> None:
+    """Persist compiled XLA programs to ``cache_dir`` across processes.
+
+    Registration programs are whole-EM compilations: at large sizes the
+    FIRST run of a shape is compile-dominated (e.g. the 100k BCPD pyramid:
+    99.8 s cold vs 3.4 s warm, BENCHMARKS.md). With the cache enabled, a
+    production service that restarts (deploys, preemptions) skips those
+    compiles for every shape it has seen before. Thin wrapper over JAX's
+    persistent compilation cache; call once before the first registration.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))

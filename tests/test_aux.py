@@ -131,3 +131,36 @@ def test_read_batch_matches_single_and_fallback():
     if nat is not None:
         with pytest.raises(ValueError, match="no_such_file"):
             pio.read_batch(["/tmp/no_such_file.ply"])
+
+
+def test_compilation_cache_helper(tmp_path):
+    # The helper persists compiled programs across PROCESSES; run a tiny
+    # registration twice in subprocesses sharing one cache dir and assert
+    # the cache was written and read (dir non-empty after run 1, run 2
+    # still correct).
+    import subprocess
+    import sys
+
+    prog = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from probreg_tpu import config as cfg, cpd
+cfg.enable_compilation_cache(%r, min_compile_secs=0.0)
+rng = np.random.default_rng(0)
+src = rng.random((200, 3)).astype(np.float32)
+res = cpd.registration_cpd(src, src + 0.01, maxiter=5, tol=0.0)
+print(float(np.asarray(res.sigma2)))
+"""
+    cache = str(tmp_path / "xla_cache")
+    outs = []
+    for _ in range(2):
+        p = subprocess.run([sys.executable, "-c", prog % cache],
+                           capture_output=True, text=True, timeout=300,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        assert p.returncode == 0, p.stderr[-2000:]
+        outs.append(p.stdout.strip().splitlines()[-1])
+    import glob as _glob
+    assert _glob.glob(os.path.join(cache, "*")), "cache dir stayed empty"
+    assert outs[0] == outs[1]
