@@ -711,19 +711,31 @@ def _check_mesh_2d(mesh: Mesh, who: str):
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "m", "n", "mesh"))
 def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
-                 sigma2_0, *, w, maxiter, tol, m, n, mesh):
+                 sigma2_0, *, w, maxiter, tol, m, n, mesh,
+                 init=None, v0_sh=None):
+    """``init``: packed (D*D + D + 1,) replicated rigid warm start;
+    ``v0_sh``: m-sharded (D, Ml) initial displacement field. Both are
+    ALWAYS materialized (identity/zeros when absent) so warm and cold
+    registrations share one compiled program (cf. _run_em_2d)."""
     dim = ys_t_sh.shape[0]
     krank = u_sh.shape[1]
     eps = jnp.asarray(_F32_EPS, ys_t_sh.dtype)
+    if init is None:
+        init = np.concatenate([
+            np.eye(dim, dtype=np.float32).ravel(),
+            np.zeros(dim, np.float32), np.ones(1, np.float32)])
+    if v0_sh is None:
+        v0_sh = jnp.zeros_like(ys_t_sh)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, M_AXIS), P(None, M_AXIS),
                   P(None, N_AXIS), P(None, N_AXIS), P(M_AXIS, None),
-                  P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(None, M_AXIS)),
+        out_specs=(P(), P(), P(), P(), P()),
     )
-    def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_, k_, s2_0):
+    def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_, k_, s2_0, init_,
+            v0_loc):
         ml = ys_loc.shape[1]
         sm1 = sm[0]                                            # (Ml,)
         x2 = jnp.sum(xs_loc * xs_loc, axis=0, keepdims=True)   # (1, Nl)
@@ -843,15 +855,14 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
 
         inf = jnp.asarray(jnp.inf, ys_loc.dtype)
         # m-sharded carries must start with the 'm' varying-mesh-axis
-        # annotation their loop-body outputs have: zeros_like(ys_loc) and
+        # annotation their loop-body outputs have: v0_loc and
         # ones_like(sm1) inherit it from the sharded inputs.
-        best0 = (jnp.eye(dim, dtype=ys_loc.dtype),
-                 jnp.zeros(dim, ys_loc.dtype),
-                 jnp.asarray(1.0, ys_loc.dtype),
-                 jnp.zeros_like(ys_loc), inf)
+        rot0 = init_[: dim * dim].reshape(dim, dim)
+        t0 = init_[dim * dim: dim * dim + dim]
+        scale0 = init_[dim * dim + dim]
+        best0 = (rot0, t0, scale0, v0_loc, inf)
         state = (
-            jnp.eye(dim, dtype=ys_loc.dtype), jnp.zeros(dim, ys_loc.dtype),
-            jnp.asarray(1.0, ys_loc.dtype), jnp.zeros_like(ys_loc),
+            rot0, t0, scale0, v0_loc,
             jnp.ones_like(sm1), sm1 / m, s2_0,
             inf, inf, jnp.asarray(0), best0,
         )
@@ -878,11 +889,12 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         buf = jax.lax.dynamic_update_slice(
             buf, v_hat_t, (0, jax.lax.axis_index(M_AXIS) * ml))
         v_full = jax.lax.psum(buf, M_AXIS)
-        return rot, t, scale, v_full
+        return rot, t, scale, v_full, state[6]
 
     return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
                jnp.asarray(k, config.dtype),
-               jnp.asarray(sigma2_0, config.dtype))
+               jnp.asarray(sigma2_0, config.dtype),
+               jnp.asarray(init, config.dtype), v0_sh)
 
 
 def registration_bcpd_2d(
@@ -897,6 +909,10 @@ def registration_bcpd_2d(
     rank: int = 64,
     normalize: bool = True,
     mesh: Optional[Mesh] = None,
+    tf_init_params: Optional[dict] = None,
+    v_init=None,
+    sigma2_init: Optional[float] = None,
+    return_sigma2: bool = False,
 ):
     """BCPD on a 2-D ``(m, n)`` mesh: BOTH clouds sharded, low-rank Sigma.
 
@@ -905,6 +921,11 @@ def registration_bcpd_2d(
     psums over the m-axis and the Woodbury Sigma update runs through
     psum_m'd K x K moments — per-device memory O(M/Pm * (N/Pn + K)).
     Returns a CombinedTransformation.
+
+    ``tf_init_params`` ({'rot','t','scale'}), ``v_init`` ((M, D) field) and
+    ``sigma2_init`` warm-start the VI in RAW coordinates (converted to the
+    normalized frame here, like registration_bcpd) — the coarse-to-fine
+    pyramid's carries compose with the 2-D mesh through these.
     """
     from ..ops import lowrank as lr
 
@@ -948,6 +969,11 @@ def registration_bcpd_2d(
             - 2.0 * float(src_n.sum(0) @ tgt_n.sum(0))
         ) / (m0_ * dim0 * tgt_n.shape[0])
 
+    # Raw -> normalized-frame warm starts (the inverse of the
+    # denormalization below; cf. _registration_bcpd_impl).
+    if sigma2_init is not None:
+        sigma2_0 = float(sigma2_init) / scale0 ** 2
+
     ys_t_sh, smask_sh, m = _shard_axis_t(src_n, mesh, M_AXIS)
     xs_t_sh, xmask_sh, n = _shard_axis_t(tgt_n, mesh, N_AXIS)
     pad = ys_t_sh.shape[1] - m
@@ -955,13 +981,33 @@ def registration_bcpd_2d(
         u = np.concatenate([u, np.zeros((pad, u.shape[1]), u.dtype)], 0)
     u_sh = jax.device_put(u, NamedSharding(mesh, P(M_AXIS, None)))
 
-    rot, t, scale, v_hat_t = _run_bcpd_2d(
+    init = None
+    if tf_init_params:
+        p = dict(tf_init_params)
+        dim0 = src.shape[1]
+        t_n = (np.asarray(p.get("t", np.zeros(dim0)), np.float64)
+               - centroid) / scale0
+        init = np.concatenate([
+            np.asarray(p.get("rot", np.eye(dim0)), np.float32).ravel(),
+            t_n.astype(np.float32),
+            np.asarray([p.get("scale", 1.0)], np.float32)])
+    v0_sh = None
+    if v_init is not None:
+        v_n = ((np.asarray(v_init, np.float64) + centroid)
+               / scale0).astype(np.float32)
+        v0_sh, _, _ = _shard_axis_t(v_n, mesh, M_AXIS)
+
+    rot, t, scale, v_hat_t, s2_out = _run_bcpd_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
         jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
         float(k), np.float32(sigma2_0),
         w=float(w), maxiter=int(maxiter), tol=float(tol), m=m, n=n,
-        mesh=mesh)
+        mesh=mesh, init=init, v0_sh=v0_sh)
     v_raw = scale0 * np.asarray(v_hat_t.T, np.float64)[:m] - centroid
     t_raw = scale0 * np.asarray(t, np.float64) + centroid
-    return tf.CombinedTransformation(
+    out = tf.CombinedTransformation(
         np.asarray(rot, np.float64), t_raw, float(scale), v_raw)
+    if return_sigma2:
+        # Final (annealed) VI sigma2 back in raw units — the pyramid carry.
+        return out, float(s2_out) * scale0 ** 2
+    return out

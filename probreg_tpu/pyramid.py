@@ -345,6 +345,7 @@ def registration_bcpd_pyramid(
     factor: float = 4.0,
     sigma2_inflation: float = 3.0,
     level_maxiters: Optional[Sequence[int]] = None,
+    mesh=None,
     **kwargs: Any,
 ):
     """Coarse-to-fine BCPD registration (combined rigid+scale+nonrigid).
@@ -372,6 +373,10 @@ def registration_bcpd_pyramid(
             ``maxiter // 3`` (>= 10) at full resolution — BCPD's
             fine-scale deformation needs a few more polish iterations
             than the rigid pyramid's default.
+        mesh: Optional 2-axis (m, n) jax.sharding.Mesh — every level runs
+            through parallel.registration_bcpd_2d (both clouds sharded,
+            requires ``rank=``) with the same raw-frame carries; the
+            1M-class path. Incompatible with ``dispatch_chunk``.
         **kwargs: Forwarded to registration_bcpd (lmd, k, gamma, rank,
             normalize, ...). Callbacks are not supported (warm starts
             ride the jitted no-callback path). ``dispatch_chunk`` (int)
@@ -405,6 +410,17 @@ def registration_bcpd_pyramid(
 
     normalize = bool(kwargs.pop("normalize", True))
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
+    if mesh is not None:
+        if dispatch_chunk:
+            raise ValueError("dispatch_chunk is not supported with mesh= "
+                             "(the 2-D runner does not expose its final "
+                             "VI iterate)")
+        if kwargs.get("rank") is None:
+            raise ValueError("mesh= BCPD pyramid requires rank= "
+                             "(registration_bcpd_2d is low-rank only)")
+        return _bcpd_pyramid_2d(src_levels, tgt_levels, voxel_sizes,
+                                level_maxiters, mesh, w, tol, normalize,
+                                sigma2_inflation, kwargs)
     res = None
     tf_init = None
     v_init = None
@@ -443,6 +459,35 @@ def registration_bcpd_pyramid(
             if sigma2_raw is not None:
                 sigma2_init = _carry_sigma2(
                     sigma2_raw, voxel_sizes[i], sigma2_inflation)
+    return res
+
+
+def _bcpd_pyramid_2d(src_levels, tgt_levels, voxel_sizes, level_maxiters,
+                     mesh, w, tol, normalize, sigma2_inflation, kwargs):
+    """BCPD pyramid levels on the 2-D (m, n) mesh: every level runs through
+    parallel.registration_bcpd_2d with the same raw-frame carries as the
+    single-device schedule — the 1M-class path (single-chip dense levels
+    fault/oom; the 2-D mesh drops per-device memory Pm-fold)."""
+    from .parallel import sharded2d as _s2d
+
+    res = None
+    tf_init = None
+    v_init = None
+    sigma2_init = None
+    for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        res, sigma2_raw = _s2d.registration_bcpd_2d(
+            s_i, t_i, w=w, maxiter=int(level_maxiters[i]), tol=tol,
+            normalize=normalize, mesh=mesh, tf_init_params=tf_init,
+            v_init=v_init, sigma2_init=sigma2_init, return_sigma2=True,
+            **kwargs)
+        if i + 1 < len(src_levels):
+            rt = res.rigid_trans
+            tf_init = {"rot": np.asarray(rt.rot), "t": np.asarray(rt.t),
+                       "scale": float(np.asarray(rt.scale))}
+            v_init = _interp_displacement(
+                s_i, np.asarray(res.v), src_levels[i + 1], voxel_sizes[i])
+            sigma2_init = _carry_sigma2(
+                sigma2_raw, voxel_sizes[i], sigma2_inflation)
     return res
 
 

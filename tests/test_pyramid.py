@@ -359,3 +359,39 @@ def test_cpd_pyramid_dispatch_chunk(dense_pair):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(chunked.transformation.t),
                                np.asarray(full.transformation.t), atol=1e-5)
+
+
+def test_bcpd_pyramid_on_2d_mesh(rng):
+    # mesh= routes every level through registration_bcpd_2d with the same
+    # raw-frame carries; quality must match the single-device pyramid.
+    from probreg_tpu.parallel import sharded2d
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    src = blobby_surface(2500, seed=11).astype(np.float32)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([8.0, -4.0, 6.0])), np.float32)
+    defo = (0.02 * np.sin(3.0 * src[:, :1])
+            * np.array([[1.0, 0.5, -0.3]])).astype(np.float32)
+    tgt = ((src + defo) @ rot.T).astype(np.float32)
+
+    def nn_rmse(a, b):
+        d2 = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(1).mean()))
+
+    mesh = sharded2d.make_mesh_2d(2, 4)
+    single = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=30, tol=0.0, lmd=10.0, rank=16, levels=2,
+        coarse_points=800)
+    meshed = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=30, tol=0.0, lmd=10.0, rank=16, levels=2,
+        coarse_points=800, mesh=mesh)
+    base = nn_rmse(src, tgt)
+    r_single = nn_rmse(np.asarray(single.transform(src)), tgt)
+    r_mesh = nn_rmse(np.asarray(meshed.transform(src)), tgt)
+    assert r_mesh < 0.7 * base
+    assert r_mesh < 1.5 * r_single + 1e-3
+
+    with pytest.raises(ValueError, match="dispatch_chunk"):
+        pyramid.registration_bcpd_pyramid(
+            src, tgt, rank=16, mesh=mesh, dispatch_chunk=5)
+    with pytest.raises(ValueError, match="rank"):
+        pyramid.registration_bcpd_pyramid(src, tgt, mesh=mesh)
