@@ -247,9 +247,9 @@ def test_bcpd_culled_vi_matches_dense():
             jnp.asarray(10.0, jnp.float32), jnp.asarray(1e20, jnp.float32),
             jnp.asarray(sigma2_0, jnp.float32))
     kw = dict(w=0.0, maxiter=40, tol=1e-7, block=4096)
-    tr_d, *_, rmse_d = bm._run_bcpd(*args, **kw)
-    tr_c, *_, rmse_c = bm._run_bcpd(*args, **kw, use_culled=True,
-                                    culled_interpret=True)
+    tr_d, _, _, _, rmse_d, _ = bm._run_bcpd(*args, **kw)
+    tr_c, _, _, _, rmse_c, _ = bm._run_bcpd(*args, **kw, use_culled=True,
+                                            culled_interpret=True)
     np.testing.assert_allclose(float(rmse_c), float(rmse_d), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tr_c.rigid_trans.rot),
                                np.asarray(tr_d.rigid_trans.rot), atol=1e-4)
