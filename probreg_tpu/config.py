@@ -50,6 +50,13 @@ class Config:
     # The posterior NORMALIZER stays f32 either way (summed before the
     # cast); bf16 quantizes only the moment numerators (~0.4% relative).
     stash_dtype: jnp.dtype = jnp.float32
+    # Stash-allocation cap for the BCPD row-weighted culled kernel: its
+    # (M_padded, tile_n) g-stash at 1M x 1024 f32 is 4 GB, which crashes
+    # the v5e worker alongside the VI's resident state (Nystrom factor,
+    # v field, channel blocks). tile_n is halved until the stash fits.
+    # The CPD kernel keeps its measured (512, 1024) default — the EM
+    # holds far less resident HBM and 1M is validated there.
+    bcpd_stash_max_bytes: int = 2 << 30
     # Retained for API compatibility: the round-2 two-branch estep_auto
     # switched to the XLA scan above this active fraction; the round-3
     # single-exp kernel wins at every fraction, so nothing branches on

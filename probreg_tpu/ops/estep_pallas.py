@@ -775,6 +775,27 @@ def _wstash_moment_kernel(act_ref, eff_ref, v_ref, den_ref, gst_ref,
         mom_ref[:] = jnp.zeros_like(mom_ref)
 
 
+def _capped_stash_tile_n(m, tile_m, tile_n, itemsize=4):
+    """Shrink tile_n until the (M_padded, tile_n) g-stash fits the budget.
+
+    The BCPD VI holds more resident HBM than the CPD EM (the rank-K
+    Nystrom factor, the v field, 8-channel vt blocks, Sigma diag), and a
+    4 GB stash (1M x 1024 f32) alongside it crashes the v5e worker —
+    observed twice on the 1M BCPD pyramid. Halving tile_n costs per-pass
+    rate (measured 616/944 -> 523/744 G/s at 1M for the CPD twin) but
+    keeps the allocation inside ``config.bcpd_stash_max_bytes``.
+    """
+    from ..config import config
+
+    budget = getattr(config, "bcpd_stash_max_bytes", None)
+    if not budget:
+        return tile_n
+    mp = ((m + tile_m - 1) // tile_m) * tile_m
+    while tile_n > 256 and mp * tile_n * itemsize > budget:
+        tile_n //= 2
+    return tile_n
+
+
 def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
                       tile_m: int = 1024, tile_n: int = 1024,
                       interpret: bool = False):
@@ -804,6 +825,7 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
     inv2s2 = 0.5 / sigma2
     tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
     tile_n = min(tile_n, ((n + 127) // 128) * 128)
+    tile_n = _capped_stash_tile_n(m, tile_m, tile_n)
 
     ys_t, y2 = _pad_transpose(t_source, tile_m)
     xs_t, x2 = _pad_transpose(target, tile_n)

@@ -400,3 +400,21 @@ def test_stash_bf16_within_tolerance():
     assert _rel(ref[0], out[0]) < 1e-5          # pt1: exact-normalizer path
     assert _rel(ref[1], out[1]) < 8e-3          # p1: bf16 numerators
     assert _rel(ref[2], out[2]) < 8e-3          # px
+
+
+def test_bcpd_stash_tile_cap():
+    # 1M x 1024 f32 stash = 4 GB > the 2 GB default budget -> tile_n halves
+    # to 512; small sizes keep the requested tile; budget=None disables.
+    from probreg_tpu import config as cfgmod
+    from probreg_tpu.ops.estep_pallas import _capped_stash_tile_n
+
+    assert _capped_stash_tile_n(1_000_000, 1024, 1024) == 512
+    assert _capped_stash_tile_n(100_000, 1024, 1024) == 1024
+    old = cfgmod.config.bcpd_stash_max_bytes
+    try:
+        cfgmod.config.bcpd_stash_max_bytes = 0
+        assert _capped_stash_tile_n(10_000_000, 1024, 1024) == 1024
+        cfgmod.config.bcpd_stash_max_bytes = 1 << 20
+        assert _capped_stash_tile_n(10_000_000, 1024, 1024) == 256
+    finally:
+        cfgmod.config.bcpd_stash_max_bytes = old
