@@ -525,7 +525,8 @@ class BayesianCoherentPointDrift(abc.ABC):
                      tol: float = 0.001,
                      callback_chunk: int = 1,
                      tf_init_params=None, v_init=None,
-                     sigma2_init=None, extra_init=None) -> tf.Transformation:
+                     sigma2_init=None, extra_init=None,
+                     want_last=False) -> tf.Transformation:
         """``callback_chunk``: VI iterations per device dispatch in callback
         mode; callbacks still fire once per iteration from the fetched chunk
         history (utils/chunked.py). Ignored without callbacks.
@@ -540,7 +541,7 @@ class BayesianCoherentPointDrift(abc.ABC):
             return self._registration_jit(
                 target, w, maxiter, tol, tf_init_params=tf_init_params,
                 v_init=v_init, sigma2_init=sigma2_init,
-                extra_init=extra_init)
+                extra_init=extra_init, want_last=want_last)
         if tf_init_params or v_init is not None or sigma2_init is not None \
                 or extra_init is not None:
             raise ValueError("warm starts are only supported on the jitted "
@@ -551,7 +552,8 @@ class BayesianCoherentPointDrift(abc.ABC):
     @abc.abstractmethod
     def _registration_jit(self, target, w, maxiter, tol,
                           tf_init_params=None, v_init=None,
-                          sigma2_init=None, extra_init=None):
+                          sigma2_init=None, extra_init=None,
+                          want_last=False):
         ...
 
     @abc.abstractmethod
@@ -607,7 +609,8 @@ class CombinedBCPD(BayesianCoherentPointDrift):
 
     def _registration_jit(self, target, w, maxiter, tol,
                           tf_init_params=None, v_init=None,
-                          sigma2_init=None, extra_init=None):
+                          sigma2_init=None, extra_init=None,
+                          want_last=False):
         m = int(self._source.shape[0])
         n = int(jnp.shape(target)[0])
         use_culled = (
@@ -675,15 +678,19 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             transf = tf.CombinedTransformation(rt.rot, rt.t, rt.scale, v)
         # Keep the raw FINAL iterate (vs the best-of result above) so a
         # sliced-dispatch caller can resume the VI trajectory mid-flight.
-        rot_l, t_l, scale_l, v_l_t, s2_l, sdiag_l, alpha_l = last
-        v_l = v_l_t.T
-        if perm_s is not None:
-            v_l = jnp.zeros_like(v_l).at[perm_s].set(v_l)
-            sdiag_l = jnp.zeros_like(sdiag_l).at[perm_s].set(sdiag_l)
-            alpha_l = jnp.zeros_like(alpha_l).at[perm_s].set(alpha_l)
-        self._last_state = (
-            tf.CombinedTransformation(rot_l, t_l, scale_l, v_l), s2_l,
-            alpha_l, sdiag_l)
+        # Only materialized on request: the unsort scatters are eager
+        # dispatches and the buffers pin O(M) HBM per instance otherwise.
+        self._last_state = None
+        if want_last:
+            rot_l, t_l, scale_l, v_l_t, s2_l, sdiag_l, alpha_l = last
+            v_l = v_l_t.T
+            if perm_s is not None:
+                v_l = jnp.zeros_like(v_l).at[perm_s].set(v_l)
+                sdiag_l = jnp.zeros_like(sdiag_l).at[perm_s].set(sdiag_l)
+                alpha_l = jnp.zeros_like(alpha_l).at[perm_s].set(alpha_l)
+            self._last_state = (
+                tf.CombinedTransformation(rot_l, t_l, scale_l, v_l), s2_l,
+                alpha_l, sdiag_l)
         return transf
 
     def _registration_loop(self, target, w, maxiter, tol, callback_chunk=1):
@@ -870,19 +877,15 @@ def _registration_bcpd_impl(
         res = bc.registration(tgt, w, maxiter, tol,
                               callback_chunk=callback_chunk,
                               tf_init_params=tf_init_params, v_init=v_init,
-                              sigma2_init=sigma2_init, extra_init=extra)
+                              sigma2_init=sigma2_init, extra_init=extra,
+                              want_last=return_last)
         s2f = getattr(bc, "_final_sigma2", None)
         if not return_last:
             return res, s2f
         return res, s2f, _last_state_kwargs(bc, np.zeros(src.shape[1]), 1.0)
 
     centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
-    src_h, tgt_h = src - centroid, tgt - centroid
-    m, dim = src.shape
-    skc = float(
-        (src_h ** 2).sum() * tgt.shape[0] + (tgt_h ** 2).sum() * m
-        - 2.0 * float(src_h.sum(0) @ tgt_h.sum(0))
-    ) / (m * dim * tgt.shape[0])
+    skc = mu.squared_kernel_sum_np(src, tgt)
     scale = max(np.sqrt(skc), 1e-12)
     # Warm start raw -> normalized frame. With y_n = (y - c)/sc the raw
     # transform s R (y + v) + t becomes s R (y_n + v_n) + t_n with
@@ -908,7 +911,8 @@ def _registration_bcpd_impl(
     res = bc.registration((tgt - centroid) / scale, w, maxiter, tol,
                           callback_chunk=callback_chunk,
                           tf_init_params=tf_init_n, v_init=v_init_n,
-                          sigma2_init=sigma2_init_n, extra_init=extra_n)
+                          sigma2_init=sigma2_init_n, extra_init=extra_n,
+                          want_last=return_last)
     # Denormalize: y -> s R (y + v_raw) + t_raw with
     # v_raw = scale * v_hat - centroid, t_raw = scale * t_hat + centroid.
     rt = res.rigid_trans

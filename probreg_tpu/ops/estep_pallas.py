@@ -792,7 +792,9 @@ def _capped_stash_tile_n(m, tile_m, tile_n, itemsize=4):
         return tile_n
     mp = ((m + tile_m - 1) // tile_m) * tile_m
     while tile_n > 256 and mp * tile_n * itemsize > budget:
-        tile_n //= 2
+        # Keep the lane dim a multiple of 128 (Mosaic requirement; a
+        # clamped odd multiple like 896 would otherwise halve to 448).
+        tile_n = max(256, (tile_n // 2 // 128) * 128)
     return tile_n
 
 

@@ -937,15 +937,11 @@ def registration_bcpd_2d(
                          "M x M Sigma solve does not distribute)")
     src = np.asarray(interop.as_points(source), dtype=np.float64)
     tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    from ..utils import math_utils as mu_
+
     if normalize:
         centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
-        src_h, tgt_h = src - centroid, tgt - centroid
-        m0_, dim0 = src.shape
-        skc = float(
-            (src_h ** 2).sum() * tgt.shape[0] + (tgt_h ** 2).sum() * m0_
-            - 2.0 * float(src_h.sum(0) @ tgt_h.sum(0))
-        ) / (m0_ * dim0 * tgt.shape[0])
-        scale0 = max(np.sqrt(skc), 1e-12)
+        scale0 = max(np.sqrt(mu_.squared_kernel_sum_np(src, tgt)), 1e-12)
     else:
         centroid, scale0 = np.zeros(src.shape[1]), 1.0
     src_n = ((src - centroid) / scale0).astype(np.float32)
@@ -962,12 +958,7 @@ def registration_bcpd_2d(
     if normalize:
         sigma2_0 = gamma
     else:
-        m0_, dim0 = src_n.shape
-        sigma2_0 = gamma * float(
-            (src_n ** 2).sum() * tgt_n.shape[0]
-            + (tgt_n ** 2).sum() * m0_
-            - 2.0 * float(src_n.sum(0) @ tgt_n.sum(0))
-        ) / (m0_ * dim0 * tgt_n.shape[0])
+        sigma2_0 = gamma * mu_.squared_kernel_sum_np(src_n, tgt_n)
 
     # Raw -> normalized-frame warm starts (the inverse of the
     # denormalization below; cf. _registration_bcpd_impl).

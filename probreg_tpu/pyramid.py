@@ -410,6 +410,10 @@ def registration_bcpd_pyramid(
 
     normalize = bool(kwargs.pop("normalize", True))
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
+    if dispatch_chunk and int(kwargs.get("n_starts", 1)) > 1:
+        raise ValueError("dispatch_chunk is incompatible with n_starts > 1 "
+                         "(the multistart path exposes no final VI iterate "
+                         "to resume from)")
     if mesh is not None:
         if dispatch_chunk:
             raise ValueError("dispatch_chunk is not supported with mesh= "
@@ -513,7 +517,11 @@ def registration_filterreg_pyramid(
 ):
     """Coarse-to-fine FilterReg registration (pt2pt).
 
-    Same schedule as :func:`registration_cpd_pyramid`. pt2pl needs
+    Same schedule as :func:`registration_cpd_pyramid`, including the
+    default ``level_maxiters`` (full budget coarse, ``maxiter // 3``
+    polish at full resolution — FilterReg's annealed residual q rarely
+    triggers the tol stop; pass ``level_maxiters`` explicitly for the old
+    full-budget-everywhere behavior). pt2pl needs
     per-level target normals, so only the full-resolution level uses
     ``target_normals``; coarser levels run pt2pt to produce the warm start.
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import pairwise
 
@@ -45,6 +46,24 @@ def squared_kernel_sum(x: jax.Array, y: jax.Array) -> jax.Array:
     # float() the denominator: as a Python int it gets weak-typed to int32
     # inside jit and M * D * N overflows already at M = N = 64k.
     return pairwise.sqdist_sum(x, y) / float(x.shape[0] * x.shape[1] * y.shape[0])
+
+
+def squared_kernel_sum_np(x, y) -> float:
+    """Host-side closed-form :func:`squared_kernel_sum` (pure numpy).
+
+    Used by entry points that need sigma2_0 BEFORE the single jitted
+    dispatch (CLAUDE.md: init scalars must never be eager device ops).
+    Centered on the joint centroid for f64 stability; the mean pairwise
+    sqdist is invariant to that shift.
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    m, d = x.shape
+    n = y.shape[0]
+    cen = (x.sum(0) + y.sum(0)) / (m + n)
+    xh, yh = x - cen, y - cen
+    return float(((xh ** 2).sum() * n + (yh ** 2).sum() * m
+                  - 2.0 * float(xh.sum(0) @ yh.sum(0))) / (m * d * n))
 
 
 def masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask) -> jax.Array:

@@ -315,9 +315,10 @@ def test_pyramid_gmmtree_icp_reject_managed_kwargs(dense_pair):
 
 
 def test_bcpd_pyramid_dispatch_chunk(rng):
-    # dispatch_chunk slices each level into warm-started programs; the VI
-    # trajectory differs (mixing weights reset per chunk) but the final
-    # registration quality must match the unchunked run.
+    # dispatch_chunk slices each level into warm-resumed programs carrying
+    # the FULL final VI iterate (tf, v, sigma2, alpha, diag(Sigma)); only
+    # the per-program best-visited-state selection can differ, so the
+    # final registration quality must match the unchunked run.
     from probreg_tpu.utils.datagen import blobby_surface
 
     src = blobby_surface(3000, seed=5).astype(np.float32)
