@@ -549,20 +549,33 @@ def registration_filterreg_pyramid(
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
+    dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     res = None
     tf_init = None
     sigma2 = None
     sigma2_meaningful = update_sigma2 or sigma2_decay < 1.0
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
         last = i + 1 == len(src_levels)
-        res = _frg.registration_filterreg(
-            s_i, t_i,
-            target_normals=target_normals if last else None,
-            sigma2=sigma2, w=w,
-            objective_type=objective_type if last else "pt2pt",
-            maxiter=int(level_maxiters[i]), tol=tol, min_sigma2=min_sigma2,
-            sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
-            callbacks=callbacks, tf_init_params=tf_init or {}, **kwargs)
+        # dispatch_chunk: warm-resumed <= chunk-iteration programs (exact —
+        # FilterReg's result is its last EM iterate; the resumed sigma2
+        # continues the annealing schedule).
+        budget = int(level_maxiters[i])
+        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+        tf_c, s2_c = tf_init, sigma2
+        while budget > 0:
+            res = _frg.registration_filterreg(
+                s_i, t_i,
+                target_normals=target_normals if last else None,
+                sigma2=s2_c, w=w,
+                objective_type=objective_type if last else "pt2pt",
+                maxiter=min(chunk, budget), tol=tol, min_sigma2=min_sigma2,
+                sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
+                callbacks=callbacks, tf_init_params=tf_c or {}, **kwargs)
+            budget -= chunk
+            if budget > 0:
+                tr = res.transformation
+                tf_c = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
+                s2_c = float(np.asarray(res.sigma2))
         if not last:
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
@@ -616,13 +629,26 @@ def registration_gmmtree_pyramid(
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
+    dispatch_chunk = kwargs.pop("dispatch_chunk", None)
+    if dispatch_chunk and n_starts > 1:
+        raise ValueError("dispatch_chunk is incompatible with n_starts > 1")
     res = None
     tf_init: dict = {}
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        res = _gt.registration_gmmtree(
-            s_i, t_i, maxiter=int(level_maxiters[i]), tol=tol,
-            callbacks=callbacks, tf_init_params=dict(tf_init) or {},
-            n_starts=n_starts if i == 0 else 1, **kwargs)
+        budget = int(level_maxiters[i])
+        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+        tf_c = dict(tf_init)
+        while budget > 0:
+            # n_starts > 1 is rejected with dispatch_chunk above, so the
+            # multistart (coarsest level) case is always a single program.
+            res = _gt.registration_gmmtree(
+                s_i, t_i, maxiter=min(chunk, budget), tol=tol,
+                callbacks=callbacks, tf_init_params=dict(tf_c) or {},
+                n_starts=n_starts if i == 0 else 1, **kwargs)
+            budget -= chunk
+            if budget > 0:
+                inv = res.transformation.inverse()
+                tf_c = {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
         if i + 1 < len(src_levels):
             inv = res.transformation.inverse()
             tf_init = {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
@@ -663,13 +689,22 @@ def registration_icp_pyramid(
     if len(level_maxiters) != len(voxel_sizes):
         raise ValueError("level_maxiters length must match the level count")
 
+    dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     res = None
     tf_init: dict = {}
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        res = _icp.registration_icp(
-            s_i, t_i, maxiter=int(level_maxiters[i]), tol=tol,
-            trim_fraction=trim_fraction, tf_init_params=dict(tf_init),
-            **kwargs)
+        budget = int(level_maxiters[i])
+        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+        tf_c = dict(tf_init)
+        while budget > 0:
+            res = _icp.registration_icp(
+                s_i, t_i, maxiter=min(chunk, budget), tol=tol,
+                trim_fraction=trim_fraction, tf_init_params=dict(tf_c),
+                **kwargs)
+            budget -= chunk
+            if budget > 0:
+                tr = res.transformation
+                tf_c = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
         if i + 1 < len(src_levels):
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}

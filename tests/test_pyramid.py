@@ -396,3 +396,41 @@ def test_bcpd_pyramid_on_2d_mesh(rng):
             src, tgt, rank=16, mesh=mesh, dispatch_chunk=5)
     with pytest.raises(ValueError, match="rank"):
         pyramid.registration_bcpd_pyramid(src, tgt, mesh=mesh)
+
+
+def test_dispatch_chunk_all_families(dense_pair):
+    # FilterReg / GMMTree / ICP sliced dispatch resumes exactly (last
+    # iterate + tf carry; FilterReg also resumes the annealed sigma2).
+    source = dense_pair[0][:4000]
+    rot = np.asarray(so.euler2mat(*np.deg2rad([6.0, -4.0, 8.0])),
+                     np.float32)
+    t_gt = np.array([0.03, -0.02, 0.04], np.float32)
+    target = source @ rot.T + t_gt
+
+    full_f = pyramid.registration_filterreg_pyramid(
+        source, target, levels=2, coarse_points=1000, tol=0.0)
+    sl_f = pyramid.registration_filterreg_pyramid(
+        source, target, levels=2, coarse_points=1000, tol=0.0,
+        dispatch_chunk=4)
+    np.testing.assert_allclose(np.asarray(sl_f.transformation.rot),
+                               np.asarray(full_f.transformation.rot),
+                               atol=1e-5)
+
+    full_i = pyramid.registration_icp_pyramid(
+        source, target, levels=2, coarse_points=1000, tol=0.0)
+    sl_i = pyramid.registration_icp_pyramid(
+        source, target, levels=2, coarse_points=1000, tol=0.0,
+        dispatch_chunk=7)
+    np.testing.assert_allclose(np.asarray(sl_i.transformation.rot),
+                               np.asarray(full_i.transformation.rot),
+                               atol=1e-5)
+
+    sl_g = pyramid.registration_gmmtree_pyramid(
+        source, target, levels=2, coarse_points=1000, maxiter=20,
+        dispatch_chunk=6)
+    angle = float(so.rotation_angle(np.asarray(sl_g.transformation.rot),
+                                    rot))
+    assert angle < 5e-2
+    with pytest.raises(ValueError, match="n_starts"):
+        pyramid.registration_gmmtree_pyramid(
+            source, target, dispatch_chunk=5, n_starts=4)
