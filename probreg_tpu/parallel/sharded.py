@@ -502,7 +502,7 @@ def registration_cpd_sharded(
 def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, sigma2_in, *,
                            objective_type, update_sigma2, w, maxiter, tol,
                            min_sigma2, sigma2_decay, auto_sigma2, n, mesh,
-                           axis):
+                           axis, rot0=None, t0=None):
     from .. import filterreg as frg_mod
 
     ys_t = source.T
@@ -620,8 +620,10 @@ def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, sigma2_in, *,
         s2 = jnp.maximum(s2, min_sigma2)
         return (rot, t, s2, q_new, q, i + 1)
 
-    state = (jnp.eye(dim, dtype=source.dtype),
-             jnp.zeros(dim, source.dtype), sigma2_0,
+    state = (jnp.eye(dim, dtype=source.dtype) if rot0 is None
+             else jnp.asarray(rot0, source.dtype),
+             jnp.zeros(dim, source.dtype) if t0 is None
+             else jnp.asarray(t0, source.dtype), sigma2_0,
              jnp.asarray(jnp.inf, source.dtype),
              jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
     rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
@@ -641,11 +643,13 @@ def registration_filterreg_sharded(
     sigma2_decay: float = 1.0,
     update_sigma2: bool = False,
     mesh: Optional[Mesh] = None,
+    tf_init_params: Optional[dict] = None,
 ):
     """Multi-device rigid FilterReg; target (and normals) sharded over the
     mesh, moments psum'd. Same semantics as registration_filterreg's fast
-    path. Returns an MstepResult. A 2-D ``(m, n)`` mesh shards BOTH clouds
-    (parallel/sharded2d.py)."""
+    path (``tf_init_params`` {'rot','t'} warm-starts the transform — the
+    pyramid's carry). Returns an MstepResult. A 2-D ``(m, n)`` mesh shards
+    BOTH clouds (parallel/sharded2d.py)."""
     from .. import filterreg as frg_mod
 
     if mesh is None:
@@ -658,7 +662,7 @@ def registration_filterreg_sharded(
             objective_type=objective_type, sigma2=sigma2, w=w,
             maxiter=maxiter, tol=tol, min_sigma2=min_sigma2,
             sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
-            mesh=mesh)
+            mesh=mesh, tf_init_params=tf_init_params)
     axis = mesh.axis_names[0]
     src = jnp.asarray(interop.as_points(source, dtype=config.dtype))
     xs_t_sh, mask_sh, n = shard_points_t(target, mesh, axis)
@@ -673,7 +677,11 @@ def registration_filterreg_sharded(
         objective_type=objective_type, update_sigma2=bool(update_sigma2),
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
-        auto_sigma2=sigma2 is None, n=n, mesh=mesh, axis=axis)
+        auto_sigma2=sigma2 is None, n=n, mesh=mesh, axis=axis,
+        rot0=None if not tf_init_params else np.asarray(
+            tf_init_params.get("rot", np.eye(src.shape[1])), np.float32),
+        t0=None if not tf_init_params else np.asarray(
+            tf_init_params.get("t", np.zeros(src.shape[1])), np.float32))
     return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2_out, q)
 
 

@@ -467,22 +467,27 @@ def registration_cpd_2d(
                           "maxiter", "min_sigma2", "sigma2_decay",
                           "auto_sigma2", "m", "n", "mesh"))
 def _run_filterreg_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
-                      sigma2_in, *, objective_type, update_sigma2, w,
-                      maxiter, tol, min_sigma2, sigma2_decay, auto_sigma2,
-                      m, n, mesh):
+                      sigma2_in, init=None, *, objective_type,
+                      update_sigma2, w, maxiter, tol, min_sigma2,
+                      sigma2_decay, auto_sigma2, m, n, mesh):
     from .. import filterreg as frg_mod
 
     dim = ys_t_sh.shape[0]
     pt2pl = objective_type == "pt2pl"
     nrm_spec = P(None, N_AXIS) if pt2pl else P()
+    if init is None:
+        # Packed (D*D + D,) rigid warm start — ALWAYS an array, so warm
+        # and cold registrations share one compiled program.
+        init = np.concatenate([np.eye(dim, dtype=np.float32).ravel(),
+                               np.zeros(dim, np.float32)])
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, M_AXIS), P(None, M_AXIS),
-                  P(None, N_AXIS), P(None, N_AXIS), nrm_spec, P()),
+                  P(None, N_AXIS), P(None, N_AXIS), nrm_spec, P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
-    def run(ys_loc, sm, xs_loc, xm, nrm_loc, s2_in):
+    def run(ys_loc, sm, xs_loc, xm, nrm_loc, s2_in, init_):
         x2 = jnp.sum(xs_loc * xs_loc, axis=0, keepdims=True)   # (1, Nl)
 
         # ---- sigma2_0 (same init as registration_filterreg's fast path)
@@ -584,15 +589,16 @@ def _run_filterreg_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
             s2 = jnp.maximum(s2, min_sigma2)
             return (rot, t, s2, q_new, q, i + 1)
 
-        state = (jnp.eye(dim, dtype=ys_loc.dtype),
-                 jnp.zeros(dim, ys_loc.dtype), sigma2_0,
+        state = (init_[: dim * dim].reshape(dim, dim),
+                 init_[dim * dim:], sigma2_0,
                  jnp.asarray(jnp.inf, ys_loc.dtype),
                  jnp.asarray(jnp.inf, ys_loc.dtype), jnp.asarray(0))
         rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
         return rot, t, sigma2, q
 
     nrm = nrm_t_sh if nrm_t_sh is not None else sigma2_in
-    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm, sigma2_in)
+    return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm, sigma2_in,
+               jnp.asarray(init, config.dtype))
 
 
 def _kabsch_2d(model_t, target_t, w):
@@ -656,6 +662,7 @@ def registration_filterreg_2d(
     sigma2_decay: float = 1.0,
     update_sigma2: bool = False,
     mesh: Optional[Mesh] = None,
+    tf_init_params: Optional[dict] = None,
 ):
     """Rigid FilterReg on a 2-D ``(m, n)`` mesh: BOTH clouds sharded.
 
@@ -677,9 +684,17 @@ def registration_filterreg_2d(
         nrm_t_sh, _, _ = _shard_axis_t(target_normals, mesh, N_AXIS)
     elif objective_type != "pt2pt":
         raise ValueError("unknown objective_type %s" % objective_type)
+    init = None
+    if tf_init_params:
+        p = dict(tf_init_params)
+        dim0 = int(ys_t_sh.shape[0])
+        init = np.concatenate([
+            np.asarray(p.get("rot", np.eye(dim0)), np.float32).ravel(),
+            np.asarray(p.get("t", np.zeros(dim0)), np.float32)])
     rot, t, sigma2_out, q = _run_filterreg_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
         jnp.asarray(0.0 if sigma2 is None else sigma2, config.dtype),
+        init,
         objective_type=objective_type, update_sigma2=bool(update_sigma2),
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),

@@ -513,6 +513,7 @@ def registration_filterreg_pyramid(
     sigma2_decay: float = 0.9,
     update_sigma2: bool = False,
     level_maxiters: Optional[Sequence[int]] = None,
+    mesh=None,
     **kwargs: Any,
 ):
     """Coarse-to-fine FilterReg registration (pt2pt).
@@ -521,7 +522,10 @@ def registration_filterreg_pyramid(
     default ``level_maxiters`` (full budget coarse, ``maxiter // 3``
     polish at full resolution — FilterReg's annealed residual q rarely
     triggers the tol stop; pass ``level_maxiters`` explicitly for the old
-    full-budget-everywhere behavior). pt2pl needs
+    full-budget-everywhere behavior). ``mesh=`` routes every level
+    through parallel.registration_filterreg_sharded (1-axis: target
+    sharded; 2-axis: both clouds sharded) with the same carries —
+    incompatible with callbacks and ``dispatch_chunk``. pt2pl needs
     per-level target normals, so only the full-resolution level uses
     ``target_normals``; coarser levels run pt2pt to produce the warm start.
 
@@ -550,12 +554,34 @@ def registration_filterreg_pyramid(
         raise ValueError("level_maxiters length must match the level count")
 
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
+    if mesh is not None and (callbacks or dispatch_chunk):
+        raise ValueError("mesh= FilterReg pyramid supports neither "
+                         "callbacks nor dispatch_chunk")
     res = None
     tf_init = None
     sigma2 = None
     sigma2_meaningful = update_sigma2 or sigma2_decay < 1.0
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
         last = i + 1 == len(src_levels)
+        if mesh is not None:
+            from .parallel import sharded as _sharded
+
+            res = _sharded.registration_filterreg_sharded(
+                s_i, t_i,
+                target_normals=target_normals if last else None,
+                objective_type=objective_type if last else "pt2pt",
+                sigma2=sigma2, w=w, maxiter=int(level_maxiters[i]),
+                tol=tol, min_sigma2=min_sigma2, sigma2_decay=sigma2_decay,
+                update_sigma2=update_sigma2, mesh=mesh,
+                tf_init_params=tf_init, **kwargs)
+            if not last:
+                tr = res.transformation
+                tf_init = {"rot": np.asarray(tr.rot),
+                           "t": np.asarray(tr.t)}
+                if sigma2_meaningful:
+                    sigma2 = _carry_sigma2(np.asarray(res.sigma2),
+                                           voxel_sizes[i], sigma2_inflation)
+            continue
         # dispatch_chunk: warm-resumed <= chunk-iteration programs (exact —
         # FilterReg's result is its last EM iterate; the resumed sigma2
         # continues the annealing schedule).

@@ -434,3 +434,28 @@ def test_dispatch_chunk_all_families(dense_pair):
     with pytest.raises(ValueError, match="n_starts"):
         pyramid.registration_gmmtree_pyramid(
             source, target, dispatch_chunk=5, n_starts=4)
+
+
+def test_filterreg_pyramid_on_mesh(dense_pair):
+    # mesh= FilterReg pyramid: 1-axis and 2-axis meshes, tf + sigma2
+    # carries through the sharded runners; quality matches single-device.
+    from probreg_tpu.parallel import sharded, sharded2d
+
+    source = dense_pair[0][:4000]
+    rot = np.asarray(so.euler2mat(*np.deg2rad([6.0, -4.0, 8.0])),
+                     np.float32)
+    t_gt = np.array([0.03, -0.02, 0.04], np.float32)
+    target = source @ rot.T + t_gt
+
+    kw = dict(levels=2, coarse_points=1000, tol=0.0, sigma2_decay=0.9)
+    for mesh in (sharded.make_mesh(), sharded2d.make_mesh_2d(2, 4)):
+        res = pyramid.registration_filterreg_pyramid(
+            source, target, mesh=mesh, **kw)
+        angle = float(so.rotation_angle(
+            np.asarray(res.transformation.rot), rot))
+        assert angle < 1e-2, (mesh.axis_names, angle)
+        assert np.allclose(np.asarray(res.transformation.t), t_gt,
+                           atol=1e-2)
+    with pytest.raises(ValueError, match="dispatch_chunk"):
+        pyramid.registration_filterreg_pyramid(
+            source, target, mesh=sharded.make_mesh(), dispatch_chunk=5)
