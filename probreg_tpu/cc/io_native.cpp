@@ -497,6 +497,104 @@ static PyObject* py_read_batch(PyObject*, PyObject* args) {
     return out;
 }
 
+// morton_order(points) -> int64 permutation sorting (N, 2|3) f32 points
+// into Z-order. Bit-identical to ops/spatial.morton_order_np (same f32
+// quantization, same bit spreading, stable sort) but a 15-bit-radix LSD
+// counting sort instead of np.argsort — O(N) vs O(N log N), ~4-6x faster
+// at 1M points. Runs once per registration/pyramid level before the
+// tile-culled kernels (the sort must never run per EM iteration).
+static void morton_core(const float* p, long n, int dim,
+                        std::vector<int64_t>& order) {
+    const int bits = dim >= 3 ? 10 : 15;
+    const float scale = static_cast<float>((1 << bits) - 1);
+    float lo[3], hi[3];
+    for (int d = 0; d < dim; ++d) { lo[d] = hi[d] = p[d]; }
+    for (long i = 1; i < n; ++i)
+        for (int d = 0; d < dim; ++d) {
+            const float v = p[i * dim + d];
+            if (v < lo[d]) lo[d] = v;
+            if (v > hi[d]) hi[d] = v;
+        }
+    float span[3];
+    const float tiny = 1.1754944e-38f;  // FLT_MIN (matches np tiny)
+    for (int d = 0; d < dim; ++d)
+        span[d] = std::max(hi[d] - lo[d], tiny);
+
+    auto spread = [bits](uint32_t x, int step) {
+        uint32_t out = 0;
+        for (int b = 0; b < bits; ++b)
+            out |= ((x >> b) & 1u) << (b * step);
+        return out;
+    };
+    std::vector<uint32_t> code(n);
+    for (long i = 0; i < n; ++i) {
+        uint32_t c = 0;
+        for (int d = 0; d < dim; ++d) {
+            float q = (p[i * dim + d] - lo[d]) / span[d] * scale;
+            if (q < 0.0f) q = 0.0f;
+            if (q > scale) q = scale;
+            c |= spread(static_cast<uint32_t>(q), dim) << d;
+        }
+        code[i] = c;
+    }
+    // Two stable 15-bit LSD counting passes over (code, index).
+    order.resize(n);
+    std::vector<int64_t> tmp(n);
+    std::vector<uint32_t> ctmp(n);
+    for (long i = 0; i < n; ++i) order[i] = i;
+    const int RB = 15;
+    const uint32_t mask = (1u << RB) - 1u;
+    std::vector<long> cnt(1 << RB);
+    for (int pass = 0; pass < 2; ++pass) {
+        const int shift = pass * RB;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (long i = 0; i < n; ++i) ++cnt[(code[i] >> shift) & mask];
+        long run = 0;
+        for (size_t b = 0; b < cnt.size(); ++b) {
+            const long c = cnt[b];
+            cnt[b] = run;
+            run += c;
+        }
+        for (long i = 0; i < n; ++i) {
+            const long pos = cnt[(code[i] >> shift) & mask]++;
+            tmp[pos] = order[i];
+            ctmp[pos] = code[i];
+        }
+        order.swap(tmp);
+        code.swap(ctmp);
+    }
+}
+
+static PyObject* py_morton_order(PyObject*, PyObject* args) {
+    PyObject* obj;
+    if (!PyArg_ParseTuple(args, "O", &obj)) return nullptr;
+    PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
+        PyArray_FROM_OTF(obj, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS));
+    if (!arr) return nullptr;
+    if (PyArray_NDIM(arr) != 2 ||
+        (PyArray_DIM(arr, 1) != 2 && PyArray_DIM(arr, 1) != 3)) {
+        Py_DECREF(arr);
+        PyErr_SetString(PyExc_ValueError, "expected (N, 2|3) array");
+        return nullptr;
+    }
+    const npy_intp n = PyArray_DIM(arr, 0);
+    const int dim = static_cast<int>(PyArray_DIM(arr, 1));
+    const float* p = static_cast<float*>(PyArray_DATA(arr));
+    std::vector<int64_t> order;
+    if (n > 0) {
+        Py_BEGIN_ALLOW_THREADS
+        morton_core(p, static_cast<long>(n), dim, order);
+        Py_END_ALLOW_THREADS
+    }
+    Py_DECREF(arr);
+    npy_intp dims[1] = {n};
+    PyObject* out = PyArray_SimpleNew(1, dims, NPY_INT64);
+    if (!out) return nullptr;
+    std::memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(out)),
+                order.data(), sizeof(int64_t) * n);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
     {"read_ply", py_read_ply, METH_VARARGS, "Read x/y/z from a PLY file."},
     {"read_pcd", py_read_pcd, METH_VARARGS, "Read x/y/z from a PCD file."},
@@ -504,6 +602,8 @@ static PyMethodDef Methods[] = {
      "Average points per voxel."},
     {"read_batch", py_read_batch, METH_VARARGS,
      "Threaded batch loader: read_batch(paths, voxel=0.0, threads=0)."},
+    {"morton_order", py_morton_order, METH_VARARGS,
+     "Z-order permutation of (N, 2|3) points (radix sort)."},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

@@ -73,11 +73,21 @@ def morton_order_np(points) -> "np.ndarray":
 
     Used by entry points that pre-sort clouds ONCE before sharding /
     jitting (parallel/sharded.py): running the jnp version eagerly would
-    cost a device round trip per registration.
+    cost a device round trip per registration. The native radix-sort path
+    (cc/io_native.cpp::morton_order) is ~4-6x faster at 1M points and
+    bit-identical for float32 clouds; numpy is the fallback.
     """
     import numpy as np
 
     pts = np.asarray(points)
+    if pts.ndim == 2 and pts.shape[1] in (2, 3) \
+            and pts.dtype == np.float32:
+        try:
+            from probreg_tpu import _io_native as _nat
+
+            return _nat.morton_order(np.ascontiguousarray(pts))
+        except (ImportError, AttributeError):  # pragma: no cover
+            pass
     dim = pts.shape[1]
     lo = pts.min(axis=0)
     span = np.maximum(pts.max(axis=0) - lo, np.finfo(np.float32).tiny)

