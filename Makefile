@@ -1,4 +1,4 @@
-.PHONY: native test bench clean
+.PHONY: native test test-tpu bench bench-full clean
 
 native:
 	python setup.py build_ext --inplace
@@ -6,8 +6,16 @@ native:
 test:
 	python -m pytest tests/ -q
 
+# Real-chip kernel tests: single worker (one chip), 'axon' registry name.
+test-tpu:
+	PROBREG_TPU_TEST_BACKEND=axon python -m pytest \
+	  tests/test_em_pallas.py tests/test_culled_estep.py -n0 -q
+
 bench:
 	python bench.py
+
+bench-full:
+	python benchmarks/bench_full.py
 
 clean:
 	rm -rf build probreg_tpu/*.so
