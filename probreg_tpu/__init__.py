@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     parallel,
     pyramid,
     se3_op,
+    tracking,
     transformation,
 )
 from .version import __version__  # noqa: F401
