@@ -78,3 +78,15 @@ print(f"{n_frames - 1} frame pairs, {n:,} pts each")
 print(f"cold starts : {wall_c:.2f}s  max rot err {err_c:.2e} rad")
 print(f"warm starts : {wall_w2:.2f}s  max rot err {err_w:.2e} rad "
       f"({wall_c / max(wall_w2, 1e-9):.1f}x)")
+
+# The packaged version of this pattern: probreg_tpu.tracking.RigidTracker
+# (adds the cumulative world pose and a motion-scale variance floor).
+from probreg_tpu import tracking  # noqa: E402
+
+trk = tracking.RigidTracker(maxiter=40, tol=1e-6)
+for f in frames:
+    pose = trk.update(f)
+r_last, t_last = poses[-1]
+err = float(np.asarray(so.rotation_angle(np.asarray(pose.rot), r_last)))
+print(f"RigidTracker world pose after {n_frames} frames: "
+      f"rot err {err:.2e} rad")
