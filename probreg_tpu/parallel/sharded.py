@@ -678,10 +678,12 @@ def registration_filterreg_sharded(
         w=float(w), maxiter=int(maxiter), tol=float(tol),
         min_sigma2=float(min_sigma2), sigma2_decay=float(sigma2_decay),
         auto_sigma2=sigma2 is None, n=n, mesh=mesh, axis=axis,
-        rot0=None if not tf_init_params else np.asarray(
-            tf_init_params.get("rot", np.eye(src.shape[1])), np.float32),
-        t0=None if not tf_init_params else np.asarray(
-            tf_init_params.get("t", np.zeros(src.shape[1])), np.float32))
+        # ALWAYS arrays: a None-vs-array pytree difference would compile
+        # cold and warm registrations as two separate programs.
+        rot0=np.asarray((tf_init_params or {}).get(
+            "rot", np.eye(src.shape[1])), np.float32),
+        t0=np.asarray((tf_init_params or {}).get(
+            "t", np.zeros(src.shape[1])), np.float32))
     return frg_mod.MstepResult(tf.RigidTransformation(rot, t), sigma2_out, q)
 
 

@@ -475,9 +475,7 @@ def _run_filterreg_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
     dim = ys_t_sh.shape[0]
     pt2pl = objective_type == "pt2pl"
     nrm_spec = P(None, N_AXIS) if pt2pl else P()
-    if init is None:
-        # Packed (D*D + D,) rigid warm start — ALWAYS an array, so warm
-        # and cold registrations share one compiled program.
+    if init is None:  # pragma: no cover - callers pass arrays (jit cache)
         init = np.concatenate([np.eye(dim, dtype=np.float32).ravel(),
                                np.zeros(dim, np.float32)])
 
@@ -684,13 +682,14 @@ def registration_filterreg_2d(
         nrm_t_sh, _, _ = _shard_axis_t(target_normals, mesh, N_AXIS)
     elif objective_type != "pt2pt":
         raise ValueError("unknown objective_type %s" % objective_type)
-    init = None
-    if tf_init_params:
-        p = dict(tf_init_params)
-        dim0 = int(ys_t_sh.shape[0])
-        init = np.concatenate([
-            np.asarray(p.get("rot", np.eye(dim0)), np.float32).ravel(),
-            np.asarray(p.get("t", np.zeros(dim0)), np.float32)])
+    # Packed warm start — ALWAYS materialized HERE, outside the jit
+    # boundary, so cold (identity) and warm calls present the same
+    # argument pytree and share one compiled program.
+    p = dict(tf_init_params or {})
+    dim0 = int(ys_t_sh.shape[0])
+    init = np.concatenate([
+        np.asarray(p.get("rot", np.eye(dim0)), np.float32).ravel(),
+        np.asarray(p.get("t", np.zeros(dim0)), np.float32)])
     rot, t, sigma2_out, q = _run_filterreg_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
         jnp.asarray(0.0 if sigma2 is None else sigma2, config.dtype),
@@ -735,11 +734,11 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
     dim = ys_t_sh.shape[0]
     krank = u_sh.shape[1]
     eps = jnp.asarray(_F32_EPS, ys_t_sh.dtype)
-    if init is None:
+    if init is None:  # pragma: no cover - callers pass arrays (jit cache)
         init = np.concatenate([
             np.eye(dim, dtype=np.float32).ravel(),
             np.zeros(dim, np.float32), np.ones(1, np.float32)])
-    if v0_sh is None:
+    if v0_sh is None:  # pragma: no cover - same
         v0_sh = jnp.zeros_like(ys_t_sh)
 
     @partial(
@@ -987,21 +986,30 @@ def registration_bcpd_2d(
         u = np.concatenate([u, np.zeros((pad, u.shape[1]), u.dtype)], 0)
     u_sh = jax.device_put(u, NamedSharding(mesh, P(M_AXIS, None)))
 
-    init = None
-    if tf_init_params:
-        p = dict(tf_init_params)
-        dim0 = src.shape[1]
+    # Warm starts ALWAYS materialized here (outside the jit boundary) so
+    # cold and warm calls share one compiled program. Cold = the
+    # NORMALIZED-frame identity (t_n = 0, v_n = 0); with any warm piece
+    # given, the exact raw->normalized conversion applies (v_raw defaults
+    # to 0, which converts to v_n = centroid/scale0 — the two centroid
+    # terms cancel in the composed transform).
+    dim0 = src.shape[1]
+    if tf_init_params or v_init is not None:
+        p = dict(tf_init_params or {})
         t_n = (np.asarray(p.get("t", np.zeros(dim0)), np.float64)
                - centroid) / scale0
         init = np.concatenate([
             np.asarray(p.get("rot", np.eye(dim0)), np.float32).ravel(),
             t_n.astype(np.float32),
             np.asarray([p.get("scale", 1.0)], np.float32)])
-    v0_sh = None
-    if v_init is not None:
-        v_n = ((np.asarray(v_init, np.float64) + centroid)
-               / scale0).astype(np.float32)
-        v0_sh, _, _ = _shard_axis_t(v_n, mesh, M_AXIS)
+        v_n = ((np.zeros_like(src) if v_init is None
+                else np.asarray(v_init, np.float64)) + centroid) / scale0
+        v_n = v_n.astype(np.float32)
+    else:
+        init = np.concatenate([
+            np.eye(dim0, dtype=np.float32).ravel(),
+            np.zeros(dim0, np.float32), np.ones(1, np.float32)])
+        v_n = np.zeros_like(src_n)
+    v0_sh, _, _ = _shard_axis_t(v_n, mesh, M_AXIS)
 
     rot, t, scale, v_hat_t, s2_out = _run_bcpd_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,

@@ -152,6 +152,24 @@ def _default_level_maxiters(n_levels, maxiter, polish_divisor):
     return ([maxiter] + [max(maxiter // 2, 10)] * (n_levels - 2) + [polish])
 
 
+def _sliced_level(budget, dispatch_chunk, warm, run, carry):
+    """One pyramid level as warm-resumed <= chunk-iteration programs.
+
+    ``run(maxiter, warm) -> res`` executes one program; ``carry(res)``
+    builds the next program's warm state. Always calls ``run`` at least
+    once (a 0 budget runs one maxiter=0 program — the warm-start state,
+    matching the unsliced behavior).
+    """
+    budget = int(budget)
+    chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+    while True:
+        res = run(max(min(chunk, budget), 0), warm)
+        budget -= max(chunk, 1)
+        if budget <= 0:
+            return res
+        warm = carry(res)
+
+
 def registration_cpd_pyramid(
     source,
     target,
@@ -256,42 +274,41 @@ def registration_cpd_pyramid(
         # iterate, so resuming from (transform, sigma2) — or the positional
         # displacement field for nonrigid — continues the trajectory
         # exactly (cf. the BCPD pyramid's sliced dispatch).
-        budget = int(level_maxiters[i])
-        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
-        tf_c, v_c, s2_c = dict(tf_init), v_init, sigma2_init
-        while budget > 0:
+        def _run(mi, warm, s_i=s_i, t_i=t_i):
+            tf_c, v_c, s2_c = warm
             if nonrigid:
-                res = _cpd.registration_cpd(
-                    s_i, t_i, "nonrigid", w=w, maxiter=min(chunk, budget),
-                    tol=tol, callbacks=callbacks,
+                return _cpd.registration_cpd(
+                    s_i, t_i, "nonrigid", w=w, maxiter=mi, tol=tol,
+                    callbacks=callbacks,
                     sigma2_init=s2_c, v_init=v_c, **kwargs)
-            elif mesh is not None:
+            if mesh is not None:
                 from .parallel import sharded as _sharded
 
-                res = _sharded.registration_cpd_sharded(
-                    s_i, t_i, tf_type_name, w=w,
-                    maxiter=min(chunk, budget), tol=tol, mesh=mesh,
-                    tf_init_params=tf_c or None,
+                return _sharded.registration_cpd_sharded(
+                    s_i, t_i, tf_type_name, w=w, maxiter=mi, tol=tol,
+                    mesh=mesh, tf_init_params=tf_c or None,
                     sigma2_init=s2_c, **kwargs)
+            return _cpd.registration_cpd(
+                s_i, t_i, tf_type_name, w=w, maxiter=mi, tol=tol,
+                callbacks=callbacks, tf_init_params=tf_c or None,
+                sigma2_init=s2_c, **kwargs)
+
+        def _carry(res, s_i=s_i):
+            tr = res.transformation
+            s2_c = max(float(np.asarray(res.sigma2)),
+                       float(np.finfo(np.float32).eps))
+            if nonrigid:
+                return (None, np.asarray(tr.transform(s_i)) - s_i, s2_c)
+            if tf_type_name == "rigid":
+                tf_c = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t),
+                        "scale": float(np.asarray(tr.scale))}
             else:
-                res = _cpd.registration_cpd(
-                    s_i, t_i, tf_type_name, w=w, maxiter=min(chunk, budget),
-                    tol=tol, callbacks=callbacks,
-                    tf_init_params=tf_c or None,
-                    sigma2_init=s2_c, **kwargs)
-            budget -= chunk
-            if budget > 0:
-                tr = res.transformation
-                if nonrigid:
-                    v_c = np.asarray(tr.transform(s_i)) - s_i
-                elif tf_type_name == "rigid":
-                    tf_c = {"rot": np.asarray(tr.rot),
-                            "t": np.asarray(tr.t),
-                            "scale": float(np.asarray(tr.scale))}
-                else:
-                    tf_c = {"b": np.asarray(tr.b), "t": np.asarray(tr.t)}
-                s2_c = max(float(np.asarray(res.sigma2)),
-                           float(np.finfo(np.float32).eps))
+                tf_c = {"b": np.asarray(tr.b), "t": np.asarray(tr.t)}
+            return (tf_c, None, s2_c)
+
+        res = _sliced_level(level_maxiters[i], dispatch_chunk,
+                            (dict(tf_init), v_init, sigma2_init),
+                            _run, _carry)
         if i + 1 < len(src_levels):
             tr = res.transformation
             if nonrigid:
@@ -431,28 +448,39 @@ def registration_bcpd_pyramid(
     sigma2_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
         # ``dispatch_chunk``: slice this level's VI iterations into several
-        # warm-started device programs of <= chunk iterations each (the
-        # carry is the same raw-frame tf/v/sigma2 state the pyramid already
-        # threads between levels). Bounds single-program device time — for
-        # preemptible TPU fleets and very large levels — at the cost of one
-        # host round trip per chunk.
-        budget = int(level_maxiters[i])
-        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
-        warm = {"tf_init_params": tf_init, "v_init": v_init,
-                "sigma2_init": sigma2_init}
-        while budget > 0:
+        # warm-started device programs (_sliced_level). The resume uses
+        # the raw FINAL VI iterate (return_last) — the best-visited result
+        # state would stall during the start-temperature phase, where it
+        # is still ~the initial state.
+        out = {}
+
+        def _run(mi, warm, s_i=s_i, t_i=t_i, out=out):
             res, sigma2_raw, last = _bcpd._registration_bcpd_impl(
-                s_i, t_i, w=w, maxiter=min(chunk, budget), tol=tol,
+                s_i, t_i, w=w, maxiter=mi, tol=tol,
                 callbacks=[], normalize=normalize,
                 callback_chunk=1, return_last=True, **warm, **kwargs)
-            budget -= chunk
-            if budget > 0:
-                if last is None:
-                    break  # path without last-state tracking: no slicing
-                # Resume from the raw FINAL VI iterate — the best-visited
-                # result state would stall during the start-temperature
-                # phase (it is still ~the initial state there).
-                warm = last
+            out["sigma2_raw"], out["last"] = sigma2_raw, last
+            return res
+
+        def _carry(res, out=out):
+            if out["last"] is None:
+                # Path without last-state tracking (multistart is already
+                # rejected above) — restart from the result state.
+                rt = res.rigid_trans
+                return {"tf_init_params": {
+                            "rot": np.asarray(rt.rot),
+                            "t": np.asarray(rt.t),
+                            "scale": float(np.asarray(rt.scale))},
+                        "v_init": np.asarray(res.v),
+                        "sigma2_init": out["sigma2_raw"]}
+            return out["last"]
+
+        res = _sliced_level(
+            level_maxiters[i], dispatch_chunk,
+            {"tf_init_params": tf_init, "v_init": v_init,
+             "sigma2_init": sigma2_init},
+            _run, _carry)
+        sigma2_raw = out["sigma2_raw"]
         if i + 1 < len(src_levels):
             rt = res.rigid_trans
             tf_init = {"rot": np.asarray(rt.rot),
@@ -585,23 +613,24 @@ def registration_filterreg_pyramid(
         # dispatch_chunk: warm-resumed <= chunk-iteration programs (exact —
         # FilterReg's result is its last EM iterate; the resumed sigma2
         # continues the annealing schedule).
-        budget = int(level_maxiters[i])
-        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
-        tf_c, s2_c = tf_init, sigma2
-        while budget > 0:
-            res = _frg.registration_filterreg(
+        def _run(mi, warm, s_i=s_i, t_i=t_i, last=last):
+            tf_c, s2_c = warm
+            return _frg.registration_filterreg(
                 s_i, t_i,
                 target_normals=target_normals if last else None,
                 sigma2=s2_c, w=w,
                 objective_type=objective_type if last else "pt2pt",
-                maxiter=min(chunk, budget), tol=tol, min_sigma2=min_sigma2,
+                maxiter=mi, tol=tol, min_sigma2=min_sigma2,
                 sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
                 callbacks=callbacks, tf_init_params=tf_c or {}, **kwargs)
-            budget -= chunk
-            if budget > 0:
-                tr = res.transformation
-                tf_c = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
-                s2_c = float(np.asarray(res.sigma2))
+
+        def _carry(res):
+            tr = res.transformation
+            return ({"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)},
+                    float(np.asarray(res.sigma2)))
+
+        res = _sliced_level(level_maxiters[i], dispatch_chunk,
+                            (tf_init, sigma2), _run, _carry)
         if not last:
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
@@ -661,20 +690,20 @@ def registration_gmmtree_pyramid(
     res = None
     tf_init: dict = {}
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        budget = int(level_maxiters[i])
-        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
-        tf_c = dict(tf_init)
-        while budget > 0:
-            # n_starts > 1 is rejected with dispatch_chunk above, so the
-            # multistart (coarsest level) case is always a single program.
-            res = _gt.registration_gmmtree(
-                s_i, t_i, maxiter=min(chunk, budget), tol=tol,
-                callbacks=callbacks, tf_init_params=dict(tf_c) or {},
+        # n_starts > 1 is rejected with dispatch_chunk above, so the
+        # multistart (coarsest level) case is always a single program.
+        def _run(mi, warm, s_i=s_i, t_i=t_i, i=i):
+            return _gt.registration_gmmtree(
+                s_i, t_i, maxiter=mi, tol=tol,
+                callbacks=callbacks, tf_init_params=dict(warm) or {},
                 n_starts=n_starts if i == 0 else 1, **kwargs)
-            budget -= chunk
-            if budget > 0:
-                inv = res.transformation.inverse()
-                tf_c = {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
+
+        def _carry(res):
+            inv = res.transformation.inverse()
+            return {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
+
+        res = _sliced_level(level_maxiters[i], dispatch_chunk,
+                            dict(tf_init), _run, _carry)
         if i + 1 < len(src_levels):
             inv = res.transformation.inverse()
             tf_init = {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
@@ -719,18 +748,18 @@ def registration_icp_pyramid(
     res = None
     tf_init: dict = {}
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        budget = int(level_maxiters[i])
-        chunk = budget if not dispatch_chunk else int(dispatch_chunk)
-        tf_c = dict(tf_init)
-        while budget > 0:
-            res = _icp.registration_icp(
-                s_i, t_i, maxiter=min(chunk, budget), tol=tol,
-                trim_fraction=trim_fraction, tf_init_params=dict(tf_c),
+        def _run(mi, warm, s_i=s_i, t_i=t_i):
+            return _icp.registration_icp(
+                s_i, t_i, maxiter=mi, tol=tol,
+                trim_fraction=trim_fraction, tf_init_params=dict(warm),
                 **kwargs)
-            budget -= chunk
-            if budget > 0:
-                tr = res.transformation
-                tf_c = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
+
+        def _carry(res):
+            tr = res.transformation
+            return {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
+
+        res = _sliced_level(level_maxiters[i], dispatch_chunk,
+                            dict(tf_init), _run, _carry)
         if i + 1 < len(src_levels):
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}

@@ -55,6 +55,12 @@ class RigidTracker:
             basin to ~3% of the cloud diagonal per frame. 0 disables.
         **kwargs: Forwarded to the underlying ``registration_*`` call
             (maxiter, tol, w, sigma2_decay, trim_fraction, ...).
+            Tracking-specific defaults: CPD runs ``update_scale=False``
+            (the pose composition assumes scale-free motion) and
+            FilterReg runs ``sigma2_decay=0.9`` (a fixed sigma2 never
+            converges tightly and the composed pose drifts); pass the
+            kwarg explicitly to override. ``n_starts`` applies to the
+            first solve only (it is incompatible with warm starts).
 
     Usage::
 
@@ -109,7 +115,12 @@ class RigidTracker:
 
             # Rigid tracking: scale is fixed at 1 unless the caller opts
             # in (the pose composition below assumes scale-free motion).
+            # n_starts (global search) applies to the FIRST solve only —
+            # it is mutually exclusive with the warm start every later
+            # frame carries.
             kw = {"update_scale": False, **self.kwargs}
+            if self._tf_init is not None:
+                kw.pop("n_starts", None)
             res = _cpd.registration_cpd(
                 source, target, "rigid",
                 tf_init_params=self._tf_init, sigma2_init=self._sigma2,
@@ -122,23 +133,35 @@ class RigidTracker:
         elif self.algorithm == "filterreg":
             from . import filterreg as _frg
 
+            # Tracking wants each solve to CONVERGE, so anneal by
+            # default (the library default sigma2_decay=1.0 exists for
+            # reference parity; a fixed sigma2 leaves correspondences
+            # blurry and drifts the composed pose).
+            kw = {"sigma2_decay": 0.9, **self.kwargs}
+            if self._tf_init is not None:
+                kw.pop("n_starts", None)
             res = _frg.registration_filterreg(
                 source, target, sigma2=self._sigma2,
-                tf_init_params=self._tf_init or {}, **self.kwargs)
+                tf_init_params=self._tf_init or {}, **kw)
             trr = res.transformation
             carry_tf = {"rot": np.asarray(trr.rot), "t": np.asarray(trr.t)}
             s2 = res.sigma2
-            # With a fixed (non-annealed, non-updated) sigma2 the carried
-            # value is just the initial estimate — still a valid warm
-            # start (skips the estimation pass).
-            carry_s2 = float(np.asarray(s2)) * self.sigma2_inflation \
-                if s2 is not None else None
+            # With a fixed (non-annealed, non-updated) sigma2 the result
+            # echoes the input; inflating THAT would compound every frame
+            # (2^k growth) — only inflate when the solver evolved it.
+            evolving = kw.get("update_sigma2", False) \
+                or kw.get("sigma2_decay", 1.0) < 1.0
+            carry_s2 = None
+            if s2 is not None:
+                carry_s2 = float(np.asarray(s2))
+                if evolving:
+                    carry_s2 *= self.sigma2_inflation
         else:
             from . import icp as _icp
 
             res = _icp.registration_icp(
                 source, target, tf_init_params=self._tf_init or {},
-                **self.kwargs)
+                **self.kwargs)  # ICP has no n_starts
             trr = res.transformation
             carry_tf = {"rot": np.asarray(trr.rot), "t": np.asarray(trr.t)}
             carry_s2 = None

@@ -167,6 +167,31 @@ print(float(np.asarray(res.sigma2)))
     assert outs[0] == outs[1]
 
 
+def _morton_numpy_reference(pts):
+    """Inline copy of ops/spatial.morton_order_np's NUMPY math (the public
+    function routes f32 input to the native extension, so the equivalence
+    test must build the reference permutation itself)."""
+    dim = pts.shape[1]
+    lo = pts.min(axis=0)
+    span = np.maximum(pts.max(axis=0) - lo, np.finfo(np.float32).tiny)
+    bits = 10 if dim >= 3 else 15
+    scale = float(2 ** bits - 1)
+    q = np.clip((pts - lo) / span * scale, 0.0, scale).astype(np.int64)
+
+    def spread(x, step):
+        out = np.zeros_like(x)
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (b * step)
+        return out
+
+    if dim == 2:
+        code = spread(q[:, 0], 2) | (spread(q[:, 1], 2) << 1)
+    else:
+        code = spread(q[:, 0], 3) | (spread(q[:, 1], 3) << 1) \
+            | (spread(q[:, 2], 3) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def test_native_morton_matches_numpy():
     nat = pytest.importorskip("probreg_tpu._io_native")
     if not hasattr(nat, "morton_order"):
@@ -177,10 +202,9 @@ def test_native_morton_matches_numpy():
     for n, d in ((20000, 3), (12000, 2)):
         pts = rng.random((n, d)).astype(np.float32)
         native = np.asarray(nat.morton_order(pts))
-        # The numpy fallback (bypass the native path by using f64 input,
-        # then quantize identically by casting back to f32 first).
-        code_order = spatial.morton_order_np(pts)  # routed native
-        np.testing.assert_array_equal(native, code_order)
+        np.testing.assert_array_equal(native, _morton_numpy_reference(pts))
+        # The public helper must route f32 input to the native path.
+        np.testing.assert_array_equal(native, spatial.morton_order_np(pts))
         # Z-order means consecutive points are near each other: mean NN
         # distance along the order must beat the unsorted order clearly.
         step_sorted = np.linalg.norm(np.diff(pts[native], axis=0), axis=1).mean()

@@ -459,3 +459,23 @@ def test_filterreg_pyramid_on_mesh(dense_pair):
     with pytest.raises(ValueError, match="dispatch_chunk"):
         pyramid.registration_filterreg_pyramid(
             source, target, mesh=sharded.make_mesh(), dispatch_chunk=5)
+
+
+def test_pyramid_level_maxiter_zero(dense_pair):
+    # A 0 entry in level_maxiters runs one maxiter=0 program (the
+    # warm-start state) instead of crashing on a skipped level.
+    source = dense_pair[0][:1500]
+    rot = np.asarray(so.euler2mat(*np.deg2rad([4.0, -2.0, 6.0])),
+                     np.float32)
+    target = source @ rot.T
+    res = pyramid.registration_icp_pyramid(
+        source, target, voxel_sizes=[0.2, 0.0], level_maxiters=[0, 40])
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot))
+    assert angle < 1e-3
+    res2 = pyramid.registration_filterreg_pyramid(
+        source, target, voxel_sizes=[0.2, 0.0], level_maxiters=[0, 40],
+        sigma2_decay=0.9, tol=0.0)
+    angle2 = float(so.rotation_angle(np.asarray(res2.transformation.rot),
+                                     rot))
+    assert angle2 < 5e-2

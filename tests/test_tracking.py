@@ -68,3 +68,33 @@ def test_tracker_reset_and_guards(rng):
         tracking.RigidTracker(algorithm="nope")
     with pytest.raises(ValueError):
         tracking.RigidTracker(mode="nope")
+
+
+def test_tracker_filterreg_default_kwargs_sigma2_bounded(rng):
+    # Without annealing, registration_filterreg echoes its input sigma2;
+    # the tracker must not compound the inflation (2^k growth diverged
+    # the pose before the fix).
+    frames, poses = _sequence(rng, n=800, n_frames=6)
+    trk = tracking.RigidTracker(algorithm="filterreg", maxiter=30,
+                                tol=1e-8)
+    for f in frames:
+        pose = trk.update(f)
+    assert trk._sigma2 is not None and trk._sigma2 < 10.0
+    r_true, t_true = poses[-1]
+    err = float(np.asarray(so.rotation_angle(
+        np.asarray(pose.rot), r_true.astype(np.float32))))
+    assert err < 5e-2, err
+
+
+def test_tracker_keyframe_n_starts(rng):
+    # The docstring recommends keyframe + n_starts; n_starts must apply
+    # to the first solve only (it is incompatible with warm starts).
+    frames, poses = _sequence(rng, n=600, n_frames=4)
+    trk = tracking.RigidTracker(mode="keyframe", maxiter=30, tol=1e-8,
+                                n_starts=4)
+    for f in frames:
+        pose = trk.update(f)
+    r_true, _ = poses[-1]
+    err = float(np.asarray(so.rotation_angle(
+        np.asarray(pose.rot), r_true.astype(np.float32))))
+    assert err < 5e-2, err
