@@ -613,6 +613,23 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                           want_last=False):
         m = int(self._source.shape[0])
         n = int(jnp.shape(target)[0])
+        # Hardware-safety guard (config.bcpd_guard_max_pairs): 1M-class
+        # unmeshed whole-VI programs faulted the v5e worker three times.
+        # Above the validated size, only short (<= bcpd_guard_chunk
+        # iterations) programs may dispatch — never fault the device.
+        guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0) or 0)
+        if (guard and m * n > guard
+                and int(maxiter) > int(_config.config.bcpd_guard_chunk)
+                and jax.default_backend() == "tpu"):
+            raise ValueError(
+                f"BCPD at M*N = {m}*{n} exceeds the single-chip-validated "
+                f"size (config.bcpd_guard_max_pairs = {guard}); a whole-VI "
+                "program this large has faulted TPU workers. Use "
+                "registration_bcpd_pyramid(mesh=<2-axis mesh>, rank=...) "
+                "or registration_bcpd_pyramid(dispatch_chunk="
+                f"{_config.config.bcpd_guard_chunk}) (bounded per-program "
+                "device time), or raise config.bcpd_guard_max_pairs to "
+                "override.")
         use_culled = (
             jax.default_backend() == "tpu"
             and _config.config.use_culled_estep
@@ -631,26 +648,36 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             perm_s = morton_order_np(src_np)
             self._source = jnp.asarray(src_np[perm_s])
             target = jnp.asarray(tgt_np[morton_order_np(tgt_np)])
-        init_params = None
-        if tf_init_params or v_init is not None or extra_init is not None:
-            p = dict(tf_init_params or {})
-            dim = int(self._source.shape[1])
-            v0 = None
-            if v_init is not None:
-                v0 = np.asarray(v_init, np.float64)
-                if perm_s is not None:
-                    v0 = v0[perm_s]
-                v0 = v0.T                                   # (D, M)
-            alpha0, sdiag0 = extra_init if extra_init is not None \
-                else (None, None)
+        # Always materialize the FULL 6-tuple of arrays: a None leaf (or
+        # init_params=None entirely) is a different pytree structure, so a
+        # cold first chunk and a warm resumed chunk would compile TWO
+        # whole-VI programs — halving the compile savings sliced dispatch
+        # exists for. Identity/uniform defaults are what _run_bcpd would
+        # synthesize anyway, and they are permutation-invariant (the
+        # Morton perm_s below only matters for caller-supplied fields).
+        p = dict(tf_init_params or {})
+        dim = int(self._source.shape[1])
+        m = int(self._source.shape[0])
+        if v_init is None:
+            v0 = np.zeros((dim, m), np.float64)
+        else:
+            v0 = np.asarray(v_init, np.float64)
             if perm_s is not None:
-                if alpha0 is not None:
-                    alpha0 = np.asarray(alpha0, np.float64)[perm_s]
-                if sdiag0 is not None:
-                    sdiag0 = np.asarray(sdiag0, np.float64)[perm_s]
-            init_params = (p.get("rot", np.eye(dim)),
-                           p.get("t", np.zeros(dim)),
-                           p.get("scale", 1.0), v0, alpha0, sdiag0)
+                v0 = v0[perm_s]
+            v0 = v0.T                                       # (D, M)
+        alpha0, sdiag0 = extra_init if extra_init is not None \
+            else (None, None)
+        if alpha0 is None:
+            alpha0 = np.full((m,), 1.0 / m, np.float64)
+        elif perm_s is not None:
+            alpha0 = np.asarray(alpha0, np.float64)[perm_s]
+        if sdiag0 is None:
+            sdiag0 = np.ones((m,), np.float64)
+        elif perm_s is not None:
+            sdiag0 = np.asarray(sdiag0, np.float64)[perm_s]
+        init_params = (np.asarray(p.get("rot", np.eye(dim)), np.float64),
+                       np.asarray(p.get("t", np.zeros(dim)), np.float64),
+                       np.float64(p.get("scale", 1.0)), v0, alpha0, sdiag0)
         try:
             self._initialize(target)
             sigma2 = (self.gamma * mu.squared_kernel_sum(self._source, target)

@@ -76,6 +76,26 @@ class Config:
     # 1<<28 pairs ~= 4 GB peak on a 16 GB v5e. Beyond this, registration
     # falls back to the streaming-E-step loop (peak O(M * estep_chunk)).
     transposed_em_max_pairs: int = 1 << 28
+    # Hardware-safety guard for huge unmeshed BCPD on TPU. Three 1M-class
+    # single-chip BCPD attempts faulted the v5e worker (a ~10-40 min heal
+    # plus hours of degraded compiles) — including one with the g-stash
+    # capped at 2 GB, so the fault is not just the stash allocation; the
+    # remaining suspects are the row-weighted kernel's 1M-scale grids and
+    # sustained multi-minute single-program load (a known tunnel fault
+    # mode). Above this M*N, a single-device whole-VI dispatch is only
+    # allowed to run ``bcpd_guard_chunk`` iterations per program:
+    # registration_bcpd_pyramid auto-applies ``dispatch_chunk`` and
+    # registration_bcpd raises a clear error naming the validated paths
+    # instead of faulting the device. 0 disables the guard. The default
+    # sits at the largest single-chip-validated size (~500k^2, the BCPD
+    # pyramid's finest level; BENCHMARKS.md).
+    bcpd_guard_max_pairs: int = 250_000_000_000
+    # Iterations per device program allowed above the guard threshold
+    # (and the dispatch_chunk the BCPD pyramid auto-applies there). At
+    # 500k-1M each culled-regime VI iteration costs ~2-4 s on v5e, so 4
+    # iterations keep a program ~10 s — far from the multi-minute
+    # sustained-load fault regime.
+    bcpd_guard_chunk: int = 4
 
 
 config = Config()

@@ -724,6 +724,10 @@ class CoherentPointDrift(abc.ABC):
         """
         assert self._tf_type is not None, "transformation type is None."
         target = _as_jnp(target)
+        if getattr(self, "_n_starts", 1) > 1 and self._callbacks:
+            # The callback loop has no multistart; silently dropping the
+            # orientation search would return a wrong-basin pose.
+            raise ValueError("n_starts > 1 requires the no-callback path")
         if not self._callbacks:
             fast = self._registration_fast(target, w, maxiter, tol)
             if fast is not None:
@@ -833,6 +837,14 @@ class RigidCPD(CoherentPointDrift):
         if m * n > _config.config.transposed_em_max_pairs:
             # _run_em_t materializes the (M, N) posterior; fall back to the
             # streaming-E-step loop (generic _run_em path).
+            if self._n_starts > 1:
+                # The streaming path has no multistart; silently dropping
+                # the orientation search would return a wrong-basin pose.
+                raise ValueError(
+                    "n_starts > 1 requires M*N <= "
+                    f"config.transposed_em_max_pairs ({m}*{n} given); "
+                    "use registration_cpd_pyramid(n_starts=...) — the "
+                    "orientation search runs on the small coarsest level")
             return None
         if self._n_starts > 1:
             if p:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, List, Optional, Sequence
 
+import jax
 import numpy as np
 
 from . import config as _config
@@ -152,22 +153,42 @@ def _default_level_maxiters(n_levels, maxiter, polish_divisor):
     return ([maxiter] + [max(maxiter // 2, 10)] * (n_levels - 2) + [polish])
 
 
-def _sliced_level(budget, dispatch_chunk, warm, run, carry):
+def _sliced_level(budget, dispatch_chunk, warm, run, carry, tol=0.0):
     """One pyramid level as warm-resumed <= chunk-iteration programs.
 
     ``run(maxiter, warm) -> res`` executes one program; ``carry(res)``
     builds the next program's warm state. Always calls ``run`` at least
     once (a 0 budget runs one maxiter=0 program — the warm-start state,
     matching the unsliced behavior).
+
+    Each resumed program re-enters its convergence loop with a fresh
+    q_prev/rmse_prev, so the in-program tol stop cannot fire across a
+    chunk boundary. With ``tol > 0`` this detects convergence AT the
+    boundaries instead: when a resumed chunk returns the same warm state
+    it started from (the in-program loop froze immediately), the level is
+    converged and the remaining chunks are skipped. ``tol == 0`` keeps
+    the exact fixed-budget semantics (no early stop).
     """
     budget = int(budget)
     chunk = budget if not dispatch_chunk else int(dispatch_chunk)
+    prev_state = None
     while True:
         res = run(max(min(chunk, budget), 0), warm)
         budget -= max(chunk, 1)
         if budget <= 0:
             return res
         warm = carry(res)
+        if tol > 0.0:
+            state = np.concatenate([
+                np.ravel(np.asarray(x, np.float64))
+                for x in jax.tree_util.tree_leaves(warm)]) \
+                if warm is not None else None
+            if (state is not None and prev_state is not None
+                    and state.shape == prev_state.shape
+                    and np.allclose(state, prev_state,
+                                    rtol=1.0e-7, atol=1.0e-12)):
+                return res
+            prev_state = state
 
 
 def registration_cpd_pyramid(
@@ -227,6 +248,12 @@ def registration_cpd_pyramid(
             slices each level's EM into warm-resumed device programs of at
             most that many iterations (exact resume — CPD's result is its
             last EM iterate); bounds single-program device time.
+            ``n_starts`` (rigid only) applies to the COARSEST level only —
+            that is where the orientation search belongs; finer levels
+            refine the carried pose (multistart is mutually exclusive with
+            the warm start every finer level receives). With ``mesh=`` the
+            coarsest level runs the single-device multistart (it is small
+            by construction); finer levels shard as usual.
 
     Returns:
         MstepResult from the finest (full-resolution) level.
@@ -238,6 +265,9 @@ def registration_cpd_pyramid(
         raise ValueError(
             "registration_cpd_pyramid supports 'rigid', 'affine' and "
             "low-rank 'nonrigid' (rank= required).")
+    n_starts = int(kwargs.pop("n_starts", 1))
+    if n_starts > 1 and tf_type_name != "rigid":
+        raise ValueError("n_starts > 1 supports the rigid pyramid only")
     if nonrigid and kwargs.get("rank") is None:
         raise ValueError(
             "nonrigid pyramid requires rank= (low-rank Nystrom): the "
@@ -269,18 +299,33 @@ def registration_cpd_pyramid(
     sigma2_init = None
     v_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        # Multistart (orientation search) belongs to the coarsest level
+        # only: finer levels carry a warm start, which is mutually
+        # exclusive with n_starts (cpd.py), and re-multistarting would
+        # discard the carry — the pyramid's whole point.
+        multistart = n_starts > 1 and i == 0
+
         # ``dispatch_chunk``: slice this level's EM into warm-resumed
         # programs of <= chunk iterations. CPD's result IS its last EM
         # iterate, so resuming from (transform, sigma2) — or the positional
         # displacement field for nonrigid — continues the trajectory
-        # exactly (cf. the BCPD pyramid's sliced dispatch).
-        def _run(mi, warm, s_i=s_i, t_i=t_i):
+        # exactly (cf. the BCPD pyramid's sliced dispatch). A multistart
+        # coarsest level always runs as ONE program (a resumed chunk would
+        # carry a warm start into the multistart).
+        def _run(mi, warm, s_i=s_i, t_i=t_i, multistart=multistart):
             tf_c, v_c, s2_c = warm
             if nonrigid:
                 return _cpd.registration_cpd(
                     s_i, t_i, "nonrigid", w=w, maxiter=mi, tol=tol,
                     callbacks=callbacks,
                     sigma2_init=s2_c, v_init=v_c, **kwargs)
+            if multistart:
+                # Single-device even under mesh=: the coarsest level is
+                # small by construction and the sharded runner has no
+                # multistart path.
+                return _cpd.registration_cpd(
+                    s_i, t_i, tf_type_name, w=w, maxiter=mi, tol=tol,
+                    callbacks=callbacks, n_starts=n_starts, **kwargs)
             if mesh is not None:
                 from .parallel import sharded as _sharded
 
@@ -306,9 +351,10 @@ def registration_cpd_pyramid(
                 tf_c = {"b": np.asarray(tr.b), "t": np.asarray(tr.t)}
             return (tf_c, None, s2_c)
 
-        res = _sliced_level(level_maxiters[i], dispatch_chunk,
+        res = _sliced_level(level_maxiters[i],
+                            None if multistart else dispatch_chunk,
                             (dict(tf_init), v_init, sigma2_init),
-                            _run, _carry)
+                            _run, _carry, tol=tol)
         if i + 1 < len(src_levels):
             tr = res.transformation
             if nonrigid:
@@ -400,7 +446,13 @@ def registration_bcpd_pyramid(
             slices each level's VI iterations into warm-started device
             programs of at most that many iterations — bounds
             single-program device time (preemptible fleets, very large
-            levels) for one extra host round trip per chunk.
+            levels) for one extra host round trip per chunk. ``n_starts``
+            applies to the COARSEST level only (orientation search; it is
+            mutually exclusive with the warm starts finer levels carry);
+            the multistart coarse level runs as one unsliced single-device
+            program and exposes no converged variance, so the SECOND level
+            re-estimates its start temperature (still cheap at pyramid
+            sizes) and the variance carry resumes from there.
 
     Returns:
         tf.CombinedTransformation for the full-resolution source.
@@ -427,10 +479,27 @@ def registration_bcpd_pyramid(
 
     normalize = bool(kwargs.pop("normalize", True))
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
-    if dispatch_chunk and int(kwargs.get("n_starts", 1)) > 1:
-        raise ValueError("dispatch_chunk is incompatible with n_starts > 1 "
-                         "(the multistart path exposes no final VI iterate "
-                         "to resume from)")
+    n_starts = int(kwargs.pop("n_starts", 1))
+    # Hardware-safety guard: above the single-chip-validated size an
+    # unmeshed whole-VI program has faulted v5e workers (see
+    # config.bcpd_guard_max_pairs). Auto-slice such levels into short
+    # warm-resumed programs instead of letting one multi-minute dispatch
+    # reach the device.
+    guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0) or 0)
+    if (guard and mesh is None and dispatch_chunk is None
+            and any(s.shape[0] * t.shape[0] > guard
+                    for s, t in zip(src_levels, tgt_levels))):
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            dispatch_chunk = int(_config.config.bcpd_guard_chunk)
+            from . import log as _log
+
+            _log.log.warning(
+                "registration_bcpd_pyramid: level size exceeds the "
+                "single-chip-validated BCPD size; auto-applying "
+                "dispatch_chunk=%d (config.bcpd_guard_max_pairs). "
+                "Prefer mesh= for large clouds.", dispatch_chunk)
     if mesh is not None:
         if dispatch_chunk:
             raise ValueError("dispatch_chunk is not supported with mesh= "
@@ -441,12 +510,19 @@ def registration_bcpd_pyramid(
                              "(registration_bcpd_2d is low-rank only)")
         return _bcpd_pyramid_2d(src_levels, tgt_levels, voxel_sizes,
                                 level_maxiters, mesh, w, tol, normalize,
-                                sigma2_inflation, kwargs)
+                                sigma2_inflation, n_starts, kwargs)
     res = None
     tf_init = None
     v_init = None
     sigma2_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
+        # Orientation search (n_starts) at the coarsest level only; finer
+        # levels refine the carried pose — n_starts is mutually exclusive
+        # with the warm starts they receive (bcpd.py). The multistart
+        # level always runs as ONE program (no sliced resume: the
+        # multistart path exposes no final VI iterate).
+        multistart = n_starts > 1 and i == 0
+
         # ``dispatch_chunk``: slice this level's VI iterations into several
         # warm-started device programs (_sliced_level). The resume uses
         # the raw FINAL VI iterate (return_last) — the best-visited result
@@ -454,11 +530,15 @@ def registration_bcpd_pyramid(
         # is still ~the initial state.
         out = {}
 
-        def _run(mi, warm, s_i=s_i, t_i=t_i, out=out):
+        def _run(mi, warm, s_i=s_i, t_i=t_i, out=out,
+                 multistart=multistart):
+            if multistart:
+                warm = {}
             res, sigma2_raw, last = _bcpd._registration_bcpd_impl(
                 s_i, t_i, w=w, maxiter=mi, tol=tol,
                 callbacks=[], normalize=normalize,
-                callback_chunk=1, return_last=True, **warm, **kwargs)
+                callback_chunk=1, return_last=True,
+                n_starts=n_starts if multistart else 1, **warm, **kwargs)
             out["sigma2_raw"], out["last"] = sigma2_raw, last
             return res
 
@@ -476,10 +556,10 @@ def registration_bcpd_pyramid(
             return out["last"]
 
         res = _sliced_level(
-            level_maxiters[i], dispatch_chunk,
+            level_maxiters[i], None if multistart else dispatch_chunk,
             {"tf_init_params": tf_init, "v_init": v_init,
              "sigma2_init": sigma2_init},
-            _run, _carry)
+            _run, _carry, tol=tol)
         sigma2_raw = out["sigma2_raw"]
         if i + 1 < len(src_levels):
             rt = res.rigid_trans
@@ -495,11 +575,15 @@ def registration_bcpd_pyramid(
 
 
 def _bcpd_pyramid_2d(src_levels, tgt_levels, voxel_sizes, level_maxiters,
-                     mesh, w, tol, normalize, sigma2_inflation, kwargs):
+                     mesh, w, tol, normalize, sigma2_inflation, n_starts,
+                     kwargs):
     """BCPD pyramid levels on the 2-D (m, n) mesh: every level runs through
     parallel.registration_bcpd_2d with the same raw-frame carries as the
     single-device schedule — the 1M-class path (single-chip dense levels
-    fault/oom; the 2-D mesh drops per-device memory Pm-fold)."""
+    fault/oom; the 2-D mesh drops per-device memory Pm-fold). A coarsest-
+    level multistart (n_starts > 1) runs single-device — the coarse level
+    is small by construction and the 2-D runner has no multistart path."""
+    from . import bcpd as _bcpd
     from .parallel import sharded2d as _s2d
 
     res = None
@@ -507,19 +591,26 @@ def _bcpd_pyramid_2d(src_levels, tgt_levels, voxel_sizes, level_maxiters,
     v_init = None
     sigma2_init = None
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
-        res, sigma2_raw = _s2d.registration_bcpd_2d(
-            s_i, t_i, w=w, maxiter=int(level_maxiters[i]), tol=tol,
-            normalize=normalize, mesh=mesh, tf_init_params=tf_init,
-            v_init=v_init, sigma2_init=sigma2_init, return_sigma2=True,
-            **kwargs)
+        if n_starts > 1 and i == 0:
+            res, sigma2_raw = _bcpd._registration_bcpd_impl(
+                s_i, t_i, w=w, maxiter=int(level_maxiters[i]), tol=tol,
+                callbacks=[], normalize=normalize, callback_chunk=1,
+                n_starts=n_starts, **kwargs)
+        else:
+            res, sigma2_raw = _s2d.registration_bcpd_2d(
+                s_i, t_i, w=w, maxiter=int(level_maxiters[i]), tol=tol,
+                normalize=normalize, mesh=mesh, tf_init_params=tf_init,
+                v_init=v_init, sigma2_init=sigma2_init, return_sigma2=True,
+                **kwargs)
         if i + 1 < len(src_levels):
             rt = res.rigid_trans
             tf_init = {"rot": np.asarray(rt.rot), "t": np.asarray(rt.t),
                        "scale": float(np.asarray(rt.scale))}
             v_init = _interp_displacement(
                 s_i, np.asarray(res.v), src_levels[i + 1], voxel_sizes[i])
-            sigma2_init = _carry_sigma2(
-                sigma2_raw, voxel_sizes[i], sigma2_inflation)
+            if sigma2_raw is not None:
+                sigma2_init = _carry_sigma2(
+                    sigma2_raw, voxel_sizes[i], sigma2_inflation)
     return res
 
 
@@ -564,12 +655,19 @@ def registration_filterreg_pyramid(
     the converged variance is meaningful and the carry works like CPD's;
     without either, each level estimates its own sigma2 and only the
     transform warm-starts.
+
+    ``n_starts`` applies to the COARSEST level only (the orientation
+    search; finer levels refine the carried pose — re-multistarting them
+    would discard the warm carry). With ``mesh=`` the coarsest level runs
+    the single-device multistart (small by construction); finer levels
+    shard as usual.
     """
     from . import filterreg as _frg
 
     if "tf_init_params" in kwargs or "sigma2" in kwargs:
         raise ValueError("tf_init_params/sigma2 are managed by the pyramid; "
                          "pass them to registration_filterreg instead.")
+    n_starts = int(kwargs.pop("n_starts", 1))
 
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)
@@ -591,7 +689,11 @@ def registration_filterreg_pyramid(
     sigma2_meaningful = update_sigma2 or sigma2_decay < 1.0
     for i, (s_i, t_i) in enumerate(zip(src_levels, tgt_levels)):
         last = i + 1 == len(src_levels)
-        if mesh is not None:
+        # Orientation search at the coarsest level only; finer levels
+        # refine the carried pose (re-multistarting every level would
+        # silently discard the warm carry — the pyramid's whole point).
+        multistart = n_starts > 1 and i == 0
+        if mesh is not None and not multistart:
             from .parallel import sharded as _sharded
 
             res = _sharded.registration_filterreg_sharded(
@@ -612,9 +714,15 @@ def registration_filterreg_pyramid(
             continue
         # dispatch_chunk: warm-resumed <= chunk-iteration programs (exact —
         # FilterReg's result is its last EM iterate; the resumed sigma2
-        # continues the annealing schedule).
-        def _run(mi, warm, s_i=s_i, t_i=t_i, last=last):
+        # continues the annealing schedule). A multistart coarsest level
+        # always runs as ONE single-device program (a resumed chunk would
+        # carry a warm start into the multistart; the sharded runner has
+        # no multistart path).
+        def _run(mi, warm, s_i=s_i, t_i=t_i, last=last,
+                 multistart=multistart):
             tf_c, s2_c = warm
+            if multistart:
+                tf_c, s2_c = None, None
             return _frg.registration_filterreg(
                 s_i, t_i,
                 target_normals=target_normals if last else None,
@@ -622,15 +730,17 @@ def registration_filterreg_pyramid(
                 objective_type=objective_type if last else "pt2pt",
                 maxiter=mi, tol=tol, min_sigma2=min_sigma2,
                 sigma2_decay=sigma2_decay, update_sigma2=update_sigma2,
-                callbacks=callbacks, tf_init_params=tf_c or {}, **kwargs)
+                callbacks=callbacks, tf_init_params=tf_c or {},
+                n_starts=n_starts if multistart else 1, **kwargs)
 
         def _carry(res):
             tr = res.transformation
             return ({"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)},
                     float(np.asarray(res.sigma2)))
 
-        res = _sliced_level(level_maxiters[i], dispatch_chunk,
-                            (tf_init, sigma2), _run, _carry)
+        res = _sliced_level(level_maxiters[i],
+                            None if multistart else dispatch_chunk,
+                            (tf_init, sigma2), _run, _carry, tol=tol)
         if not last:
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
@@ -703,7 +813,7 @@ def registration_gmmtree_pyramid(
             return {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
 
         res = _sliced_level(level_maxiters[i], dispatch_chunk,
-                            dict(tf_init), _run, _carry)
+                            dict(tf_init), _run, _carry, tol=tol)
         if i + 1 < len(src_levels):
             inv = res.transformation.inverse()
             tf_init = {"rot": np.asarray(inv.rot), "t": np.asarray(inv.t)}
@@ -759,7 +869,7 @@ def registration_icp_pyramid(
             return {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}
 
         res = _sliced_level(level_maxiters[i], dispatch_chunk,
-                            dict(tf_init), _run, _carry)
+                            dict(tf_init), _run, _carry, tol=tol)
         if i + 1 < len(src_levels):
             tr = res.transformation
             tf_init = {"rot": np.asarray(tr.rot), "t": np.asarray(tr.t)}

@@ -479,3 +479,143 @@ def test_pyramid_level_maxiter_zero(dense_pair):
     angle2 = float(so.rotation_angle(np.asarray(res2.transformation.rot),
                                      rot))
     assert angle2 < 5e-2
+
+
+def test_cpd_pyramid_n_starts_recovers_large_rotation(dense_pair):
+    """n_starts applies to the COARSEST level only: the orientation search
+    runs once on the small level, finer levels polish the carried pose.
+    A 150-deg rotation is unrecoverable from the identity start (the
+    n_starts=1 pyramid lands in the wrong basin) but the multistart
+    pyramid must land at ground truth — tight final accuracy proves the
+    fine level received the carry (10-25 polish iterations from identity
+    could not reach it)."""
+    source = dense_pair[0][:5000]
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    t_gt = np.array([0.03, -0.02, 0.04], np.float32)
+    target = source @ rot_gt.T + t_gt
+
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", n_starts=4, levels=2, coarse_points=1000,
+        tol=0.0)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot_gt))
+    assert angle < 1e-3
+    assert np.allclose(np.asarray(res.transformation.t), t_gt, atol=1e-3)
+
+    cold = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", levels=2, coarse_points=1000, tol=0.0)
+    angle_cold = float(so.rotation_angle(
+        np.asarray(cold.transformation.rot), rot_gt))
+    assert angle_cold > 0.5  # identity start cannot recover 150 deg
+
+
+def test_cpd_pyramid_n_starts_coarsest_level_only(dense_pair, monkeypatch):
+    """Contract: level 0 gets the multistart, every finer level gets the
+    warm carry instead (n_starts and tf_init_params are mutually
+    exclusive in registration_cpd)."""
+    from probreg_tpu import cpd as _cpd
+
+    calls = []
+    orig = _cpd.registration_cpd
+
+    def spy(src, tgt, *args, **kwargs):
+        calls.append({"n_starts": kwargs.get("n_starts", 1),
+                      "tf_init": kwargs.get("tf_init_params")})
+        return orig(src, tgt, *args, **kwargs)
+
+    monkeypatch.setattr(_cpd, "registration_cpd", spy)
+    source = dense_pair[0][:3000]
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    target = source @ rot_gt.T
+    pyramid.registration_cpd_pyramid(
+        source, target, "rigid", n_starts=4, levels=2, coarse_points=800,
+        tol=0.0)
+    assert len(calls) == 2
+    assert calls[0]["n_starts"] == 4 and not calls[0]["tf_init"]
+    assert calls[1]["n_starts"] == 1 and calls[1]["tf_init"]
+
+
+def test_cpd_pyramid_n_starts_with_dispatch_chunk(dense_pair):
+    """The multistart coarsest level runs as one program; dispatch_chunk
+    still slices the finer levels (previously this combination crashed
+    with 'mutually exclusive')."""
+    source = dense_pair[0][:3000]
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    target = source @ rot_gt.T
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", n_starts=4, levels=2, coarse_points=800,
+        tol=0.0, dispatch_chunk=7)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot_gt))
+    assert angle < 1e-3
+    with pytest.raises(ValueError, match="rigid"):
+        pyramid.registration_cpd_pyramid(
+            source, target, "affine", n_starts=4)
+
+
+def test_filterreg_pyramid_n_starts(dense_pair, monkeypatch):
+    """FilterReg pyramid multistart: coarsest level only (it previously
+    re-multistarted EVERY level, silently discarding the warm carry)."""
+    from probreg_tpu import filterreg as _frg
+
+    calls = []
+    orig = _frg.registration_filterreg
+
+    def spy(src, tgt, *args, **kwargs):
+        calls.append({"n_starts": kwargs.get("n_starts", 1),
+                      "tf_init": kwargs.get("tf_init_params")})
+        return orig(src, tgt, *args, **kwargs)
+
+    monkeypatch.setattr(_frg, "registration_filterreg", spy)
+    source = dense_pair[0][:4000]
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    target = source @ rot_gt.T
+    res = pyramid.registration_filterreg_pyramid(
+        source, target, n_starts=4, levels=2, coarse_points=1000,
+        maxiter=60, sigma2_decay=0.9, tol=0.0)
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot_gt))
+    assert angle < 2e-2
+    assert len(calls) == 2
+    assert calls[0]["n_starts"] == 4 and not calls[0]["tf_init"]
+    assert calls[1]["n_starts"] == 1 and calls[1]["tf_init"]
+
+
+def test_bcpd_pyramid_n_starts(rng):
+    """BCPD pyramid multistart (previously raised ValueError at the second
+    level): the coarse orientation search composes with the warm-started
+    finer levels."""
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    src = blobby_surface(1500, seed=7).astype(np.float32)
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    defo = (0.01 * np.sin(3.0 * src[:, :1])
+            * np.array([[1.0, 0.5, -0.3]])).astype(np.float32)
+    tgt = ((src + defo) @ rot_gt.T).astype(np.float32)
+
+    res = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=40, tol=0.0, lmd=10.0, rank=24, levels=2,
+        coarse_points=600, n_starts=4)
+    base = _nn_rmse(src, tgt)
+    rmse = _nn_rmse(np.asarray(res.transform(src)), tgt)
+    assert rmse < 0.7 * base
+    # The rigid component must be in the RIGHT basin. Without multistart
+    # the combined model leaves rot near identity and fakes the 150-deg
+    # rotation with the nonrigid field (measured angle error 2.7 rad);
+    # the orientation search recovers the true pose to ~0.45 rad (BCPD's
+    # v field legitimately absorbs the remaining residual).
+    rot_est = np.asarray(res.rigid_trans.rot)
+    angle = float(so.rotation_angle(rot_est, rot_gt))
+    assert angle < 0.7
+
+    cold = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=40, tol=0.0, lmd=10.0, rank=24, levels=2,
+        coarse_points=600)
+    angle_cold = float(so.rotation_angle(
+        np.asarray(cold.rigid_trans.rot), rot_gt))
+    assert angle_cold > 2.0  # wrong basin without the orientation search

@@ -141,3 +141,53 @@ def test_bcpd_lowrank_with_outliers(rng):
         [src + 0.01, rng.uniform(-1, 1, size=(10, 3)).astype(np.float32)])
     res = bcpd.registration_bcpd(src, tgt, w=0.1, maxiter=20, rank=20)
     assert np.isfinite(np.asarray(res.transform(src))).all()
+
+
+def test_bcpd_huge_n_guard_raises(rng, monkeypatch):
+    """Above config.bcpd_guard_max_pairs a long unmeshed whole-VI dispatch
+    must raise the safety error (1M-class BCPD faulted v5e workers) —
+    never reach the device."""
+    import jax
+
+    from probreg_tpu import config as cfg
+
+    src = tiny_cloud(rng, n=30)
+    monkeypatch.setattr(cfg.config, "bcpd_guard_max_pairs", 100)
+    monkeypatch.setattr(cfg.config, "use_culled_estep", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="bcpd_guard_max_pairs"):
+        bcpd.registration_bcpd(src, src, maxiter=20, rank=8)
+    # Short programs (maxiter <= bcpd_guard_chunk) stay allowed: they are
+    # what the pyramid's auto-applied dispatch_chunk emits.
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    res = bcpd.registration_bcpd(src, src, maxiter=20, rank=8)
+    assert np.isfinite(np.asarray(res.transform(src))).all()
+
+
+def test_bcpd_pyramid_guard_auto_chunks(rng, monkeypatch):
+    """The BCPD pyramid auto-applies dispatch_chunk above the guard
+    threshold instead of raising — a 1M request completes (slower)."""
+    import jax
+
+    from probreg_tpu import config as cfg, pyramid
+
+    calls = []
+    from probreg_tpu import bcpd as _bcpd
+
+    orig = _bcpd._registration_bcpd_impl
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("maxiter"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(_bcpd, "_registration_bcpd_impl", spy)
+    monkeypatch.setattr(cfg.config, "bcpd_guard_max_pairs", 1000)
+    monkeypatch.setattr(cfg.config, "use_culled_estep", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    src = tiny_cloud(rng, n=120)
+    tgt = src + 0.01
+    res = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=12, tol=0.0, rank=8, levels=2, coarse_points=20)
+    assert np.isfinite(np.asarray(res.transform(src))).all()
+    # Every dispatched program was capped at bcpd_guard_chunk iterations.
+    assert calls and all(mi <= cfg.config.bcpd_guard_chunk for mi in calls)
