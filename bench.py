@@ -15,8 +15,13 @@ report the per-registration time; the residual 33 ms RTT is amortized, the
 way any production TPU serving path would batch. The single-shot number is
 printed to stderr for transparency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the speedup factor (baseline_time / our_time, >1 = faster).
+Prints one JSON line per metric. The six perf-floor metrics from
+benchmarks/bench_full.py (stash dense/culled, XLA scan, bunny batch, SVR,
+pyramid-200k) are emitted first — each as {"metric", "value", "unit",
+"floor", "ok"} — so every round's driver artifact captures the full perf
+surface, not just the headline. The HEADLINE line ({"metric", "value",
+"unit", "vs_baseline"}) is printed LAST, so a last-line parse is unchanged.
+Pass --headline-only to skip the floor metrics.
 """
 
 import json
@@ -137,12 +142,55 @@ def main():
         times.append(time.perf_counter() - t0)
     t = float(np.median(times)) / BATCH
 
+    if "--headline-only" not in sys.argv and on_tpu:
+        # CPU fallback skips these: the floor workloads (131k^2 E-steps,
+        # 200k pyramid) are TPU-sized, and the floors are v5e-specific.
+        emit_floor_metrics(t, on_tpu)
+
     print(json.dumps({
         "metric": "cpd_rigid_bunny_registration_time",
         "value": t,
         "unit": "s",
         "vs_baseline": BASELINE_CPD_S / t,
     }))
+
+
+def emit_floor_metrics(bunny_batch_s, on_tpu):
+    """The six bench_full.py floor metrics as driver-visible JSON lines.
+
+    Reuses the headline batch time for cpd_bunny_batch_ms (same
+    measurement); runs the others through bench_full's own functions so
+    the floors stay single-sourced. A failing benchmark emits ok=false
+    (value null) instead of killing the headline line.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    import bench_full as bf
+
+    results = {"cpd_bunny_batch_ms": (bunny_batch_s * 1e3, "ms")}
+    for fn in (bf.bench_estep, bf.bench_svr, bf.bench_pyramid):
+        try:
+            fn(results)
+        except Exception as e:
+            print(f"ERROR in {fn.__name__}: {e!r}", file=sys.stderr)
+            for metric in bf.FLOORS:
+                if metric not in results and fn.__name__[6:] in metric:
+                    results[metric] = (None, None)
+    for metric, floor in bf.FLOORS.items():
+        value, unit = results.get(metric, (None, None))
+        if value is None:
+            ok = False if on_tpu else None
+        elif not on_tpu:
+            ok = None  # floors are v5e-specific
+        elif metric in bf.HIGHER_IS_BETTER:
+            ok = value >= floor
+        else:
+            ok = value <= floor
+        print(json.dumps({
+            "metric": metric,
+            "value": None if value is None else round(value, 4),
+            "unit": unit, "floor": floor, "ok": ok,
+        }))
 
 
 if __name__ == "__main__":
