@@ -16,7 +16,13 @@ import numpy as np
 from probreg_tpu.utils import io as pio
 from probreg_tpu.utils import se3_op as so
 
-DATA_DIR = "/root/reference/examples"
+# In-repo fixtures (data/, regenerable via data/make_fixtures.py); the
+# reference checkout is only a fallback for files the repo doesn't ship.
+_REPO_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+DATA_DIR = _REPO_DATA if os.path.exists(
+    os.path.join(_REPO_DATA, "bunny.pcd")) else os.path.join(
+        os.environ.get("PROBREG_REF_ROOT", "/root/reference"), "examples")
 
 
 def prepare_source_and_target_rigid_3d(

@@ -27,7 +27,20 @@ from . import config as _config
 from .models import transformation as tf
 from .utils import interop
 
-__all__ = ["RigidTracker"]
+__all__ = ["RigidTracker", "NonrigidTracker"]
+
+
+def _nn_rmse_sub(a: np.ndarray, b: np.ndarray, max_pts: int = 512) -> float:
+    """Subsampled nearest-neighbor RMSE (host-side, O(max_pts^2)).
+
+    The quality monitor for auto re-keying: cheap enough to run per frame
+    (strided subsample of both clouds), scale-consistent with the
+    registration residual it tracks.
+    """
+    sa = a[:: max(1, a.shape[0] // max_pts)]
+    sb = b[:: max(1, b.shape[0] // max_pts)]
+    d2 = ((sa[:, None, :] - sb[None, :, :]) ** 2).sum(-1)
+    return float(np.sqrt(d2.min(axis=1).mean()))
 
 
 class RigidTracker:
@@ -38,9 +51,17 @@ class RigidTracker:
         mode: 'frame_to_frame' registers consecutive frames and composes
             the increments into the world pose (drift accumulates slowly;
             each solve is a small-motion problem). 'keyframe' registers
-            the FIRST frame against every new frame directly (no drift,
-            but motion relative to the keyframe grows over time — combine
-            with ``n_starts``/re-keying for long sequences).
+            the current KEYFRAME (initially the first frame) against every
+            new frame directly — no drift while the keyframe holds, and
+            automatic re-keying (below) bounds the motion a single solve
+            must bridge on long sequences.
+        rekey_rmse: Keyframe mode only — re-key (promote the current frame
+            to keyframe, folding its pose into the world pose) when the
+            solve's subsampled NN-RMSE exceeds this threshold. 'auto'
+            (default) uses max(4x the first keyframe solve's RMSE, 2% of
+            the first frame's bbox diagonal); pass a float for an absolute
+            threshold or None to disable (pre-round-4 behavior).
+            ``n_rekeys`` counts re-keys.
         sigma2_inflation: The carried variance is multiplied by this
             before seeding the next solve — the new frame moved, so the
             converged variance of the last solve slightly understates the
@@ -74,6 +95,7 @@ class RigidTracker:
                  mode: str = "frame_to_frame",
                  sigma2_inflation: float = 2.0,
                  sigma2_floor_frac: float = 1.0e-3,
+                 rekey_rmse="auto",
                  **kwargs: Any):
         if algorithm not in ("cpd", "filterreg", "icp"):
             raise ValueError("algorithm must be 'cpd', 'filterreg' or "
@@ -85,12 +107,19 @@ class RigidTracker:
         self.mode = mode
         self.sigma2_inflation = float(sigma2_inflation)
         self.sigma2_floor_frac = float(sigma2_floor_frac)
+        self.rekey_rmse = rekey_rmse
         self.kwargs = dict(kwargs)
         self._prev: Optional[np.ndarray] = None    # registration source
         self._pose_rot: Optional[np.ndarray] = None
         self._pose_t: Optional[np.ndarray] = None
         self._tf_init: Optional[Dict] = None
         self._sigma2: Optional[float] = None
+        # Keyframe mode: world pose of the current keyframe + the re-key
+        # quality monitor's adaptive baseline.
+        self._key_rot: Optional[np.ndarray] = None
+        self._key_t: Optional[np.ndarray] = None
+        self._rekey_threshold: Optional[float] = None
+        self.n_rekeys = 0
         self.n_frames = 0
 
     @property
@@ -107,6 +136,10 @@ class RigidTracker:
         self._pose_t = None
         self._tf_init = None
         self._sigma2 = None
+        self._key_rot = None
+        self._key_t = None
+        self._rekey_threshold = None
+        self.n_rekeys = 0
         self.n_frames = 0
 
     def _register(self, source, target):
@@ -176,6 +209,8 @@ class RigidTracker:
             self._prev = pts
             self._pose_rot = np.eye(dim, dtype=np.float64)
             self._pose_t = np.zeros(dim, np.float64)
+            self._key_rot = np.eye(dim, dtype=np.float64)
+            self._key_t = np.zeros(dim, np.float64)
             self.n_frames = 1
             return self.pose
         if self._sigma2 is not None and self.sigma2_floor_frac > 0.0:
@@ -187,15 +222,141 @@ class RigidTracker:
         trr, carry_tf, carry_s2 = self._register(self._prev, pts)
         rot = np.asarray(trr.rot, np.float64)
         t = np.asarray(trr.t, np.float64)
+        rekeyed = False
         if self.mode == "frame_to_frame":
             # increment maps prev -> current; world pose composes on top.
             self._pose_rot = rot @ self._pose_rot
             self._pose_t = rot @ self._pose_t + t
             self._prev = pts
-        else:  # keyframe: the solve IS the world pose
-            self._pose_rot = rot
-            self._pose_t = t
-        self._tf_init = carry_tf
-        self._sigma2 = carry_s2
+        else:  # keyframe: solve maps keyframe -> frame; world composes
+            # on the keyframe's own world pose (identity until a re-key).
+            self._pose_rot = rot @ self._key_rot
+            self._pose_t = rot @ self._key_t + t
+            rekeyed = self._maybe_rekey(trr, pts)
+        if not rekeyed:
+            self._tf_init = carry_tf
+            self._sigma2 = carry_s2
         self.n_frames += 1
         return self.pose
+
+    def _maybe_rekey(self, trr, pts) -> bool:
+        """Auto re-key: when the keyframe solve's NN-RMSE degrades past
+        the threshold, promote the current frame to keyframe (folding its
+        pose into the world pose) so the next solves bridge small motion
+        again. The docstring's long-sequence story, now implemented.
+        Returns True if re-keyed (the caller then drops the warm carry —
+        relative motion restarts near identity, variance re-estimates)."""
+        if self.rekey_rmse is None:
+            return False
+        rmse = _nn_rmse_sub(np.asarray(trr.transform(self._prev)), pts)
+        if self._rekey_threshold is None:
+            if self.rekey_rmse == "auto":
+                diag = float(np.linalg.norm(
+                    self._prev.max(0) - self._prev.min(0)))
+                self._rekey_threshold = max(4.0 * rmse, 0.02 * diag)
+            else:
+                self._rekey_threshold = float(self.rekey_rmse)
+        if rmse <= self._rekey_threshold:
+            return False
+        self._prev = pts
+        self._key_rot = self._pose_rot.copy()
+        self._key_t = self._pose_t.copy()
+        self._tf_init = None
+        self._sigma2 = None
+        self.n_rekeys += 1
+        return True
+
+
+class NonrigidTracker:
+    """Tracks a DEFORMING cloud against a fixed template via warm BCPD.
+
+    Registers the template (first frame) onto every incoming frame with
+    :func:`probreg_tpu.bcpd.registration_bcpd`, warm-starting each solve
+    with the previous solve's FULL final VI iterate — rigid params, the
+    (M, D) displacement field, the converged variance, the mixing weights
+    alpha and diag(Sigma) (the ``return_last`` full-state carry; all
+    per-template-row quantities, so they stay valid while the template is
+    fixed). After the first frame the VI never revisits the dense
+    start-temperature regime: warm solves converge in a few iterations
+    where cold solves need the full annealing schedule.
+
+    The reference has no sequence API at all — its users re-run
+    ``registration_bcpd`` cold per pair (reference bcpd.py:159).
+
+    Template mode is the only mode: a frame-to-frame variant would change
+    the VI's source cloud every step, invalidating the per-source-row
+    state (alpha, diag(Sigma), v rows) the warm start carries.
+
+    Args:
+        sigma2_inflation: Multiplier on the carried variance (the new
+            frame moved/deformed; the last converged variance understates
+            the incoming residual). 1 disables.
+        sigma2_floor_frac: Per-frame floor on the carried variance as a
+            fraction of the dense start temperature (see RigidTracker).
+        **kwargs: Forwarded to registration_bcpd (maxiter, tol, lmd, k,
+            gamma, rank, w, ...). ``rank=`` is strongly recommended for
+            large templates (K x K Woodbury instead of the M x M solve).
+
+    Usage::
+
+        trk = NonrigidTracker(maxiter=30, tol=1e-4, lmd=10.0, rank=48)
+        for frame in frames:                     # (N_k, 3) arrays
+            transf = trk.update(frame)           # CombinedTransformation
+        # transf.transform(template) lands on the latest frame;
+        # transf.v is the per-template-point displacement field.
+    """
+
+    def __init__(self, sigma2_inflation: float = 2.0,
+                 sigma2_floor_frac: float = 1.0e-3,
+                 **kwargs: Any):
+        self.sigma2_inflation = float(sigma2_inflation)
+        self.sigma2_floor_frac = float(sigma2_floor_frac)
+        self.kwargs = dict(kwargs)
+        self.template: Optional[np.ndarray] = None
+        self.transformation = None   # latest CombinedTransformation
+        self._warm: Optional[Dict] = None
+        self.n_frames = 0
+
+    def reset(self) -> None:
+        self.template = None
+        self.transformation = None
+        self._warm = None
+        self.n_frames = 0
+
+    def update(self, frame):
+        """Ingest the next frame; returns template -> frame transform."""
+        from . import bcpd as _bcpd
+        from .models import transformation as _tf
+
+        pts = np.asarray(interop.as_points(frame,
+                                           dtype=_config.config.dtype))
+        if self.template is None:
+            self.template = pts
+            self.transformation = _tf.CombinedTransformation(
+                np.eye(pts.shape[1], dtype=np.float64),
+                np.zeros(pts.shape[1], np.float64), 1.0,
+                np.zeros_like(pts))
+            self.n_frames = 1
+            return self.transformation
+        warm = dict(self._warm or {})
+        if warm.get("sigma2_init") is not None \
+                and self.sigma2_floor_frac > 0.0:
+            from .utils import math_utils as mu
+
+            floor = self.sigma2_floor_frac \
+                * mu.squared_kernel_sum_np(self.template, pts)
+            warm["sigma2_init"] = max(
+                warm["sigma2_init"] * self.sigma2_inflation, floor)
+        res, _, last = _bcpd._registration_bcpd_impl(
+            self.template, pts, w=self.kwargs.get("w", 0.0),
+            maxiter=self.kwargs.get("maxiter", 50),
+            tol=self.kwargs.get("tol", 1.0e-3),
+            callbacks=[], normalize=self.kwargs.get("normalize", True),
+            callback_chunk=1, return_last=True,
+            **{**{k: v for k, v in self.kwargs.items()
+                  if k not in ("w", "maxiter", "tol", "normalize")},
+               **warm})
+        self.transformation = res
+        self._warm = last    # full raw-frame VI state, or None
+        self.n_frames += 1
+        return res

@@ -122,6 +122,57 @@ def read_pcd(path) -> np.ndarray:
     raise ValueError("unsupported PCD DATA kind: %s" % data_kind)
 
 
+def write_ply(path, points: np.ndarray, binary: bool = True) -> None:
+    """Write an x/y/z vertex cloud as PLY (float32; binary LE or ascii).
+
+    Counterpart of :func:`read_ply`, so the framework round-trips its own
+    fixtures without Open3D (the reference delegates all IO to Open3D,
+    reference probreg/transformation.py:23-26 and examples/utils.py).
+    """
+    pts = np.ascontiguousarray(np.asarray(points, dtype="<f4"))
+    fmt = "binary_little_endian" if binary else "ascii"
+    header = (
+        "ply\nformat %s 1.0\ncomment probreg_tpu fixture\n"
+        "element vertex %d\nproperty float32 x\nproperty float32 y\n"
+        "property float32 z\nend_header\n" % (fmt, pts.shape[0])
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(pts.tobytes())
+        else:
+            np.savetxt(f, pts, fmt="%.7g")
+
+
+def write_pcd(path, points: np.ndarray, binary: bool = False) -> None:
+    """Write an x/y/z cloud as PCD v0.7 (ascii by default)."""
+    pts = np.ascontiguousarray(np.asarray(points, dtype="<f4"))
+    n = pts.shape[0]
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+        "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        "WIDTH %d\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS %d\n"
+        "DATA %s\n" % (n, n, "binary" if binary else "ascii")
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(pts.tobytes())
+        else:
+            np.savetxt(f, pts, fmt="%.7g")
+
+
+def write_point_cloud(path, points: np.ndarray) -> None:
+    path = str(path)
+    if path.endswith(".ply"):
+        return write_ply(path, points)
+    if path.endswith(".pcd"):
+        return write_pcd(path, points)
+    if path.endswith(".txt"):
+        return np.savetxt(path, np.asarray(points), fmt="%.10g")
+    raise ValueError("unsupported point cloud format: %s" % path)
+
+
 def read_point_cloud(path) -> np.ndarray:
     path = str(path)
     if path.endswith(".ply"):

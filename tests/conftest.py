@@ -75,12 +75,15 @@ def _load_fixture_cloud():
     """Downsampled horse fixture (reference tests use data/horse.ply @ 0.01)."""
     from probreg_tpu.utils import io as pio
 
+    repo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "horse.ply")
     ref = os.path.join(
         os.environ.get("PROBREG_REF_ROOT", "/root/reference"),
         "data", "horse.ply")
-    if os.path.exists(ref):
-        pts = pio.read_ply(ref)
-        return pio.voxel_down_sample(pts, 0.01)
+    for p in (repo, ref):
+        if os.path.exists(p):
+            pts = pio.read_ply(p)
+            return pio.voxel_down_sample(pts, 0.01)
     # Fallback: synthetic blobby surface with similar extent/point count.
     g = np.random.default_rng(0)
     n = 900

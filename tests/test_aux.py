@@ -61,8 +61,8 @@ def test_native_io_matches_python():
         import pytest
 
         pytest.skip("native IO extension not built (run `make native`)")
-    ply = os.path.join(_fixtures.REF_ROOT, "data/horse.ply")
-    pcd = os.path.join(_fixtures.REF_ROOT, "examples/bunny.pcd")
+    ply = _fixtures.ref_path("data/horse.ply", skip=False)
+    pcd = _fixtures.ref_path("examples/bunny.pcd", skip=False)
     if os.path.exists(ply):
         a = nat.read_ply(ply)
         # Force the python path for comparison.
@@ -107,12 +107,12 @@ def test_read_batch_matches_single_and_fallback():
     from probreg_tpu.utils import io as pio
 
     paths = []
-    for p in (os.path.join(_fixtures.REF_ROOT, "data/horse.ply"),
-              os.path.join(_fixtures.REF_ROOT, "examples/bunny.pcd")):
+    for p in (_fixtures.ref_path("data/horse.ply", skip=False),
+              _fixtures.ref_path("examples/bunny.pcd", skip=False)):
         if os.path.exists(p):
             paths.append(p)
     if not paths:
-        pytest.skip("reference fixtures unavailable")
+        pytest.skip("horse/bunny fixtures unavailable")
     paths = paths * 3
     batch = pio.read_batch(paths, voxel_size=0.005, threads=4)
     assert len(batch) == len(paths)
@@ -210,3 +210,36 @@ def test_native_morton_matches_numpy():
         step_sorted = np.linalg.norm(np.diff(pts[native], axis=0), axis=1).mean()
         step_raw = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
         assert step_sorted < 0.35 * step_raw
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    """write_ply/write_pcd round-trip through both readers (the writers
+    exist so the repo can ship its own re-encoded fixtures; reference IO
+    is Open3D-only)."""
+    from probreg_tpu.utils import io as pio
+
+    pts = rng.random((57, 3)).astype(np.float32)
+    for name, binary in (("a.ply", True), ("b.ply", False)):
+        p = str(tmp_path / name)
+        pio.write_ply(p, pts, binary=binary)
+        np.testing.assert_allclose(pio.read_point_cloud(p), pts, atol=1e-6)
+    for name, binary in (("a.pcd", False), ("b.pcd", True)):
+        p = str(tmp_path / name)
+        pio.write_pcd(p, pts, binary=binary)
+        np.testing.assert_allclose(pio.read_point_cloud(p), pts, atol=1e-6)
+    p = str(tmp_path / "c.txt")
+    pio.write_point_cloud(p, pts)
+    np.testing.assert_allclose(pio.read_point_cloud(p), pts, atol=1e-6)
+
+
+def test_repo_fixtures_standalone():
+    """The shipped data/ fixtures load without the reference mount."""
+    from probreg_tpu.utils import io as pio
+
+    data = _fixtures.REPO_DATA
+    bunny = pio.read_pcd(os.path.join(data, "bunny.pcd"))
+    horse = pio.read_ply(os.path.join(data, "horse.ply"))
+    fish = np.loadtxt(os.path.join(data, "fish_source.txt"))
+    assert bunny.shape[1] == 3 and bunny.shape[0] > 300
+    assert horse.shape[1] == 3 and horse.shape[0] > 2000
+    assert fish.shape == (91, 2)
