@@ -235,8 +235,16 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
     y_hat_t = scale * rot @ (ys_t + v_new_t) + t[:, None]
     s2v = jnp.sum(px_t * y_hat_t)
     s3 = jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0))
-    sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
-        + scale_new ** 2 * sigma2_m
+    # Floor at f32 eps: s1 - 2 s2v + s3 is a catastrophic cancellation of
+    # O(N)-term f32 sums (each ~n_p * |x|^2) whose true value is the tiny
+    # converged residual — at >= ~500k points the rounding noise exceeds
+    # it and the raw update can go NEGATIVE, after which exp(-d2/2sigma2)
+    # and sigma2**2 poison the whole VI state with NaNs (observed at 700k
+    # round 4). The reference runs float64 where the cancellation is
+    # harmless (reference bcpd.py:152-155); CPD's EM floors identically.
+    sigma2_new = jnp.maximum(
+        (s1 - 2.0 * s2v + s3) / (n_p * dim) + scale_new ** 2 * sigma2_m,
+        _EPS)
     return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
             sigma2_new)
 
@@ -476,8 +484,10 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
     # The raw final iterate (NOT the best-of selection below): a sliced-
     # dispatch restart must continue the VI trajectory from here — during
     # the start-temperature phase the best-visited state is still ~the
-    # initial one, so restarting from it would never progress.
-    last = (rot, t, scale, v_hat_t, sigma2, sigma_diag, alpha)
+    # initial one, so restarting from it would never progress. Its own
+    # NN-RMSE rides along so the sliced driver can apply the SAME
+    # |rmse - rmse_prev| < tol trajectory stop across chunk boundaries.
+    last = (rot, t, scale, v_hat_t, sigma2, sigma_diag, alpha, rmse_last)
     rot = jnp.where(use_last, rot, b_rot)
     t = jnp.where(use_last, t, b_t)
     scale = jnp.where(use_last, scale, b_scale)
@@ -680,9 +690,13 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                        np.float64(p.get("scale", 1.0)), v0, alpha0, sdiag0)
         try:
             self._initialize(target)
+            # Same eps clamp as the in-loop sigma2 floor: a sliced-dispatch
+            # resume re-feeds the previous chunk's sigma2, which may have
+            # collapsed to ~0 after convergence.
             sigma2 = (self.gamma * mu.squared_kernel_sum(self._source, target)
-                      if sigma2_init is None else sigma2_init)
-            transf, _, _, sigma2_out, _, last = _run_bcpd(
+                      if sigma2_init is None else max(float(sigma2_init),
+                                                      _EPS))
+            transf, _, _, sigma2_out, rmse, last = _run_bcpd(
                 self._source, target, self.gmat,
                 jnp.asarray(self.lmd, self._source.dtype),
                 jnp.asarray(self.k, self._source.dtype),
@@ -691,6 +705,10 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                 block=int(_config.config.estep_chunk),
                 use_culled=bool(use_culled), init_params=init_params)
             self._final_sigma2 = sigma2_out
+            # The returned (best-visited) state's NN-RMSE, in THIS frame:
+            # sliced dispatch compares it across chunks to keep the global
+            # best (the unchunked program tracks it across all iterations).
+            self._best_rmse = rmse
         finally:
             self._source = orig_source
             if perm_s is not None:
@@ -708,8 +726,11 @@ class CombinedBCPD(BayesianCoherentPointDrift):
         # Only materialized on request: the unsort scatters are eager
         # dispatches and the buffers pin O(M) HBM per instance otherwise.
         self._last_state = None
+        self._last_rmse = None
         if want_last:
-            rot_l, t_l, scale_l, v_l_t, s2_l, sdiag_l, alpha_l = last
+            (rot_l, t_l, scale_l, v_l_t, s2_l, sdiag_l, alpha_l,
+             rmse_l) = last
+            self._last_rmse = rmse_l
             v_l = v_l_t.T
             if perm_s is not None:
                 v_l = jnp.zeros_like(v_l).at[perm_s].set(v_l)
@@ -841,6 +862,19 @@ def registration_bcpd(
     return transf
 
 
+def _rmse_info(bc):
+    """{'best': best-visited NN-RMSE, 'last': final iterate's NN-RMSE} as
+    host floats (None entries when the executed path does not track them).
+    Normalized-frame, but chunks of one sliced level share the
+    normalization, so cross-chunk comparisons are sound: 'best' drives the
+    global best-across-chunks result selection, 'last' the cross-boundary
+    |rmse - rmse_prev| < tol trajectory stop."""
+    b = getattr(bc, "_best_rmse", None)
+    l = getattr(bc, "_last_rmse", None)
+    return {"best": None if b is None else float(np.asarray(b)),
+            "last": None if l is None else float(np.asarray(l))}
+
+
 def _last_state_kwargs(bc, centroid, scale):
     """Raw-frame warm-start kwargs from the runner's final VI iterate
     (None when the executed path does not track it, e.g. callback loops).
@@ -894,7 +928,7 @@ def _registration_bcpd_impl(
         results = _registration_bcpd_multistart_batch(
             [src], [tgt], w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, **kwargs)
-        return (results[0], None, None) if return_last \
+        return (results[0], None, None, None) if return_last \
             else (results[0], None)
     if not normalize:
         bc = CombinedBCPD(src, **kwargs)
@@ -909,7 +943,9 @@ def _registration_bcpd_impl(
         s2f = getattr(bc, "_final_sigma2", None)
         if not return_last:
             return res, s2f
-        return res, s2f, _last_state_kwargs(bc, np.zeros(src.shape[1]), 1.0)
+        return (res, s2f,
+                _last_state_kwargs(bc, np.zeros(src.shape[1]), 1.0),
+                _rmse_info(bc))
 
     centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
     skc = mu.squared_kernel_sum_np(src, tgt)
@@ -951,7 +987,8 @@ def _registration_bcpd_impl(
     out = tf.CombinedTransformation(rt.rot, t_raw, rt.scale, v_raw)
     if not return_last:
         return out, sigma2_raw
-    return out, sigma2_raw, _last_state_kwargs(bc, centroid, scale)
+    return (out, sigma2_raw, _last_state_kwargs(bc, centroid, scale),
+            _rmse_info(bc))
 
 
 def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,

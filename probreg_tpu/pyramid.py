@@ -153,7 +153,8 @@ def _default_level_maxiters(n_levels, maxiter, polish_divisor):
     return ([maxiter] + [max(maxiter // 2, 10)] * (n_levels - 2) + [polish])
 
 
-def _sliced_level(budget, dispatch_chunk, warm, run, carry, tol=0.0):
+def _sliced_level(budget, dispatch_chunk, warm, run, carry, tol=0.0,
+                  stop=None):
     """One pyramid level as warm-resumed <= chunk-iteration programs.
 
     ``run(maxiter, warm) -> res`` executes one program; ``carry(res)``
@@ -164,10 +165,11 @@ def _sliced_level(budget, dispatch_chunk, warm, run, carry, tol=0.0):
     Each resumed program re-enters its convergence loop with a fresh
     q_prev/rmse_prev, so the in-program tol stop cannot fire across a
     chunk boundary. With ``tol > 0`` this detects convergence AT the
-    boundaries instead: when a resumed chunk returns the same warm state
-    it started from (the in-program loop froze immediately), the level is
-    converged and the remaining chunks are skipped. ``tol == 0`` keeps
-    the exact fixed-budget semantics (no early stop).
+    boundaries instead: via the ``stop()`` callback when given (e.g. the
+    BCPD pyramid's no-improvement monitor), else when a resumed chunk
+    returns the same warm state it started from (the in-program loop
+    froze immediately). ``tol == 0`` keeps the exact fixed-budget
+    semantics (no early stop).
     """
     budget = int(budget)
     chunk = budget if not dispatch_chunk else int(dispatch_chunk)
@@ -177,8 +179,10 @@ def _sliced_level(budget, dispatch_chunk, warm, run, carry, tol=0.0):
         budget -= max(chunk, 1)
         if budget <= 0:
             return res
+        if tol > 0.0 and stop is not None and stop():
+            return res
         warm = carry(res)
-        if tol > 0.0:
+        if tol > 0.0 and stop is None:
             state = np.concatenate([
                 np.ravel(np.asarray(x, np.float64))
                 for x in jax.tree_util.tree_leaves(warm)]) \
@@ -527,19 +531,32 @@ def registration_bcpd_pyramid(
         # warm-started device programs (_sliced_level). The resume uses
         # the raw FINAL VI iterate (return_last) — the best-visited result
         # state would stall during the start-temperature phase, where it
-        # is still ~the initial state.
+        # is still ~the initial state. The level RESULT is the best state
+        # across ALL chunks (tracked by the NN-RMSE each program already
+        # scores): the unchunked program keeps its global best across all
+        # iterations, and the post-convergence VI trajectory is chaotic in
+        # f32, so the LAST chunk's in-program best can be far worse than
+        # an earlier chunk's.
         out = {}
 
         def _run(mi, warm, s_i=s_i, t_i=t_i, out=out,
                  multistart=multistart):
             if multistart:
                 warm = {}
-            res, sigma2_raw, last = _bcpd._registration_bcpd_impl(
+            res, sigma2_raw, last, rinfo = _bcpd._registration_bcpd_impl(
                 s_i, t_i, w=w, maxiter=mi, tol=tol,
                 callbacks=[], normalize=normalize,
                 callback_chunk=1, return_last=True,
                 n_starts=n_starts if multistart else 1, **warm, **kwargs)
             out["sigma2_raw"], out["last"] = sigma2_raw, last
+            rinfo = rinfo or {}
+            rmse = rinfo.get("best")
+            if rmse is not None and (out.get("best_rmse") is None
+                                     or rmse < out["best_rmse"]):
+                out["best_rmse"] = rmse
+                out["best"] = (res, sigma2_raw)
+            out["prev_last_rmse"] = out.get("last_rmse")
+            out["last_rmse"] = rinfo.get("last")
             return res
 
         def _carry(res, out=out):
@@ -555,12 +572,25 @@ def registration_bcpd_pyramid(
                         "sigma2_init": out["sigma2_raw"]}
             return out["last"]
 
+        def _stop(out=out, tol=tol):
+            # tol > 0 boundary stop: the SAME |rmse - rmse_prev| < tol
+            # trajectory criterion the in-program loop uses, applied to
+            # consecutive chunks' final iterates — a resumed program
+            # resets its own rmse_prev, so without this a converged level
+            # keeps dispatching forced >=2-iteration chunks that only walk
+            # the chaotic post-convergence trajectory.
+            a, b = out.get("last_rmse"), out.get("prev_last_rmse")
+            return a is not None and b is not None and abs(a - b) < tol
+
         res = _sliced_level(
             level_maxiters[i], None if multistart else dispatch_chunk,
             {"tf_init_params": tf_init, "v_init": v_init,
              "sigma2_init": sigma2_init},
-            _run, _carry, tol=tol)
-        sigma2_raw = out["sigma2_raw"]
+            _run, _carry, tol=tol, stop=_stop)
+        if out.get("best") is not None:
+            res, sigma2_raw = out["best"]
+        else:
+            sigma2_raw = out["sigma2_raw"]
         if i + 1 < len(src_levels):
             rt = res.rigid_trans
             tf_init = {"rot": np.asarray(rt.rot),

@@ -347,7 +347,7 @@ class NonrigidTracker:
                 * mu.squared_kernel_sum_np(self.template, pts)
             warm["sigma2_init"] = max(
                 warm["sigma2_init"] * self.sigma2_inflation, floor)
-        res, _, last = _bcpd._registration_bcpd_impl(
+        res, _, last, _ = _bcpd._registration_bcpd_impl(
             self.template, pts, w=self.kwargs.get("w", 0.0),
             maxiter=self.kwargs.get("maxiter", 50),
             tol=self.kwargs.get("tol", 1.0e-3),

@@ -619,3 +619,63 @@ def test_bcpd_pyramid_n_starts(rng):
     angle_cold = float(so.rotation_angle(
         np.asarray(cold.rigid_trans.rot), rot_gt))
     assert angle_cold > 2.0  # wrong basin without the orientation search
+
+
+def test_cpd_pyramid_n_starts_with_mesh(dense_pair):
+    """mesh= + n_starts: the coarsest level runs the single-device
+    multistart (the sharded runner has no multistart path), finer levels
+    shard with the carried pose."""
+    from probreg_tpu import parallel
+
+    source = dense_pair[0][:4000]
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    target = source @ rot_gt.T
+    res = pyramid.registration_cpd_pyramid(
+        source, target, "rigid", n_starts=4, levels=2, coarse_points=800,
+        tol=0.0, mesh=parallel.make_mesh())
+    angle = float(so.rotation_angle(np.asarray(res.transformation.rot),
+                                    rot_gt))
+    assert angle < 1e-3
+
+
+def test_bcpd_pyramid_chunked_tol_stops_and_keeps_best(rng, monkeypatch):
+    """With tol > 0 and dispatch_chunk, a converged level stops at a chunk
+    boundary (no-improvement monitor) instead of dispatching every
+    remaining chunk, and the level result is the best state across ALL
+    chunks — the forced >=2-iteration resumes walk the chaotic
+    post-convergence VI trajectory, so the last chunk's state can be
+    worse than an earlier chunk's (observed at 200k on v5e: identity-level
+    rmse without this)."""
+    from probreg_tpu import bcpd as _bcpd
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    calls = []
+    orig = _bcpd._registration_bcpd_impl
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("maxiter"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(_bcpd, "_registration_bcpd_impl", spy)
+
+    src = blobby_surface(2000, seed=13).astype(np.float32)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([6.0, -3.0, 4.0])), np.float32)
+    tgt = (src @ rot.T).astype(np.float32)
+
+    res = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=40, tol=1e-3, lmd=10.0, rank=24, levels=2,
+        coarse_points=700, dispatch_chunk=4)
+    n_chunked_calls = len(calls)
+    base = _nn_rmse(src, tgt)
+    rmse = _nn_rmse(np.asarray(res.transform(src)), tgt)
+    full = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=40, tol=1e-3, lmd=10.0, rank=24, levels=2,
+        coarse_points=700)
+    rmse_full = _nn_rmse(np.asarray(full.transform(src)), tgt)
+    assert rmse < 0.6 * base
+    assert rmse < 1.3 * rmse_full + 1e-4, (rmse, rmse_full)
+    # Early stop fired: strictly fewer programs than the full budget
+    # (40/4 + polish(>=10 -> 13)/4 ~ 14 programs without the stop).
+    full_programs = -(-40 // 4) + -(-max(40 // 3, 10) // 4)
+    assert n_chunked_calls < full_programs, (n_chunked_calls, full_programs)
