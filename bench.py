@@ -168,7 +168,8 @@ def emit_floor_metrics(bunny_batch_s, on_tpu):
     import bench_full as bf
 
     results = {"cpd_bunny_batch_ms": (bunny_batch_s * 1e3, "ms")}
-    for fn in (bf.bench_estep, bf.bench_svr, bf.bench_pyramid):
+    for fn in (bf.bench_estep, bf.bench_svr, bf.bench_pyramid,
+               bf.bench_bcpd_chunked):
         try:
             fn(results)
         except Exception as e:

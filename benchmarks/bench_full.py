@@ -31,6 +31,7 @@ FLOORS = {
     "cpd_bunny_batch_ms": 2.0,             # 0.76-0.9 measured (per reg)
     "svr_single_shot_ms": 80.0,            # ~27-40 measured
     "pyramid_200k_s": 3.5,                 # 1.43 measured
+    "bcpd_chunked_pyramid_warm_s": 10.0,   # 4.6-5.4 measured (round 4)
 }
 HIGHER_IS_BETTER = {"estep_stash_dense_gpairs", "estep_stash_culled_gpairs",
                     "estep_xla_gpairs"}
@@ -144,6 +145,36 @@ def bench_svr(results):
     results["svr_single_shot_ms"] = (float(np.median(ts)) * 1e3, "ms")
 
 
+def bench_bcpd_chunked(results):
+    """The guard path: sliced-dispatch BCPD pyramid (dispatch_chunk) —
+    what registration_bcpd_pyramid auto-applies above
+    config.bcpd_guard_max_pairs. Warm (programs live); regressions here
+    mean the resume plumbing (full-VI-state carry, best-across-chunks)
+    fell off its compiled path."""
+    import time
+
+    import numpy as np
+
+    from probreg_tpu import pyramid, se3_op as so
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    src = blobby_surface(30_000, seed=2).astype(np.float32)
+    rot = np.asarray(so.euler2mat(*np.deg2rad([8.0, -4.0, 6.0])),
+                     np.float32)
+    defo = (0.02 * np.sin(3.0 * src[:, :1])
+            * np.array([[1.0, 0.5, -0.3]])).astype(np.float32)
+    tgt = ((src + defo) @ rot.T).astype(np.float32)
+    kw = dict(maxiter=30, tol=0.0, lmd=10.0, rank=32, levels=2,
+              coarse_points=2000, dispatch_chunk=4)
+    pyramid.registration_bcpd_pyramid(src, tgt, **kw)  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pyramid.registration_bcpd_pyramid(src, tgt, **kw)
+        ts.append(time.perf_counter() - t0)
+    results["bcpd_chunked_pyramid_warm_s"] = (float(np.median(ts)), "s")
+
+
 def bench_pyramid(results):
     from probreg_tpu import pyramid, se3_op as so, transformation as tf
 
@@ -179,7 +210,8 @@ def main():
 
     results = {}
     failed = []
-    for fn in (bench_estep, bench_bunny_batch, bench_svr, bench_pyramid):
+    for fn in (bench_estep, bench_bunny_batch, bench_svr, bench_pyramid,
+               bench_bcpd_chunked):
         try:
             fn(results)
         except Exception as e:  # keep the rest of the suite running, but a
