@@ -15,9 +15,10 @@ report the per-registration time; the residual 33 ms RTT is amortized, the
 way any production TPU serving path would batch. The single-shot number is
 printed to stderr for transparency.
 
-Prints one JSON line per metric. The six perf-floor metrics from
-benchmarks/bench_full.py (stash dense/culled, XLA scan, bunny batch, SVR,
-pyramid-200k) are emitted first — each as {"metric", "value", "unit",
+Prints one JSON line per metric. The perf-floor metrics from
+benchmarks/bench_full.py (stash dense/culled, XLA scan, CPD/FilterReg/
+GMMTree bunny batches, SVR, pyramid-200k, guarded chunked BCPD) are
+emitted first — each as {"metric", "value", "unit",
 "floor", "ok"} — so every round's driver artifact captures the full perf
 surface, not just the headline. The HEADLINE line ({"metric", "value",
 "unit", "vs_baseline"}) is printed LAST, so a last-line parse is unchanged.
@@ -169,7 +170,8 @@ def emit_floor_metrics(bunny_batch_s, on_tpu):
 
     results = {"cpd_bunny_batch_ms": (bunny_batch_s * 1e3, "ms")}
     for fn in (bf.bench_estep, bf.bench_svr, bf.bench_pyramid,
-               bf.bench_bcpd_chunked):
+               bf.bench_bcpd_chunked, bf.bench_filterreg_batch,
+               bf.bench_gmmtree_batch):
         try:
             fn(results)
         except Exception as e:

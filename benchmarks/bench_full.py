@@ -32,6 +32,8 @@ FLOORS = {
     "svr_single_shot_ms": 80.0,            # ~27-40 measured
     "pyramid_200k_s": 3.5,                 # 1.43 measured
     "bcpd_chunked_pyramid_warm_s": 10.0,   # 4.6-5.4 measured (round 4)
+    "filterreg_bunny_batch_ms": 2.0,       # 0.80 measured (ref: 5.1 ms)
+    "gmmtree_bunny_batch_ms": 60.0,        # 31.6 measured (ref: 105.4 ms)
 }
 HIGHER_IS_BETTER = {"estep_stash_dense_gpairs", "estep_stash_culled_gpairs",
                     "estep_xla_gpairs"}
@@ -120,6 +122,68 @@ def bench_bunny_batch(results):
 
     t = _timeit(lambda: run(src_d, tgt_d)) / batch
     results["cpd_bunny_batch_ms"] = (t * 1e3, "ms")
+
+
+def bench_filterreg_batch(results):
+    """FilterReg on the reference's bunny headline config (its README row:
+    5.1 ms single-thread CPU), amortized like the CPD headline — a scan of
+    whole-EM fused-kernel registrations in one dispatch (TPU) or the
+    public batch entry (CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as headline
+
+    src, tgt = headline.prepare_clouds()
+    if jax.default_backend() != "tpu":
+        from probreg_tpu import filterreg
+
+        b = 8
+        out = filterreg.registration_filterreg_batch(
+            [src] * b, [tgt] * b, maxiter=100, tol=0.001)
+        t = _timeit(lambda: filterreg.registration_filterreg_batch(
+            [src] * b, [tgt] * b, maxiter=100,
+            tol=0.001)[-1].transformation.rot) / b
+        results["filterreg_bunny_batch_ms"] = (t * 1e3, "ms")
+        return
+    from probreg_tpu.ops import em_pallas
+
+    src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
+    b = 50
+
+    @jax.jit
+    def run(src, tgt):
+        def body(carry, _):
+            rot, tv, sigma2, q = em_pallas.run_em_filterreg_fused(
+                src, tgt, w=0.0, maxiter=100, tol=0.001)
+            return carry + q * 1e-30, rot
+        acc, rots = jax.lax.scan(body, jnp.asarray(0.0, src.dtype),
+                                 None, length=b)
+        return acc, rots[-1]
+
+    t = _timeit(lambda: run(src_d, tgt_d)) / b
+    results["filterreg_bunny_batch_ms"] = (t * 1e3, "ms")
+
+
+def bench_gmmtree_batch(results):
+    """GMMTree on the reference's bunny headline config (README row:
+    105.4 ms), per-pair through the public vmapped batch entry point."""
+    import jax
+
+    import bench as headline
+
+    from probreg_tpu import gmmtree
+
+    src, tgt = headline.prepare_clouds()
+    b = 32 if jax.default_backend() == "tpu" else 4
+
+    def run():
+        out = gmmtree.registration_gmmtree_batch(
+            [src] * b, [tgt] * b, maxiter=20, tol=1e-4)
+        return out[-1].transformation.rot
+
+    t = _timeit(run) / b
+    results["gmmtree_bunny_batch_ms"] = (t * 1e3, "ms")
 
 
 def bench_svr(results):
@@ -211,7 +275,8 @@ def main():
     results = {}
     failed = []
     for fn in (bench_estep, bench_bunny_batch, bench_svr, bench_pyramid,
-               bench_bcpd_chunked):
+               bench_bcpd_chunked, bench_filterreg_batch,
+               bench_gmmtree_batch):
         try:
             fn(results)
         except Exception as e:  # keep the rest of the suite running, but a
