@@ -725,20 +725,31 @@ class CombinedBCPD(BayesianCoherentPointDrift):
         # sliced-dispatch caller can resume the VI trajectory mid-flight.
         # Only materialized on request: the unsort scatters are eager
         # dispatches and the buffers pin O(M) HBM per instance otherwise.
-        self._last_state = None
-        self._last_rmse = None
+        # PACKED into one flat device array: the consumers
+        # (_last_state_kwargs, _rmse_info) need every field on the host,
+        # and each separate np.asarray fetch costs a full tunnel RTT on
+        # remote-TPU harnesses — 8 fetches made warm frame-to-frame
+        # tracking SLOWER than cold solves (measured round 4). One
+        # concatenate dispatch + one fetch instead.
+        self._last_flat = None
+        self._last_mdim = None
+        self._last_host = None   # invalidate the cached fetch
         if want_last:
             (rot_l, t_l, scale_l, v_l_t, s2_l, sdiag_l, alpha_l,
              rmse_l) = last
-            self._last_rmse = rmse_l
             v_l = v_l_t.T
             if perm_s is not None:
                 v_l = jnp.zeros_like(v_l).at[perm_s].set(v_l)
                 sdiag_l = jnp.zeros_like(sdiag_l).at[perm_s].set(sdiag_l)
                 alpha_l = jnp.zeros_like(alpha_l).at[perm_s].set(alpha_l)
-            self._last_state = (
-                tf.CombinedTransformation(rot_l, t_l, scale_l, v_l), s2_l,
-                alpha_l, sdiag_l)
+            ml, dl = v_l.shape
+            self._last_flat = jnp.concatenate([
+                jnp.ravel(rot_l), jnp.ravel(t_l),
+                jnp.reshape(scale_l, (1,)), jnp.ravel(v_l),
+                jnp.reshape(s2_l, (1,)), jnp.ravel(alpha_l),
+                jnp.ravel(sdiag_l), jnp.reshape(rmse_l, (1,)),
+                jnp.reshape(rmse, (1,))])
+            self._last_mdim = (ml, dl)
         return transf
 
     def _registration_loop(self, target, w, maxiter, tol, callback_chunk=1):
@@ -862,6 +873,20 @@ def registration_bcpd(
     return transf
 
 
+def _fetch_last_host(bc):
+    """The packed final-VI-state vector as host float64 (cached: one
+    device->host transfer per registration, shared by _last_state_kwargs
+    and _rmse_info). None when the executed path did not track it."""
+    flat = getattr(bc, "_last_flat", None)
+    if flat is None:
+        return None
+    host = getattr(bc, "_last_host", None)
+    if host is None:
+        host = np.asarray(flat, np.float64)
+        bc._last_host = host
+    return host
+
+
 def _rmse_info(bc):
     """{'best': best-visited NN-RMSE, 'last': final iterate's NN-RMSE} as
     host floats (None entries when the executed path does not track them).
@@ -869,33 +894,44 @@ def _rmse_info(bc):
     normalization, so cross-chunk comparisons are sound: 'best' drives the
     global best-across-chunks result selection, 'last' the cross-boundary
     |rmse - rmse_prev| < tol trajectory stop."""
-    b = getattr(bc, "_best_rmse", None)
-    l = getattr(bc, "_last_rmse", None)
-    return {"best": None if b is None else float(np.asarray(b)),
-            "last": None if l is None else float(np.asarray(l))}
+    host = _fetch_last_host(bc)
+    if host is None:
+        return {"best": None, "last": None}
+    return {"last": float(host[-2]), "best": float(host[-1])}
 
 
 def _last_state_kwargs(bc, centroid, scale):
     """Raw-frame warm-start kwargs from the runner's final VI iterate
     (None when the executed path does not track it, e.g. callback loops).
-    Frame math mirrors the denormalization in _registration_bcpd_impl."""
-    last = getattr(bc, "_last_state", None)
-    if last is None:
+    Frame math mirrors the denormalization in _registration_bcpd_impl.
+    Reads the PACKED state (one host transfer, see _registration_jit)."""
+    host = _fetch_last_host(bc)
+    if host is None:
         return None
-    lt, ls2, lalpha, lsdiag = last
-    lrt = lt.rigid_trans
+    m, dim = bc._last_mdim
+    d2 = dim * dim
+    rot = host[:d2].reshape(dim, dim)
+    t = host[d2:d2 + dim]
+    sc = host[d2 + dim]
+    off = d2 + dim + 1
+    v = host[off:off + m * dim].reshape(m, dim)
+    off += m * dim
+    s2 = host[off]
+    off += 1
+    alpha = host[off:off + m]
+    sdiag = host[off + m:off + 2 * m]
     return {
         "tf_init_params": {
-            "rot": np.asarray(lrt.rot),
-            "t": scale * np.asarray(lrt.t) + centroid,
-            "scale": float(np.asarray(lrt.scale)),
+            "rot": rot,
+            "t": scale * t + centroid,
+            "scale": float(sc),
         },
-        "v_init": scale * np.asarray(lt.v) - centroid,
-        "sigma2_init": float(np.asarray(ls2)) * scale ** 2,
+        "v_init": scale * v - centroid,
+        "sigma2_init": float(s2) * scale ** 2,
         # Opaque VI-state carries (valid only when re-fed with the SAME
         # source/target pair): mixing weights + diag(Sigma) in raw units.
-        "_alpha_init": np.asarray(lalpha),
-        "_sdiag_init": np.asarray(lsdiag) * scale ** 2,
+        "_alpha_init": alpha,
+        "_sdiag_init": sdiag * scale ** 2,
     }
 
 
