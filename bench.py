@@ -157,7 +157,7 @@ def main():
 
 
 def emit_floor_metrics(bunny_batch_s, on_tpu):
-    """The six bench_full.py floor metrics as driver-visible JSON lines.
+    """Every bench_full.py floor metric as a driver-visible JSON line.
 
     Reuses the headline batch time for cpd_bunny_batch_ms (same
     measurement); runs the others through bench_full's own functions so
@@ -175,10 +175,9 @@ def emit_floor_metrics(bunny_batch_s, on_tpu):
         try:
             fn(results)
         except Exception as e:
+            # The loop below emits value=null / ok=false for any FLOORS
+            # metric the crashed benchmark failed to fill in.
             print(f"ERROR in {fn.__name__}: {e!r}", file=sys.stderr)
-            for metric in bf.FLOORS:
-                if metric not in results and fn.__name__[6:] in metric:
-                    results[metric] = (None, None)
     for metric, floor in bf.FLOORS.items():
         value, unit = results.get(metric, (None, None))
         if value is None:

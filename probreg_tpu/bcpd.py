@@ -961,6 +961,23 @@ def _registration_bcpd_impl(
         if warm:
             raise ValueError("n_starts > 1 is incompatible with warm "
                              "starts (the orientation grid replaces them)")
+        # Hardware-safety guard: the multistart dispatch is n_starts
+        # whole-VI loops vmapped into ONE program — strictly heavier than
+        # the single-start program the _registration_jit guard bounds, and
+        # it cannot be sliced. Refuse above the validated size.
+        guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0)
+                    or 0)
+        if (guard and src.shape[0] * tgt.shape[0] > guard
+                and jax.default_backend() == "tpu"):
+            raise ValueError(
+                f"BCPD multistart at M*N = {src.shape[0]}*{tgt.shape[0]} "
+                "exceeds the single-chip-validated size "
+                f"(config.bcpd_guard_max_pairs = {guard}); whole-VI "
+                "programs this large have faulted TPU workers, and the "
+                "orientation grid multiplies the load n_starts-fold. Use "
+                "registration_bcpd_pyramid(n_starts=...) — the search "
+                "runs on the small coarsest level — or raise "
+                "config.bcpd_guard_max_pairs to override.")
         results = _registration_bcpd_multistart_batch(
             [src], [tgt], w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, **kwargs)

@@ -272,6 +272,10 @@ def registration_cpd_pyramid(
     n_starts = int(kwargs.pop("n_starts", 1))
     if n_starts > 1 and tf_type_name != "rigid":
         raise ValueError("n_starts > 1 supports the rigid pyramid only")
+    if n_starts > 1 and callbacks:
+        raise ValueError("n_starts > 1 and callbacks are incompatible "
+                         "(the multistart coarsest level runs the "
+                         "no-callback vmapped path)")
     if nonrigid and kwargs.get("rank") is None:
         raise ValueError(
             "nonrigid pyramid requires rank= (low-rank Nystrom): the "
@@ -490,20 +494,33 @@ def registration_bcpd_pyramid(
     # warm-resumed programs instead of letting one multi-minute dispatch
     # reach the device.
     guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0) or 0)
-    if (guard and mesh is None and dispatch_chunk is None
+    if (guard and mesh is None
             and any(s.shape[0] * t.shape[0] > guard
                     for s, t in zip(src_levels, tgt_levels))):
         import jax as _jax
 
         if _jax.default_backend() == "tpu":
-            dispatch_chunk = int(_config.config.bcpd_guard_chunk)
-            from . import log as _log
+            if dispatch_chunk is None:
+                dispatch_chunk = int(_config.config.bcpd_guard_chunk)
+                from . import log as _log
 
-            _log.log.warning(
-                "registration_bcpd_pyramid: level size exceeds the "
-                "single-chip-validated BCPD size; auto-applying "
-                "dispatch_chunk=%d (config.bcpd_guard_max_pairs). "
-                "Prefer mesh= for large clouds.", dispatch_chunk)
+                _log.log.warning(
+                    "registration_bcpd_pyramid: level size exceeds the "
+                    "single-chip-validated BCPD size; auto-applying "
+                    "dispatch_chunk=%d (config.bcpd_guard_max_pairs). "
+                    "Prefer mesh= for large clouds.", dispatch_chunk)
+            elif int(dispatch_chunk) > int(_config.config.bcpd_guard_chunk):
+                # Fail BEFORE any level runs — the per-dispatch guard in
+                # _registration_jit would otherwise reject the same chunk
+                # mid-run, discarding the completed coarse levels.
+                raise ValueError(
+                    f"dispatch_chunk={int(dispatch_chunk)} exceeds "
+                    f"config.bcpd_guard_chunk="
+                    f"{int(_config.config.bcpd_guard_chunk)} and a level "
+                    "exceeds config.bcpd_guard_max_pairs (device programs "
+                    "this long at this size have faulted TPU workers); "
+                    "lower dispatch_chunk, pass mesh=, or raise the "
+                    "config limits to override.")
     if mesh is not None:
         if dispatch_chunk:
             raise ValueError("dispatch_chunk is not supported with mesh= "
@@ -698,6 +715,10 @@ def registration_filterreg_pyramid(
         raise ValueError("tf_init_params/sigma2 are managed by the pyramid; "
                          "pass them to registration_filterreg instead.")
     n_starts = int(kwargs.pop("n_starts", 1))
+    if n_starts > 1 and callbacks:
+        raise ValueError("n_starts > 1 and callbacks are incompatible "
+                         "(the multistart coarsest level runs the "
+                         "no-callback rigid dense path)")
 
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)

@@ -339,14 +339,17 @@ class NonrigidTracker:
             self.n_frames = 1
             return self.transformation
         warm = dict(self._warm or {})
-        if warm.get("sigma2_init") is not None \
-                and self.sigma2_floor_frac > 0.0:
-            from .utils import math_utils as mu
+        if warm.get("sigma2_init") is not None:
+            # Inflation and floor are independent knobs (as in
+            # RigidTracker): inflation always applies; the floor only
+            # when enabled.
+            s2 = warm["sigma2_init"] * self.sigma2_inflation
+            if self.sigma2_floor_frac > 0.0:
+                from .utils import math_utils as mu
 
-            floor = self.sigma2_floor_frac \
-                * mu.squared_kernel_sum_np(self.template, pts)
-            warm["sigma2_init"] = max(
-                warm["sigma2_init"] * self.sigma2_inflation, floor)
+                s2 = max(s2, self.sigma2_floor_frac
+                         * mu.squared_kernel_sum_np(self.template, pts))
+            warm["sigma2_init"] = s2
         res, _, last, _ = _bcpd._registration_bcpd_impl(
             self.template, pts, w=self.kwargs.get("w", 0.0),
             maxiter=self.kwargs.get("maxiter", 50),

@@ -191,3 +191,80 @@ def test_bcpd_pyramid_guard_auto_chunks(rng, monkeypatch):
     assert np.isfinite(np.asarray(res.transform(src))).all()
     # Every dispatched program was capped at bcpd_guard_chunk iterations.
     assert calls and all(mi <= cfg.config.bcpd_guard_chunk for mi in calls)
+
+
+def test_bcpd_multistart_guard(rng, monkeypatch):
+    """The hardware guard also covers the n_starts > 1 dispatch (an
+    n_starts-fold HEAVIER unmeshed whole-VI program; review finding)."""
+    import jax
+
+    from probreg_tpu import config as cfg
+
+    src = tiny_cloud(rng, n=30)
+    monkeypatch.setattr(cfg.config, "bcpd_guard_max_pairs", 100)
+    monkeypatch.setattr(cfg.config, "use_culled_estep", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="multistart"):
+        bcpd.registration_bcpd(src, src, maxiter=20, rank=8, n_starts=4)
+
+
+def test_bcpd_pyramid_guard_rejects_oversize_chunk(rng, monkeypatch):
+    """A user dispatch_chunk above bcpd_guard_chunk fails BEFORE any level
+    runs (the mid-run _registration_jit guard would otherwise discard the
+    completed coarse levels; review finding)."""
+    import jax
+
+    from probreg_tpu import config as cfg, pyramid
+
+    monkeypatch.setattr(cfg.config, "bcpd_guard_max_pairs", 1000)
+    monkeypatch.setattr(cfg.config, "use_culled_estep", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    src = tiny_cloud(rng, n=120)
+    with pytest.raises(ValueError, match="bcpd_guard_chunk"):
+        pyramid.registration_bcpd_pyramid(
+            src, src + 0.01, maxiter=12, rank=8, levels=2,
+            coarse_points=20, dispatch_chunk=8)
+
+
+def test_pyramid_multistart_rejects_callbacks(rng):
+    """n_starts + callbacks fails at the pyramid entry with a clear
+    message, not deep inside the level-0 registration (review finding)."""
+    from probreg_tpu import pyramid
+
+    src = tiny_cloud(rng, n=60)
+    with pytest.raises(ValueError, match="callbacks"):
+        pyramid.registration_cpd_pyramid(
+            src, src + 0.01, "rigid", n_starts=4, callbacks=[print])
+    with pytest.raises(ValueError, match="callbacks"):
+        pyramid.registration_filterreg_pyramid(
+            src, src + 0.01, n_starts=4, callbacks=[print])
+
+
+def test_nonrigid_tracker_inflation_without_floor(rng):
+    """sigma2_floor_frac=0 disables only the floor; the documented
+    sigma2_inflation still applies (review finding)."""
+    from probreg_tpu import tracking
+
+    trk = tracking.NonrigidTracker(maxiter=4, tol=0.0, rank=8,
+                                   sigma2_inflation=3.0,
+                                   sigma2_floor_frac=0.0)
+    src = tiny_cloud(rng, n=40)
+    trk.update(src)
+    trk.update(src + 0.01)
+    s2_carry = trk._warm["sigma2_init"]
+    captured = {}
+
+    from probreg_tpu import bcpd as _bcpd
+
+    real = _bcpd._registration_bcpd_impl
+
+    def spy(*a, **k):
+        captured["sigma2_init"] = k.get("sigma2_init")
+        return real(*a, **k)
+
+    _bcpd._registration_bcpd_impl = spy
+    try:
+        trk.update(src + 0.02)
+    finally:
+        _bcpd._registration_bcpd_impl = real
+    assert captured["sigma2_init"] == pytest.approx(3.0 * s2_carry)
