@@ -1,4 +1,4 @@
-.PHONY: native test test-tpu bench bench-full clean
+.PHONY: native test test-tpu bench bench-full fixtures clean
 
 native:
 	python setup.py build_ext --inplace
@@ -16,6 +16,9 @@ bench:
 
 bench-full:
 	python benchmarks/bench_full.py
+
+fixtures:
+	python data/make_fixtures.py
 
 clean:
 	rm -rf build probreg_tpu/*.so

@@ -155,9 +155,17 @@ print(float(np.asarray(res.sigma2)))
 """
     cache = str(tmp_path / "xla_cache")
     outs = []
+    # Force the subprocess onto CPU at the ENV level too: under the
+    # real-TPU suite (PROBREG_TPU_TEST_BACKEND=axon) the inherited
+    # JAX_PLATFORMS=axon makes the child fight the parent for the one
+    # chip and fail backend init.
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "JAX_PLATFORM_NAME": "cpu"}
+    env.pop("PROBREG_TPU_TEST_BACKEND", None)
     for _ in range(2):
         p = subprocess.run([sys.executable, "-c", prog % cache],
                            capture_output=True, text=True, timeout=300,
+                           env=env,
                            cwd=os.path.dirname(os.path.dirname(
                                os.path.abspath(__file__))))
         assert p.returncode == 0, p.stderr[-2000:]
