@@ -695,3 +695,29 @@ def test_bcpd_pyramid_chunked_tol_stops_and_keeps_best(rng, monkeypatch):
                                                  full_programs)
     else:
         assert n_chunked_calls <= full_programs
+
+
+def test_bcpd_pyramid_n_starts_with_2d_mesh(rng):
+    """mesh= + n_starts for BCPD: the coarsest level runs the
+    single-device multistart, finer levels ride the 2-axis mesh with the
+    carried pose/field."""
+    import jax
+
+    from probreg_tpu.parallel import sharded2d
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU runs force 8 virtual)")
+    src = blobby_surface(1500, seed=7).astype(np.float32)
+    rot_gt = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)),
+                        np.float32)
+    tgt = (src @ rot_gt.T).astype(np.float32)
+    res = pyramid.registration_bcpd_pyramid(
+        src, tgt, maxiter=40, tol=0.0, lmd=10.0, rank=24, levels=2,
+        coarse_points=600, n_starts=4, mesh=sharded2d.make_mesh_2d(2, 4))
+    angle = float(so.rotation_angle(np.asarray(res.rigid_trans.rot),
+                                    rot_gt))
+    rmse = _nn_rmse(np.asarray(res.transform(src)), tgt)
+    base = _nn_rmse(src, tgt)
+    assert rmse < 0.7 * base
+    assert angle < 0.7  # right basin (see test_bcpd_pyramid_n_starts)
