@@ -418,15 +418,18 @@ def registration_cpd_2d(
     else:
         u_sh = jax.device_put(u, NamedSharding(mesh, P(None, None)))
 
-    init = None
-    if tf_init_params:
-        p = tf_init_params
-        key = "rot" if tf_type_name == "rigid" else "b"
-        init = np.concatenate([
-            np.asarray(p.get(key, np.eye(dim)), np.float32).ravel(),
-            np.asarray(p.get("t", np.zeros(dim)), np.float32),
-            np.atleast_1d(np.float32(p.get("scale", 1.0)))])
-    s2i = None if sigma2_init is None else np.float32(sigma2_init)
+    # Always materialize the packed init and the sigma2 sentinel as host
+    # arrays: _run_em_2d is jitted with them as traced args, so a None
+    # leaf (cold call) vs an array (warm call) would compile the whole-EM
+    # program TWICE per shape (cf. the identical rule for the BCPD resume
+    # in bcpd._registration_jit).
+    p = tf_init_params or {}
+    key = "rot" if tf_type_name == "rigid" else "b"
+    init = np.concatenate([
+        np.asarray(p.get(key, np.eye(dim)), np.float32).ravel(),
+        np.asarray(p.get("t", np.zeros(dim)), np.float32),
+        np.atleast_1d(np.float32(p.get("scale", 1.0)))])
+    s2i = np.float32(-1.0 if sigma2_init is None else sigma2_init)
     lin, t, scale, sigma2, q = _run_em_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
         jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
@@ -491,17 +494,39 @@ def _run_filterreg_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
         # ---- sigma2_0 (same init as registration_filterreg's fast path)
         if auto_sigma2 and pt2pl:
             # Target point-spacing: each n-shard queries the FULL target
-            # (one all_gather; replicated over the m-axis).
+            # (one all_gather; replicated over the m-axis). The NN scan
+            # STREAMS over target blocks — materializing the full
+            # (N/Pn, N) distance matrix would break the module's
+            # O(M/Pm * N/Pn) per-device memory contract at exactly the
+            # scale this mesh exists for.
             xs_full = jax.lax.all_gather(xs_loc, N_AXIS, axis=1, tiled=True)
             msk_full = jax.lax.all_gather(xm, N_AXIS, axis=1, tiled=True)
-            x2f = jnp.sum(xs_full * xs_full, axis=0, keepdims=True)
-            d2 = jnp.maximum(
-                x2.T + x2f - 2.0 * jax.lax.dot_general(
-                    xs_loc, xs_full, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST), 0.0)
-            invalid = (xm.T <= 0.0) | (msk_full <= 0.0) | (d2 <= 1e-12)
-            nn2 = jnp.min(jnp.where(invalid, jnp.inf, d2), axis=1)
+            nf = xs_full.shape[1]
+            blk = min(4096, nf)
+            pad = (-nf) % blk
+            xs_p = jnp.pad(xs_full, ((0, 0), (0, pad)))
+            mk_p = jnp.pad(msk_full, ((0, 0), (0, pad)))
+            nb = (nf + pad) // blk
+            xs_b = xs_p.reshape(dim, nb, blk).transpose(1, 0, 2)
+            mk_b = mk_p.reshape(1, nb, blk).transpose(1, 0, 2)
+
+            def _nn_blk(carry, b):
+                xb, mb = b
+                x2b = jnp.sum(xb * xb, axis=0, keepdims=True)
+                d2 = jnp.maximum(
+                    x2.T + x2b - 2.0 * jax.lax.dot_general(
+                        xs_loc, xb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST), 0.0)
+                invalid = (xm.T <= 0.0) | (mb <= 0.0) | (d2 <= 1e-12)
+                return jnp.minimum(
+                    carry,
+                    jnp.min(jnp.where(invalid, jnp.inf, d2), axis=1)), None
+
+            # Carry derives from x2 so it carries the same
+            # varying-mesh-axes annotation as the body output.
+            nn2, _ = jax.lax.scan(
+                _nn_blk, jnp.full_like(x2[0], jnp.inf), (xs_b, mk_b))
             nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
             cnt = jax.lax.psum(jnp.sum(xm), N_AXIS)
             sigma2_0 = jax.lax.psum(jnp.sum(nn2), N_AXIS) \
@@ -600,7 +625,12 @@ def _run_filterreg_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, nrm_t_sh,
 
 
 def _kabsch_2d(model_t, target_t, w):
-    """filterreg._kabsch_t with every source-row reduction psum_m'd.
+    """KEEP IN SYNC with filterreg._kabsch_t — this is that solver with
+    jax.lax.psum(..., M_AXIS) wrapped around each source-row reduction
+    (3-D SVD path only; the 2-D closed-form branch of the single-device
+    twin is not ported — the 2-D mesh entry points are 3-D clouds).
+
+    filterreg._kabsch_t with every source-row reduction psum_m'd.
     Inputs are m-sharded (D, Ml) columns; the returned (rot, t) is the
     replicated solve of the psum'd centroids/covariance."""
     dim = model_t.shape[0]
@@ -626,7 +656,10 @@ def _kabsch_2d(model_t, target_t, w):
 
 
 def _pt2pl_2d(model_t, target_t, normal_t, w):
-    """filterreg._pt2pl_t with the 6x6 GN system psum_m'd."""
+    """KEEP IN SYNC with filterreg._pt2pl_t (same psum-wrapped port as
+    _kabsch_2d above).
+
+    filterreg._pt2pl_t with the 6x6 GN system psum_m'd."""
     resid = jnp.sum(normal_t * (target_t - model_t), axis=0)
     cx = model_t[1] * normal_t[2] - model_t[2] * normal_t[1]
     cy = model_t[2] * normal_t[0] - model_t[0] * normal_t[2]
@@ -848,15 +881,23 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
             s2v = jax.lax.psum(jnp.sum(px_t * y_hat_t), M_AXIS)
             s3 = jax.lax.psum(
                 jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0)), M_AXIS)
-            sigma2_new = (s1 - 2.0 * s2v + s3) / (n_p * dim) \
-                + scale_new ** 2 * sigma2_m
+            # Same f32 eps floor as bcpd._vi_mstep_t: the s1/s2v/s3
+            # difference cancels catastrophically at >= ~500k points and
+            # the raw update can go NEGATIVE (NaN-poisons the VI state;
+            # observed at 700k on the single-chip path) — and this runner
+            # IS the 1M-class path.
+            sigma2_new = jnp.maximum(
+                (s1 - 2.0 * s2v + s3) / (n_p * dim)
+                + scale_new ** 2 * sigma2_m,
+                jnp.finfo(jnp.float32).eps)
 
-            b_rot, b_t, b_scale, b_v, b_rmse = best
+            b_rot, b_t, b_scale, b_v, b_s2, b_rmse = best
             better = rmse < b_rmse
             best = (jnp.where(better, rot, b_rot),
                     jnp.where(better, t, b_t),
                     jnp.where(better, scale, b_scale),
                     jnp.where(better, v_hat_t, b_v),
+                    jnp.where(better, sigma2, b_s2),
                     jnp.minimum(rmse, b_rmse))
             return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new,
                     alpha_new, sigma2_new, rmse, state[7], i + 1, best)
@@ -874,7 +915,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         rot0 = init_[: dim * dim].reshape(dim, dim)
         t0 = init_[dim * dim: dim * dim + dim]
         scale0 = init_[dim * dim + dim]
-        best0 = (rot0, t0, scale0, v0_loc, inf)
+        best0 = (rot0, t0, scale0, v0_loc, s2_0, inf)
         state = (
             rot0, t0, scale0, v0_loc,
             jnp.ones_like(sm1), sm1 / m, s2_0,
@@ -882,7 +923,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         )
         state = jax.lax.while_loop(cond, body, state)
         rot, t, scale, v_hat_t = state[:4]
-        b_rot, b_t, b_scale, b_v, b_rmse = state[10]
+        b_rot, b_t, b_scale, b_v, b_s2, b_rmse = state[10]
         # Score the last iterate once; keep the better of (last, best).
         t_src_t = scale * rot @ (ys_loc + v_hat_t) + t[:, None]
         _, _, _, dmin = estep(t_src_t, sm1, s2_0)
@@ -893,6 +934,11 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         t = jnp.where(use_last, t, b_t)
         scale = jnp.where(use_last, scale, b_scale)
         v_hat_t = jnp.where(use_last, v_hat_t, b_v)
+        # Return the SELECTED state's sigma2 (as _run_bcpd does): the
+        # pyramid's next-level sigma2_init carry must be consistent with
+        # the pose it warm-starts, not the final iterate's possibly
+        # collapsed temperature.
+        sigma2_out = jnp.where(use_last, state[6], b_s2)
         # Gather the v field to every device: the result must be host-
         # fetchable from EVERY controller in a multi-process run (an
         # m-sharded output spans non-addressable devices). Placement+psum
@@ -903,7 +949,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         buf = jax.lax.dynamic_update_slice(
             buf, v_hat_t, (0, jax.lax.axis_index(M_AXIS) * ml))
         v_full = jax.lax.psum(buf, M_AXIS)
-        return rot, t, scale, v_full, state[6]
+        return rot, t, scale, v_full, sigma2_out
 
     return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
                jnp.asarray(k, config.dtype),
@@ -977,7 +1023,11 @@ def registration_bcpd_2d(
     # Raw -> normalized-frame warm starts (the inverse of the
     # denormalization below; cf. _registration_bcpd_impl).
     if sigma2_init is not None:
-        sigma2_0 = float(sigma2_init) / scale0 ** 2
+        # Same eps clamp as bcpd._registration_jit: a carried variance
+        # may have collapsed to ~0; unclamped it reaches the kernel as
+        # sigma2 = 0 and NaNs the first E-step.
+        sigma2_0 = max(float(sigma2_init) / scale0 ** 2,
+                       float(np.finfo(np.float32).eps))
 
     ys_t_sh, smask_sh, m = _shard_axis_t(src_n, mesh, M_AXIS)
     xs_t_sh, xmask_sh, n = _shard_axis_t(tgt_n, mesh, N_AXIS)
