@@ -47,9 +47,17 @@ class Config:
     # Stash precision for the single-exp E-step's exp'd tiles. bfloat16
     # halves the pass-B HBM traffic; measured on v5e at 131k it buys only
     # ~3% dense (pass A's exp dominates), so the default stays exact f32.
+    # SINGLE-CHIP only: the mesh kernels (fused_stash_core_spmd) keep f32.
     # The posterior NORMALIZER stays f32 either way (summed before the
     # cast); bf16 quantizes only the moment numerators (~0.4% relative).
     stash_dtype: jnp.dtype = jnp.float32
+    # Stash-allocation cap for the CPD single-exp culled kernel
+    # (fused_stash_core via estep_auto): the (M_padded, tile_n) g-stash is
+    # 4.1 GB at the validated 1M x 1024 f32; beyond ~6 GB per buffer the
+    # v5e worker faults rather than OOMs cleanly. estep_auto halves
+    # tile_n (lane-multiple, floor 256) to fit, and falls back to the
+    # streaming XLA scan when even the floor exceeds the cap.
+    cpd_stash_max_bytes: int = 6 << 30
     # Stash-allocation cap for the BCPD row-weighted culled kernel: its
     # (M_padded, tile_n) g-stash at 1M x 1024 f32 is 4 GB, which crashes
     # the v5e worker alongside the VI's resident state (Nystrom factor,

@@ -176,17 +176,26 @@ def _active_mask(ymin, ymax, xmin, xmax, inv2s2):
     to exactly 0 in f32). Exponent convention matches _dist_tile:
     exp(-d2 * inv2s2), inv2s2 = 0.5 / sigma2.
     """
-    # Per-dimension 2-D outer ops: a (8, nbm, nbn) broadcast costs ~2 s at
-    # 1M points / 512-tiles on TPU (sublane-axis reduce + 122 MB layout);
-    # the unrolled 2-D chain fuses into one (nbm, nbn) pass. Rows beyond
-    # the point dimensionality are all-zero bounds -> zero gap.
+    return (_box_gap_lb2(ymin, ymax, xmin, xmax) * inv2s2
+            <= _CUT).astype(jnp.float32)
+
+
+def _box_gap_lb2(ymin, ymax, xmin, xmax):
+    """(nb_m, nb_n) per-tile-pair box-gap d2 lower bound.
+
+    Per-dimension 2-D outer ops: a (8, nbm, nbn) broadcast costs ~2 s at
+    1M points / 512-tiles on TPU (sublane-axis reduce + 122 MB layout);
+    the unrolled 2-D chain fuses into one (nbm, nbn) pass. Rows beyond
+    the point dimensionality are all-zero bounds -> zero gap. Shared by
+    _active_mask and bcpd_estep_culled (whose mask also folds row
+    weights)."""
     lb2 = jnp.zeros((ymin.shape[1], xmin.shape[1]), jnp.float32)
     for d in range(ymin.shape[0]):
         gap = jnp.maximum(
             jnp.maximum(ymin[d][:, None] - xmax[d][None, :],
                         xmin[d][None, :] - ymax[d][:, None]), 0.0)
         lb2 = lb2 + gap * gap
-    return (lb2 * inv2s2 <= _CUT).astype(jnp.float32)
+    return lb2
 
 
 
@@ -214,9 +223,8 @@ def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
                interpret: bool = False, cull: bool = True, mask=None):
     """Two-pass culled E-step on PRE-PADDED transposed operands.
 
-    ``mask``: optionally a precomputed (n_i, n_j) active-tile mask (e.g.
-    estep_auto already built one for its switch fraction — avoids
-    recomputing the bounds).
+    ``mask``: optionally a precomputed (n_i, n_j) active-tile mask
+    (avoids recomputing the bounds).
 
     Inputs: ``scal`` = [0.5/sigma2, outlier c]; ``ys_t``/``xs_t`` (8, Mp) /
     (8, Np) zero-padded transposes whose lane counts are multiples of the
@@ -224,9 +232,10 @@ def fused_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
     (padding / masked) columns set to ``_BIG``. Returns
     (pt1p (1, Np), p1p (1, Mp), pxp (8, Mp), xx (1, 1)) — still padded.
 
-    Shared by :func:`estep_fused` and the sharded transposed EM
-    (parallel/sharded.py), whose per-device target shard is already in
-    this layout.
+    Used by :func:`estep_fused`; the default dispatch (estep_auto) and
+    the sharded runners moved to the round-3 single-exp
+    :func:`fused_stash_core` — this two-pass variant remains the base of
+    the BCPD row-weighted kernels.
     """
     mp, np_ = ys_t.shape[1], xs_t.shape[1]
     n_i, n_j = mp // tile_m, np_ // tile_n
@@ -795,6 +804,14 @@ def _capped_stash_tile_n(m, tile_m, tile_n, itemsize=4):
         # Keep the lane dim a multiple of 128 (Mosaic requirement; a
         # clamped odd multiple like 896 would otherwise halve to 448).
         tile_n = max(256, (tile_n // 2 // 128) * 128)
+    if mp * tile_n * itemsize > budget:
+        # Silently exceeding the budget would defeat the crash guard this
+        # cap exists for (observed 1M-BCPD v5e worker faults).
+        raise ValueError(
+            f"BCPD g-stash needs {mp * tile_n * itemsize / 2**30:.1f} GiB "
+            f"even at the tile_n=256 floor (M_padded={mp}), over "
+            f"config.bcpd_stash_max_bytes={budget}; use a 2-axis mesh "
+            "(registration_bcpd_pyramid(mesh=...)) or raise the budget.")
     return tile_n
 
 
@@ -849,13 +866,16 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
     # distance-culled, so its lb2 is a meaningful d2 lower bound.
     ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
     xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
-    lb2 = jnp.zeros((ymin.shape[1], xmin.shape[1]), jnp.float32)
-    for d in range(ymin.shape[0]):  # 2-D outer ops (see _active_mask note)
-        gapd = jnp.maximum(
-            jnp.maximum(ymin[d][:, None] - xmax[d][None, :],
-                        xmin[d][None, :] - ymax[d][:, None]), 0.0)
-        lb2 = lb2 + gapd * gapd                            # (n_i, n_j)
-    rlmax = jnp.max(rl[0, :m])
+    lb2 = _box_gap_lb2(ymin, ymax, xmin, xmax)             # (n_i, n_j)
+    # Clamp the folded max-rowlog at -_CUT: if EVERY row weight underflows
+    # (rlmax < -_CUT — a degenerate but reachable VI regime), an unclamped
+    # bound would weight-cull even spatially OVERLAPPING tiles and their
+    # lb2 ~ 0 would collapse the dmin NN bound to 0 — zeroing the VI
+    # convergence RMSE and silently freezing best-state tracking on an
+    # arbitrary early state. Clamped, overlapping tiles stay ACTIVE (their
+    # g computes to ~0 — exact, just no cull savings) and dmin stays a
+    # true NN distance.
+    rlmax = jnp.maximum(jnp.max(rl[0, :m]), -_CUT)
     mask = (rlmax - lb2 * inv2s2 >= -_CUT).astype(jnp.float32)
 
 
@@ -1090,7 +1110,7 @@ def estep_culled(
 ) -> EstepMoments:
     """Morton-sorted tile-culled E-step; results in ORIGINAL point order.
 
-    Sorting makes tiles spatially compact so the bounding-sphere culling
+    Sorting makes tiles spatially compact so the AABB box-gap culling
     in :func:`estep_fused` actually fires (ops/spatial.py); the per-row
     moments are gathered back to input order afterwards. Sort + unsort are
     O((M+N) log) against the E-step's O(M*N) — negligible at the sizes
@@ -1115,8 +1135,8 @@ def estep_culled(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "tile_m", "tile_n", "interpret", "switch_frac",
-                     "block", "assume_sorted", "stash_dtype"),
+    static_argnames=("w", "tile_m", "tile_n", "interpret",
+                     "assume_sorted", "stash_dtype"),
 )
 def estep_auto(
     t_source: jax.Array,
@@ -1158,6 +1178,27 @@ def estep_auto(
     m = t_source.shape[0]
     n = target.shape[0]
     sigma2 = jnp.asarray(sigma2, jnp.float32)
+
+    # Stash-size guard (config.cpd_stash_max_bytes): the g-stash is
+    # O(M_padded * tile_n) bytes regardless of N; unbounded it reaches
+    # buffer sizes that FAULT the v5e worker (CLAUDE.md) instead of
+    # OOM-ing cleanly. Shrink tile_n first; beyond the floor, fall back
+    # to the streaming XLA scan (same exact moments, ~58 Gpair/s dense).
+    from ..config import config as _cfg
+
+    budget = int(getattr(_cfg, "cpd_stash_max_bytes", 0) or 0)
+    if budget:
+        eff_tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES)
+                         * _SUBLANES)
+        mp_est = ((m + eff_tile_m - 1) // eff_tile_m) * eff_tile_m
+        tn = min(tile_n, ((n + 127) // 128) * 128)
+        while tn > 256 and mp_est * tn * 4 > budget:
+            tn = max(256, (tn // 2 // 128) * 128)
+        if mp_est * tn * 4 > budget:
+            from .estep import estep_xla
+
+            return estep_xla(t_source, target, sigma2, w)
+        tile_n = min(tile_n, tn)
 
     if assume_sorted:
         ys, xs = t_source, target

@@ -414,7 +414,59 @@ def test_bcpd_stash_tile_cap():
     try:
         cfgmod.config.bcpd_stash_max_bytes = 0
         assert _capped_stash_tile_n(10_000_000, 1024, 1024) == 1024
+        # When even the tile_n=256 floor exceeds the budget, the cap must
+        # REFUSE (silently exceeding it defeated the crash guard).
         cfgmod.config.bcpd_stash_max_bytes = 1 << 20
-        assert _capped_stash_tile_n(10_000_000, 1024, 1024) == 256
+        with pytest.raises(ValueError, match="bcpd_stash_max_bytes"):
+            _capped_stash_tile_n(10_000_000, 1024, 1024)
     finally:
         cfgmod.config.bcpd_stash_max_bytes = old
+
+
+def test_cpd_stash_cap_falls_back_to_xla(rng, monkeypatch):
+    """estep_auto above the CPD stash budget: shrink tile_n, then fall
+    back to the exact XLA scan instead of allocating a buffer size that
+    faults the worker (review finding)."""
+    from probreg_tpu import config as cfgmod
+    from probreg_tpu.ops import estep_pallas as ep
+    from probreg_tpu.ops.estep import estep_xla
+
+    src = rng.random((600, 3)).astype(np.float32)
+    tgt = rng.random((700, 3)).astype(np.float32)
+    # Budget below the tile_n=256 floor for this M -> XLA fallback.
+    monkeypatch.setattr(cfgmod.config, "cpd_stash_max_bytes", 1 << 10)
+    got = ep.estep_auto(src, tgt, 0.2, 0.1)
+    want = estep_xla(jnp.asarray(src), jnp.asarray(tgt),
+                     jnp.asarray(0.2, jnp.float32), 0.1)
+    np.testing.assert_allclose(np.asarray(got.p1), np.asarray(want.p1),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.px), np.asarray(want.px),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_bcpd_culled_all_rowlog_underflow_keeps_dmin_honest(rng):
+    """rlmax < -_CUT (every row weight underflows): overlapping tiles must
+    stay ACTIVE so dmin remains a true NN distance — an unclamped bound
+    weight-culled them and collapsed dmin (hence the VI rmse) to exactly 0
+    (review finding, verified repro)."""
+    from probreg_tpu.ops import estep_pallas as ep
+    from probreg_tpu.ops.spatial import morton_order_np
+
+    # Sparse lattice + half-spacing offset: the tile bounding boxes
+    # OVERLAP (lb2 = 0) while every point pair is >= sqrt(3) apart — the
+    # exact geometry where the unclamped mask returned dmin == 0.
+    g = np.arange(4, dtype=np.float32) * 2.0
+    src = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+    src = src[morton_order_np(src)]
+    tgt = (src + 1.0).astype(np.float32)
+    m = src.shape[0]
+    rowlog = np.full((m,), -120.0, np.float32)     # below -_CUT
+    v_t = np.concatenate([tgt.T, np.ones((1, m), np.float32),
+                          (tgt ** 2).sum(1)[None]], 0)
+    _, _, dmin = ep.bcpd_estep_culled(
+        src, tgt, rowlog, v_t, 1e-3 / m, 0.05, tile_m=64, tile_n=64,
+        interpret=True)
+    true_nn = ((src[:, None] - tgt[None]) ** 2).sum(-1).min(1)
+    # Overlapping-box tiles stay active, so dmin IS the true NN distance
+    # (3.0 here), not the collapsed 0.0 of the unclamped mask.
+    np.testing.assert_allclose(np.asarray(dmin), true_nn, atol=1e-4)
