@@ -53,6 +53,32 @@ def _as_jnp(x):
     return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
 
 
+def _hw_guard(total_pairs, maxiter, what, hint):
+    """Hardware-safety guard (config.bcpd_guard_max_pairs): 1M-class
+    unmeshed whole-VI programs faulted the v5e worker three times
+    (BENCHMARKS.md round-4 fault audit). Above the validated per-program
+    pair count, refuse any dispatch that cannot be bounded to
+    ``bcpd_guard_chunk`` iterations — never fault the device.
+
+    ``maxiter=None`` marks a program that cannot be sliced at all
+    (vmapped batch / multistart): refused above the bound regardless of
+    iteration count, since the per-dispatch work is already
+    ``total_pairs``-heavy.
+    """
+    guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0) or 0)
+    if not guard or jax.default_backend() != "tpu":
+        return
+    chunk = int(_config.config.bcpd_guard_chunk)
+    sliceable_ok = maxiter is not None and int(maxiter) <= chunk
+    if total_pairs > guard and not sliceable_ok:
+        raise ValueError(
+            f"BCPD {what} totals {total_pairs} source*target pairs per "
+            "device program, above the single-chip-validated size "
+            f"(config.bcpd_guard_max_pairs = {guard}); whole-VI programs "
+            f"this large have faulted TPU workers. {hint} Or raise "
+            "config.bcpd_guard_max_pairs to override.")
+
+
 def bcpd_estep(t_source, target, scale, alpha, sigma_mat_diag, sigma2, w=0.0,
                with_rmse=False):
     """BCPD E-step moments (reference bcpd.py:53-72), dense-block version.
@@ -623,23 +649,12 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                           want_last=False):
         m = int(self._source.shape[0])
         n = int(jnp.shape(target)[0])
-        # Hardware-safety guard (config.bcpd_guard_max_pairs): 1M-class
-        # unmeshed whole-VI programs faulted the v5e worker three times.
-        # Above the validated size, only short (<= bcpd_guard_chunk
-        # iterations) programs may dispatch — never fault the device.
-        guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0) or 0)
-        if (guard and m * n > guard
-                and int(maxiter) > int(_config.config.bcpd_guard_chunk)
-                and jax.default_backend() == "tpu"):
-            raise ValueError(
-                f"BCPD at M*N = {m}*{n} exceeds the single-chip-validated "
-                f"size (config.bcpd_guard_max_pairs = {guard}); a whole-VI "
-                "program this large has faulted TPU workers. Use "
-                "registration_bcpd_pyramid(mesh=<2-axis mesh>, rank=...) "
-                "or registration_bcpd_pyramid(dispatch_chunk="
-                f"{_config.config.bcpd_guard_chunk}) (bounded per-program "
-                "device time), or raise config.bcpd_guard_max_pairs to "
-                "override.")
+        _hw_guard(
+            m * n, maxiter, f"at M*N = {m}*{n}",
+            "Use registration_bcpd_pyramid(mesh=<2-axis mesh>, rank=...) "
+            "or registration_bcpd_pyramid(dispatch_chunk="
+            f"{int(_config.config.bcpd_guard_chunk)}) (bounded "
+            "per-program device time).")
         use_culled = (
             jax.default_backend() == "tpu"
             and _config.config.use_culled_estep
@@ -961,23 +976,14 @@ def _registration_bcpd_impl(
         if warm:
             raise ValueError("n_starts > 1 is incompatible with warm "
                              "starts (the orientation grid replaces them)")
-        # Hardware-safety guard: the multistart dispatch is n_starts
-        # whole-VI loops vmapped into ONE program — strictly heavier than
-        # the single-start program the _registration_jit guard bounds, and
-        # it cannot be sliced. Refuse above the validated size.
-        guard = int(getattr(_config.config, "bcpd_guard_max_pairs", 0)
-                    or 0)
-        if (guard and src.shape[0] * tgt.shape[0] > guard
-                and jax.default_backend() == "tpu"):
-            raise ValueError(
-                f"BCPD multistart at M*N = {src.shape[0]}*{tgt.shape[0]} "
-                "exceeds the single-chip-validated size "
-                f"(config.bcpd_guard_max_pairs = {guard}); whole-VI "
-                "programs this large have faulted TPU workers, and the "
-                "orientation grid multiplies the load n_starts-fold. Use "
-                "registration_bcpd_pyramid(n_starts=...) — the search "
-                "runs on the small coarsest level — or raise "
-                "config.bcpd_guard_max_pairs to override.")
+        # The multistart dispatch is n_starts whole-VI loops vmapped into
+        # ONE unslicable program; guard on the raw pair count (the grid
+        # multiplies the load n_starts-fold on top).
+        _hw_guard(
+            src.shape[0] * tgt.shape[0], None,
+            f"multistart at M*N = {src.shape[0]}*{tgt.shape[0]}",
+            "Use registration_bcpd_pyramid(n_starts=...) — the "
+            "orientation search runs on the small coarsest level.")
         results = _registration_bcpd_multistart_batch(
             [src], [tgt], w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, **kwargs)
@@ -1188,6 +1194,10 @@ def registration_bcpd_batch(
     tgt = np.asarray(interop.as_points(targets), dtype=np.float64)
     b, m, dim = src.shape
     n = tgt.shape[1]
+    _hw_guard(
+        b * m * n, None, f"batch (B={b}, M*N={m}*{n})",
+        "Register pairs individually via registration_bcpd_pyramid, or "
+        "split the batch.")
     if normalize:
         centroid = (src.sum(axis=1) + tgt.sum(axis=1)) / (m + n)   # (B, D)
         src_h = src - centroid[:, None]
@@ -1239,6 +1249,11 @@ def _registration_bcpd_multistart_batch(sources, targets, *, w, maxiter,
     n = tgt.shape[1]
     if dim != 3:
         raise ValueError("n_starts > 1 supports 3-D clouds only")
+    _hw_guard(
+        b * int(n_starts) * m * n, None,
+        f"multistart batch (B={b}, n_starts={n_starts}, M*N={m}*{n})",
+        "Register pairs individually via registration_bcpd_pyramid, or "
+        "split the batch.")
     centroid = (src.sum(axis=1) + tgt.sum(axis=1)) / (m + n)
     src_h = src - centroid[:, None]
     tgt_h = tgt - centroid[:, None]
@@ -1305,6 +1320,13 @@ def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
         raise ValueError(
             "rank=%d exceeds the smallest source cloud (%d points) in the "
             "ragged batch" % (int(rank), min_m))
+    _hw_guard(
+        src_p.shape[0] * max(1, int(n_starts))
+        * src_p.shape[1] * tgt_p.shape[1], None,
+        f"ragged batch (B={src_p.shape[0]}, padded M*N="
+        f"{src_p.shape[1]}*{tgt_p.shape[1]})",
+        "Register pairs individually via registration_bcpd_pyramid, or "
+        "split the batch.")
     if n_starts > 1:
         from . import cost_functions as cf
 

@@ -4,6 +4,15 @@ The reference library hard-codes float32 in its C++ kernels
 (/root/reference/probreg/cc/types.h:5-7) and uses numpy float64 on the Python
 side. On TPU the natural compute dtype is float32 (MXU accumulates in f32);
 bfloat16 is available for the pairwise-distance matmuls via ``matmul_dtype``.
+
+Mutation semantics: kernel-dispatch knobs (``use_culled_estep``, the
+``*_max_pairs`` thresholds, ``stash_dtype``, the ``*_stash_max_bytes``
+caps) are read when a registration program is TRACED. Registrations are
+single jitted whole-EM dispatches, so a shape that has already compiled
+keeps its old dispatch decisions even after the knob changes — call
+:func:`clear_caches` after mutating one of these to make it apply to
+every subsequent call. The eager-path guards (``bcpd_guard_max_pairs``)
+are read per call and are always live.
 """
 
 from __future__ import annotations
@@ -111,6 +120,24 @@ config = Config()
 
 def eps(dtype=None) -> float:
     return float(jnp.finfo(dtype or config.dtype).eps)
+
+
+def clear_caches() -> None:
+    """Drop every compiled registration program so changed config knobs
+    take effect.
+
+    Kernel-dispatch knobs are read at trace time (module docstring); a
+    shape registered before the change replays its cached whole-EM
+    program otherwise. This is the documented way to make a lowered
+    ``cpd_stash_max_bytes``/``bcpd_stash_max_bytes`` (the crash guards)
+    or a flipped ``use_culled_estep``/``stash_dtype`` apply to
+    already-seen shapes. Thin wrapper over :func:`jax.clear_caches`
+    (in-memory jit caches only; the persistent compilation cache keys on
+    the program, which changes with the knobs, so it stays valid).
+    """
+    import jax
+
+    jax.clear_caches()
 
 
 def enable_compilation_cache(cache_dir: str,

@@ -784,7 +784,8 @@ def _wstash_moment_kernel(act_ref, eff_ref, v_ref, den_ref, gst_ref,
         mom_ref[:] = jnp.zeros_like(mom_ref)
 
 
-def _capped_stash_tile_n(m, tile_m, tile_n, itemsize=4):
+def _capped_stash_tile_n(m, tile_m, tile_n, itemsize=4, budget=None,
+                         on_overflow="raise"):
     """Shrink tile_n until the (M_padded, tile_n) g-stash fits the budget.
 
     The BCPD VI holds more resident HBM than the CPD EM (the rank-K
@@ -792,21 +793,31 @@ def _capped_stash_tile_n(m, tile_m, tile_n, itemsize=4):
     4 GB stash (1M x 1024 f32) alongside it crashes the v5e worker —
     observed twice on the 1M BCPD pyramid. Halving tile_n costs per-pass
     rate (measured 616/944 -> 523/744 G/s at 1M for the CPD twin) but
-    keeps the allocation inside ``config.bcpd_stash_max_bytes``.
-    """
-    from ..config import config
+    keeps the allocation inside the budget (default:
+    ``config.bcpd_stash_max_bytes``; estep_auto passes
+    ``config.cpd_stash_max_bytes``).
 
-    budget = getattr(config, "bcpd_stash_max_bytes", None)
+    ``on_overflow``: when even the tile_n=256 floor exceeds the budget,
+    ``"raise"`` refuses with the safe-path error (silently exceeding the
+    budget would defeat the crash guard this cap exists for) and
+    ``"fallback"`` returns None so the caller can route to a stash-free
+    path (estep_auto falls back to the streaming XLA scan).
+    """
+    if budget is None:
+        from ..config import config
+
+        budget = getattr(config, "bcpd_stash_max_bytes", None)
     if not budget:
         return tile_n
-    mp = ((m + tile_m - 1) // tile_m) * tile_m
+    eff_tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES) * _SUBLANES)
+    mp = ((m + eff_tile_m - 1) // eff_tile_m) * eff_tile_m
     while tile_n > 256 and mp * tile_n * itemsize > budget:
         # Keep the lane dim a multiple of 128 (Mosaic requirement; a
         # clamped odd multiple like 896 would otherwise halve to 448).
         tile_n = max(256, (tile_n // 2 // 128) * 128)
     if mp * tile_n * itemsize > budget:
-        # Silently exceeding the budget would defeat the crash guard this
-        # cap exists for (observed 1M-BCPD v5e worker faults).
+        if on_overflow == "fallback":
+            return None
         raise ValueError(
             f"BCPD g-stash needs {mp * tile_n * itemsize / 2**30:.1f} GiB "
             f"even at the tile_n=256 floor (M_padded={mp}), over "
@@ -1184,17 +1195,18 @@ def estep_auto(
     # buffer sizes that FAULT the v5e worker (CLAUDE.md) instead of
     # OOM-ing cleanly. Shrink tile_n first; beyond the floor, fall back
     # to the streaming XLA scan (same exact moments, ~58 Gpair/s dense).
+    # NOTE: like every kernel-dispatch knob, the budget is read at TRACE
+    # time — call config.clear_caches() after changing it so
+    # already-compiled shapes re-derive their tiles (config.py docstring).
     from ..config import config as _cfg
 
     budget = int(getattr(_cfg, "cpd_stash_max_bytes", 0) or 0)
     if budget:
-        eff_tile_m = min(tile_m, ((m + _SUBLANES - 1) // _SUBLANES)
-                         * _SUBLANES)
-        mp_est = ((m + eff_tile_m - 1) // eff_tile_m) * eff_tile_m
-        tn = min(tile_n, ((n + 127) // 128) * 128)
-        while tn > 256 and mp_est * tn * 4 > budget:
-            tn = max(256, (tn // 2 // 128) * 128)
-        if mp_est * tn * 4 > budget:
+        tn = _capped_stash_tile_n(
+            m, tile_m, min(tile_n, ((n + 127) // 128) * 128),
+            itemsize=jnp.dtype(stash_dtype).itemsize, budget=budget,
+            on_overflow="fallback")
+        if tn is None:
             from .estep import estep_xla
 
             return estep_xla(t_source, target, sigma2, w)

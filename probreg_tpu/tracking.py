@@ -306,9 +306,19 @@ class NonrigidTracker:
         # transf.v is the per-template-point displacement field.
     """
 
+    _RESERVED = ("callbacks", "callback_chunk", "return_last",
+                 "tf_init_params", "v_init", "sigma2_init",
+                 "_alpha_init", "_sdiag_init")
+
     def __init__(self, sigma2_inflation: float = 2.0,
                  sigma2_floor_frac: float = 1.0e-3,
                  **kwargs: Any):
+        bad = sorted(set(kwargs) & set(self._RESERVED))
+        if bad:
+            raise ValueError(
+                f"NonrigidTracker drives {bad} itself (the warm VI-state "
+                "carry and the per-frame result fetch); they cannot be "
+                "overridden per construction.")
         self.sigma2_inflation = float(sigma2_inflation)
         self.sigma2_floor_frac = float(sigma2_floor_frac)
         self.kwargs = dict(kwargs)
@@ -350,15 +360,33 @@ class NonrigidTracker:
                 s2 = max(s2, self.sigma2_floor_frac
                          * mu.squared_kernel_sum_np(self.template, pts))
             warm["sigma2_init"] = s2
+        extra = {k: v for k, v in self.kwargs.items()
+                 if k not in ("w", "maxiter", "tol", "normalize")}
+        if self.n_frames > 1:
+            # n_starts (global orientation search) applies to the FIRST
+            # registered frame only; warm frames refine the carried state
+            # (the impl rejects n_starts > 1 combined with warm starts).
+            extra.pop("n_starts", None)
+            if not warm and self.transformation is not None:
+                # The multistart path returns no VI state — seed the next
+                # frame from the recovered pose + displacement field so
+                # the found orientation is not discarded.
+                tr = self.transformation
+                warm = {
+                    "tf_init_params": {
+                        "rot": np.asarray(tr.rigid_trans.rot),
+                        "t": np.asarray(tr.rigid_trans.t),
+                        "scale": float(np.asarray(tr.rigid_trans.scale)),
+                    },
+                    "v_init": np.asarray(tr.v),
+                }
         res, _, last, _ = _bcpd._registration_bcpd_impl(
             self.template, pts, w=self.kwargs.get("w", 0.0),
             maxiter=self.kwargs.get("maxiter", 50),
             tol=self.kwargs.get("tol", 1.0e-3),
             callbacks=[], normalize=self.kwargs.get("normalize", True),
             callback_chunk=1, return_last=True,
-            **{**{k: v for k, v in self.kwargs.items()
-                  if k not in ("w", "maxiter", "tol", "normalize")},
-               **warm})
+            **{**extra, **warm})
         self.transformation = res
         self._warm = last    # full raw-frame VI state, or None
         self.n_frames += 1

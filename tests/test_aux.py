@@ -251,3 +251,31 @@ def test_repo_fixtures_standalone():
     assert bunny.shape[1] == 3 and bunny.shape[0] > 300
     assert horse.shape[1] == 3 and horse.shape[0] > 2000
     assert fish.shape == (91, 2)
+
+def test_config_clear_caches_makes_dispatch_knobs_live():
+    """Kernel-dispatch knobs are read at trace time; config.clear_caches()
+    is the documented way to make a mutated knob apply to already-compiled
+    shapes (config.py module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probreg_tpu import config as cfgmod
+
+    calls = []
+
+    @jax.jit
+    def f(x):
+        calls.append(cfgmod.config.estep_chunk)   # trace-time read
+        return x + 1
+
+    old = cfgmod.config.estep_chunk
+    try:
+        f(jnp.zeros(3))
+        cfgmod.config.estep_chunk = old + 1
+        f(jnp.zeros(3))                 # cached: no retrace, stale knob
+        assert calls == [old]
+        cfgmod.clear_caches()
+        f(jnp.zeros(3))                 # retraced: new knob observed
+        assert calls == [old, old + 1]
+    finally:
+        cfgmod.config.estep_chunk = old

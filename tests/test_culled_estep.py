@@ -470,3 +470,26 @@ def test_bcpd_culled_all_rowlog_underflow_keeps_dmin_honest(rng):
     # Overlapping-box tiles stay active, so dmin IS the true NN distance
     # (3.0 here), not the collapsed 0.0 of the unclamped mask.
     np.testing.assert_allclose(np.asarray(dmin), true_nn, atol=1e-4)
+
+def test_cpd_stash_cap_honors_stash_dtype_itemsize(rng, monkeypatch):
+    """The CPD stash budget must be computed with the CONFIGURED stash
+    dtype's itemsize: a bf16 stash is half the bytes, so budgets that
+    would shrink/fall back under f32 accounting keep the full tile
+    (review finding: the cap hardcoded 4 bytes)."""
+    from probreg_tpu.ops import estep_pallas as ep
+
+    captured = {}
+    orig = ep._capped_stash_tile_n
+
+    def spy(m, tile_m, tile_n, itemsize=4, **kw):
+        captured["itemsize"] = itemsize
+        return orig(m, tile_m, tile_n, itemsize=itemsize, **kw)
+
+    monkeypatch.setattr(ep, "_capped_stash_tile_n", spy)
+    src = rng.random((600, 3)).astype(np.float32)
+    tgt = rng.random((700, 3)).astype(np.float32)
+    ep.estep_auto(src, tgt, 0.2, 0.1, interpret=True,
+                  stash_dtype=jnp.bfloat16)
+    assert captured["itemsize"] == 2
+    ep.estep_auto(src, tgt, 0.2, 0.1, interpret=True)
+    assert captured["itemsize"] == 4

@@ -268,3 +268,35 @@ def test_nonrigid_tracker_inflation_without_floor(rng):
     finally:
         _bcpd._registration_bcpd_impl = real
     assert captured["sigma2_init"] == pytest.approx(3.0 * s2_carry)
+
+def test_bcpd_batch_paths_guarded(rng, monkeypatch):
+    """The hardware guard covers EVERY BCPD dispatch surface: the vmapped
+    dense batch, the ragged batch and the multistart batch are unslicable
+    whole-VI programs whose TOTAL pair count must be bounded (review
+    finding: they previously bypassed the guard entirely)."""
+    import jax
+
+    from probreg_tpu import config as cfg
+
+    src = tiny_cloud(rng, n=30)
+    monkeypatch.setattr(cfg.config, "bcpd_guard_max_pairs", 2000)
+    monkeypatch.setattr(cfg.config, "use_culled_estep", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # Dense batch: B * M * N = 4 * 900 > 2000 even though M * N = 900 is
+    # itself under the bound.
+    with pytest.raises(ValueError, match="bcpd_guard_max_pairs"):
+        bcpd.registration_bcpd_batch([src] * 4, [src] * 4, maxiter=3,
+                                     rank=8)
+    # Ragged batch (padded sizes count).
+    with pytest.raises(ValueError, match="bcpd_guard_max_pairs"):
+        bcpd.registration_bcpd_batch([src, src[:20], src], [src] * 3,
+                                     maxiter=3, rank=8)
+    # Multistart batch: the orientation grid multiplies the load.
+    with pytest.raises(ValueError, match="bcpd_guard_max_pairs"):
+        bcpd.registration_bcpd_batch([src] * 2, [src] * 2, maxiter=3,
+                                     rank=8, n_starts=2)
+    # Under the bound everything still runs (on CPU here).
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    out = bcpd.registration_bcpd_batch([src] * 2, [src] * 2, maxiter=3,
+                                       rank=8)
+    assert len(out) == 2

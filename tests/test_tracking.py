@@ -211,3 +211,58 @@ def test_keyframe_auto_rekey_partial_view_rotation(rng):
     err0 = float(so.rotation_angle(np.asarray(pose0.rot), rots[-1]))
     assert err0 > 1.0
     assert trk0.n_rekeys == 0
+
+def test_nonrigid_tracker_rejects_reserved_kwargs():
+    """The tracker drives callbacks/return_last/warm-state kwargs itself;
+    passing them at construction must fail clearly, not crash mid-update
+    with a duplicate-keyword TypeError (review finding)."""
+    for bad in ("callbacks", "callback_chunk", "return_last",
+                "tf_init_params", "v_init", "sigma2_init"):
+        with pytest.raises(ValueError, match="NonrigidTracker"):
+            tracking.NonrigidTracker(**{bad: object()})
+
+
+def test_nonrigid_tracker_n_starts_first_solve_only(rng):
+    """n_starts applies to the first registered frame only; later frames
+    must (a) not crash on the warm-start incompatibility and (b) keep the
+    orientation the multistart found (the multistart path returns no VI
+    state, so the pose itself must seed the next frame)."""
+    from probreg_tpu import bcpd as _bcpd
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    template = blobby_surface(500, seed=7).astype(np.float32)
+    rot = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(150.0)))
+    frames = [(template @ rot.T).astype(np.float32),
+              (template @ rot.T + 0.01).astype(np.float32)]
+
+    seen = []
+    orig = _bcpd._registration_bcpd_impl
+
+    def spy(*args, **kwargs):
+        seen.append(dict(kwargs))
+        return orig(*args, **kwargs)
+
+    _bcpd._registration_bcpd_impl, saved = spy, orig
+    try:
+        trk = tracking.NonrigidTracker(maxiter=50, tol=1e-6, rank=16,
+                                       lmd=1e3, n_starts=6)
+        trk.update(template)
+        res1 = trk.update(frames[0])
+        res2 = trk.update(frames[1])
+    finally:
+        _bcpd._registration_bcpd_impl = saved
+    assert seen[0].get("n_starts") == 6
+    assert "n_starts" not in seen[1]
+    # Frame 2 warm-starts from frame 1's recovered pose (not identity).
+    p = seen[1].get("tf_init_params")
+    assert p is not None and np.allclose(p["rot"], np.asarray(
+        res1.rigid_trans.rot))
+    # Quality: the orientation search must beat the identity-start solve
+    # (which stalls near the 150-degree local minimum) and the carry must
+    # hold frame 2 at frame-1 quality. NN-RMSE is the right criterion for
+    # a nonrigid solver (the rotation/deformation split is ambiguous).
+    base = _nn_rmse(template, frames[0])
+    r1 = _nn_rmse(np.asarray(res1.transform(template)), frames[0])
+    r2 = _nn_rmse(np.asarray(res2.transform(template)), frames[1])
+    assert r1 < 0.6 * base, (r1, base)
+    assert r2 < 1.25 * r1 + 1e-3, (r2, r1)
