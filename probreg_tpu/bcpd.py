@@ -1019,8 +1019,17 @@ def _registration_bcpd_impl(
         if "t" in tf_init_n:
             tf_init_n["t"] = (np.asarray(tf_init_n["t"], np.float64)
                               - centroid) / scale
-    v_init_n = None if v_init is None \
-        else (np.asarray(v_init, np.float64) + centroid) / scale
+    if v_init is None and tf_init_params:
+        # A raw-frame pose with no displacement field means v_raw = 0,
+        # which in the normalized frame is v_n = centroid/scale — NOT
+        # v_n = 0, which would compose to s R (y - centroid) + t, a
+        # different transform (off by (s R - I) @ centroid) whenever the
+        # cloud sits away from the origin. Matches registration_bcpd_2d.
+        v_init_n = np.broadcast_to(centroid / scale, src.shape)
+    elif v_init is None:
+        v_init_n = None
+    else:
+        v_init_n = (np.asarray(v_init, np.float64) + centroid) / scale
     sigma2_init_n = None if sigma2_init is None \
         else float(sigma2_init) / scale ** 2
     extra_n = None

@@ -779,7 +779,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         in_specs=(P(None, M_AXIS), P(None, M_AXIS),
                   P(None, N_AXIS), P(None, N_AXIS), P(M_AXIS, None),
                   P(), P(), P(), P(), P(), P(None, M_AXIS)),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
     )
     def run(ys_loc, sm, xs_loc, xm, u_loc, lam_, lmd_, k_, s2_0, init_,
             v0_loc):
@@ -833,8 +833,11 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
             x_hat_t = px_t / jnp.maximum(nu, eps)[None, :]
             s2s2 = scale ** 2 / (sigma2 ** 2)
             residual_t = rot.T @ ((x_hat_t - t[:, None]) / scale) - ys_loc
-            # regularized_sigma (ops/lowrank.py:145) distributed: the K x K
-            # core psums over m; diag(Sigma) is row-local from the core.
+            # KEEP IN SYNC with ops/lowrank.regularized_sigma (the
+            # single-device twin): this is its Woodbury-core algebra
+            # (mk / s_core / sigma_diag) distributed — only the cmat
+            # moment gains a psum over m; numerical fixes there (solve
+            # conditioning, symmetrization) must be ported here.
             cmat = jax.lax.psum(
                 (u_loc * nu[:, None]).T @ u_loc, M_AXIS)       # (K, K)
             mk = lmd_ * eye_k + s2s2 * lam_[:, None] * cmat
@@ -949,7 +952,12 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         buf = jax.lax.dynamic_update_slice(
             buf, v_hat_t, (0, jax.lax.axis_index(M_AXIS) * ml))
         v_full = jax.lax.psum(buf, M_AXIS)
-        return rot, t, scale, v_full, sigma2_out
+        # ONE packed result buffer: every piece fetched separately costs a
+        # full tunnel RTT (~33 ms) on remote-TPU transports — the same fix
+        # bcpd._fetch_last_host applies to the tracking warm-state carry.
+        return jnp.concatenate([
+            rot.ravel(), t, jnp.reshape(scale, (1,)),
+            jnp.reshape(sigma2_out, (1,)), v_full.ravel()])
 
     return run(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd,
                jnp.asarray(k, config.dtype),
@@ -1061,17 +1069,22 @@ def registration_bcpd_2d(
         v_n = np.zeros_like(src_n)
     v0_sh, _, _ = _shard_axis_t(v_n, mesh, M_AXIS)
 
-    rot, t, scale, v_hat_t, s2_out = _run_bcpd_2d(
+    flat = np.asarray(_run_bcpd_2d(
         ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh,
         jnp.asarray(lam, config.dtype), jnp.asarray(lmd, config.dtype),
         float(k), np.float32(sigma2_0),
         w=float(w), maxiter=int(maxiter), tol=float(tol), m=m, n=n,
-        mesh=mesh, init=init, v0_sh=v0_sh)
-    v_raw = scale0 * np.asarray(v_hat_t.T, np.float64)[:m] - centroid
-    t_raw = scale0 * np.asarray(t, np.float64) + centroid
-    out = tf.CombinedTransformation(
-        np.asarray(rot, np.float64), t_raw, float(scale), v_raw)
+        mesh=mesh, init=init, v0_sh=v0_sh), np.float64)  # ONE fetch
+    dd = dim0 * dim0
+    rot = flat[:dd].reshape(dim0, dim0)
+    t = flat[dd: dd + dim0]
+    scale = float(flat[dd + dim0])
+    s2_out = float(flat[dd + dim0 + 1])
+    v_hat = flat[dd + dim0 + 2:].reshape(dim0, -1)       # (D, M_padded)
+    v_raw = scale0 * v_hat.T[:m] - centroid
+    t_raw = scale0 * t + centroid
+    out = tf.CombinedTransformation(rot, t_raw, scale, v_raw)
     if return_sigma2:
         # Final (annealed) VI sigma2 back in raw units — the pyramid carry.
-        return out, float(s2_out) * scale0 ** 2
+        return out, s2_out * scale0 ** 2
     return out

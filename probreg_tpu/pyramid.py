@@ -153,6 +153,29 @@ def _default_level_maxiters(n_levels, maxiter, polish_divisor):
     return ([maxiter] + [max(maxiter // 2, 10)] * (n_levels - 2) + [polish])
 
 
+def _fit_level_maxiters(level_maxiters, n_levels, maxiter, polish_divisor,
+                        auto_schedule):
+    """Resolve the per-level iteration budgets against the ACTUAL schedule.
+
+    ``auto_voxel_sizes`` degenerates to fewer levels than requested when
+    there is nothing to downsample (tiny clouds, zero-diagonal fixtures) —
+    a user who sized ``level_maxiters`` to the ``levels`` they asked for
+    must not crash on that data-dependent collapse. Keep the coarse
+    search budget plus the finest budgets (the only level of a fully
+    collapsed schedule is both coarsest and finest, so it gets the full
+    coarse budget). An explicit ``voxel_sizes`` schedule still requires
+    an exact length match.
+    """
+    if level_maxiters is None:
+        return _default_level_maxiters(n_levels, maxiter, polish_divisor)
+    lm = list(level_maxiters)
+    if len(lm) == n_levels:
+        return lm
+    if auto_schedule and len(lm) > n_levels:
+        return [lm[0]] + lm[len(lm) - (n_levels - 1):]
+    raise ValueError("level_maxiters length must match the level count")
+
+
 def _sliced_level(budget, dispatch_chunk, warm, run, carry, tol=0.0,
                   stop=None):
     """One pyramid level as warm-resumed <= chunk-iteration programs.
@@ -288,13 +311,12 @@ def registration_cpd_pyramid(
                              "to registration_cpd instead.")
 
     # Keep the caller's device arrays at full resolution (no host round trip).
+    auto_schedule = voxel_sizes is None
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)
 
-    if level_maxiters is None:
-        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 5)
-    if len(level_maxiters) != len(voxel_sizes):
-        raise ValueError("level_maxiters length must match the level count")
+    level_maxiters = _fit_level_maxiters(
+        level_maxiters, len(voxel_sizes), maxiter, 5, auto_schedule)
 
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     if mesh is not None and (nonrigid or callbacks):
@@ -393,7 +415,19 @@ def _interp_displacement(coarse_pts, coarse_disp, fine_pts, voxel):
     from .ops import gausstransform as gto
 
     dim = coarse_pts.shape[1]
-    h = 2.0 * float(voxel) if voxel else 1.0
+    if voxel:
+        h = 2.0 * float(voxel)
+    else:
+        # Scale-aware fallback (no voxel = the carry crosses equal-
+        # resolution levels, e.g. iteration-splitting schedules with
+        # repeated 0.0 entries): ~2x the typical coarse point spacing
+        # (surfaces: spacing ~ diag/sqrt(n)), in the CLOUD's own units.
+        # An absolute h=1.0 flattened the field for small-extent clouds
+        # and underflowed it for large-coordinate ones.
+        ext = np.asarray(coarse_pts.max(axis=0) - coarse_pts.min(axis=0),
+                         np.float64)
+        diag = float(np.linalg.norm(ext))
+        h = max(2.0 * diag / np.sqrt(max(coarse_pts.shape[0], 2)), 1e-12)
     wts = jnp.concatenate(
         [jnp.asarray(coarse_disp, _config.config.dtype),
          jnp.ones((coarse_pts.shape[0], 1), _config.config.dtype)], axis=1)
@@ -476,14 +510,13 @@ def registration_bcpd_pyramid(
                          "callbacks (warm starts require the jitted path)")
     kwargs.pop("callbacks", None)
 
+    auto_schedule = voxel_sizes is None
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor,
         keep_device_last=False)
 
-    if level_maxiters is None:
-        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 3)
-    if len(level_maxiters) != len(voxel_sizes):
-        raise ValueError("level_maxiters length must match the level count")
+    level_maxiters = _fit_level_maxiters(
+        level_maxiters, len(voxel_sizes), maxiter, 3, auto_schedule)
 
     normalize = bool(kwargs.pop("normalize", True))
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
@@ -720,20 +753,28 @@ def registration_filterreg_pyramid(
                          "(the multistart coarsest level runs the "
                          "no-callback rigid dense path)")
 
+    auto_schedule = voxel_sizes is None
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)
-    if level_maxiters is None:
-        # FilterReg's q is a shrinking annealed residual, so the |q - q_prev|
-        # tol rarely stops the full-resolution level early — cap it at a
-        # warm-started polish budget like the other pyramid entry points.
-        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 3)
-    if len(level_maxiters) != len(voxel_sizes):
-        raise ValueError("level_maxiters length must match the level count")
+    # FilterReg's q is a shrinking annealed residual, so the |q - q_prev|
+    # tol rarely stops the full-resolution level early — the default caps
+    # it at a warm-started polish budget like the other pyramid entries.
+    level_maxiters = _fit_level_maxiters(
+        level_maxiters, len(voxel_sizes), maxiter, 3, auto_schedule)
 
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     if mesh is not None and (callbacks or dispatch_chunk):
         raise ValueError("mesh= FilterReg pyramid supports neither "
                          "callbacks nor dispatch_chunk")
+    if mesh is not None and kwargs:
+        # The sharded runner implements the dense pt2pt/pt2pl EM only; a
+        # TypeError from deep inside the first sharded level would be
+        # cryptic (same call works single-device).
+        raise ValueError(
+            f"mesh= FilterReg pyramid does not support {sorted(kwargs)}; "
+            "supported there: sigma2/w/maxiter/tol/min_sigma2/"
+            "sigma2_decay/update_sigma2/objective_type/target_normals/"
+            "n_starts.")
     res = None
     tf_init = None
     sigma2 = None
@@ -838,12 +879,11 @@ def registration_gmmtree_pyramid(
                          "to registration_gmmtree instead.")
     n_starts = int(kwargs.pop("n_starts", 1))
 
+    auto_schedule = voxel_sizes is None
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)
-    if level_maxiters is None:
-        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 2)
-    if len(level_maxiters) != len(voxel_sizes):
-        raise ValueError("level_maxiters length must match the level count")
+    level_maxiters = _fit_level_maxiters(
+        level_maxiters, len(voxel_sizes), maxiter, 2, auto_schedule)
 
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     if dispatch_chunk and n_starts > 1:
@@ -898,12 +938,11 @@ def registration_icp_pyramid(
         raise ValueError("tf_init_params is managed by the pyramid; pass it "
                          "to registration_icp instead.")
 
+    auto_schedule = voxel_sizes is None
     src_levels, tgt_levels, voxel_sizes = _prepare_levels(
         source, target, voxel_sizes, levels, coarse_points, factor)
-    if level_maxiters is None:
-        level_maxiters = _default_level_maxiters(len(voxel_sizes), maxiter, 2)
-    if len(level_maxiters) != len(voxel_sizes):
-        raise ValueError("level_maxiters length must match the level count")
+    level_maxiters = _fit_level_maxiters(
+        level_maxiters, len(voxel_sizes), maxiter, 2, auto_schedule)
 
     dispatch_chunk = kwargs.pop("dispatch_chunk", None)
     res = None

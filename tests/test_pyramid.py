@@ -721,3 +721,51 @@ def test_bcpd_pyramid_n_starts_with_2d_mesh(rng):
     base = _nn_rmse(src, tgt)
     assert rmse < 0.7 * base
     assert angle < 0.7  # right basin (see test_bcpd_pyramid_n_starts)
+
+def test_level_maxiters_survives_degenerate_auto_schedule(rng):
+    """auto_voxel_sizes collapses to ONE level when there is nothing to
+    downsample; a user who sized level_maxiters to the `levels` they
+    requested must not crash on that data-dependent collapse (review
+    finding). The collapsed single level gets the coarse (full) budget."""
+    src = _dense_cloud(rng, n=800)          # < coarse_points -> flat
+    rot = np.asarray(so.euler2mat(0.0, 0.0, 0.1))
+    tgt = np.asarray(tf.RigidTransformation(rot, np.zeros(3)).transform(src))
+    res = pyramid.registration_cpd_pyramid(
+        src, tgt, "rigid", levels=3, level_maxiters=[40, 20, 10])
+    ang = float(so.rotation_angle(np.asarray(res.transformation.rot), rot))
+    assert ang < 1e-3
+    # An explicit voxel_sizes schedule still requires an exact match.
+    with pytest.raises(ValueError, match="level_maxiters"):
+        pyramid.registration_cpd_pyramid(
+            src, tgt, "rigid", voxel_sizes=[0.05, 0.0],
+            level_maxiters=[40, 20, 10])
+
+
+def test_interp_displacement_bandwidth_is_scale_aware():
+    """voxel=0 carries (equal-resolution levels) must use a bandwidth in
+    the CLOUD's units: an absolute h=1.0 flattened the field for
+    small-extent clouds (review finding)."""
+    rng = np.random.default_rng(5)
+    # Millimeter-scale cloud (extent ~0.1) with a displacement field that
+    # VARIES across the cloud; a flat kernel smears it to its mean.
+    pts = rng.uniform(0.0, 0.1, size=(400, 3)).astype(np.float32)
+    disp = np.stack([np.sin(20.0 * pts[:, 0]),
+                     np.cos(20.0 * pts[:, 1]),
+                     pts[:, 2] * 5.0], axis=1).astype(np.float32)
+    out = pyramid._interp_displacement(pts, disp, pts, 0.0)
+    err = float(np.abs(out - disp).max())
+    smear = float(np.abs(disp - disp.mean(0)).max())
+    # The old absolute h=1.0 returned ~the field mean (err ~= smear).
+    assert err < 0.3 * smear, (err, smear)
+
+
+def test_filterreg_pyramid_mesh_rejects_unsupported_kwargs(rng):
+    """kwargs valid on the single-device path but not implemented by the
+    sharded runner must fail with a clear upfront ValueError, not a
+    TypeError from inside the first sharded level (review finding)."""
+    from probreg_tpu import parallel
+
+    src = _dense_cloud(rng, n=5000)
+    with pytest.raises(ValueError, match="does not support"):
+        pyramid.registration_filterreg_pyramid(
+            src, src, mesh=parallel.make_mesh(), estep_method="lattice")

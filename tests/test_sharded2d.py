@@ -269,3 +269,31 @@ def test_2d_bcpd_uneven_padding(mesh2d, rigid_pair):
         < 0.7 * _nn_rmse(src_u, tgt_u)
     with pytest.raises(ValueError):
         sh.registration_bcpd_sharded(src_u, tgt_u, mesh=mesh2d, rank=None)
+
+def test_2d_bcpd_tf_only_warm_start_matches_single_device(mesh2d,
+                                                          rigid_pair):
+    """A raw-frame pose warm start WITHOUT a displacement field must mean
+    the same transform (x = s R y + t, v_raw = 0) on both entry points —
+    the single-device path used to start at s R (y - centroid) + t for
+    off-center clouds (review finding)."""
+    from probreg_tpu import bcpd
+
+    src, tgt, rot, t_gt = rigid_pair
+    src = (src[:600] + np.array([3.0, -2.0, 5.0],
+                                np.float32))   # far off-center
+    tgt = (src @ rot.T + t_gt).astype(np.float32)
+    warm = {"rot": rot, "t": t_gt}
+    res_1dev = bcpd.registration_bcpd(src, tgt, maxiter=8, tol=0.0,
+                                      lmd=10.0, rank=32,
+                                      tf_init_params=dict(warm))
+    res_2d = sharded2d.registration_bcpd_2d(src, tgt, maxiter=8, tol=0.0,
+                                            lmd=10.0, rank=32, mesh=mesh2d,
+                                            tf_init_params=dict(warm))
+    m1 = np.asarray(res_1dev.transform(src))
+    m2 = np.asarray(res_2d.transform(src))
+    base = _nn_rmse(src, tgt)
+    # Both start AT the true pose: neither may wander off it in 8 warm
+    # iterations, and the two trajectories must agree.
+    assert _nn_rmse(m1, tgt) < 0.05 * base
+    assert _nn_rmse(m2, tgt) < 0.05 * base
+    assert abs(_nn_rmse(m2, tgt) - _nn_rmse(m1, tgt)) < 0.02 * base
