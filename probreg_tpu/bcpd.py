@@ -170,7 +170,13 @@ def combined_mstep(source, target, rot, t, scale, estep_res, gmat, lmd, k,
     s1 = jnp.sum(nu_d * jnp.sum(target * target, axis=1))
     s2 = jnp.sum(px * y_hat)
     s3 = jnp.sum(nu * jnp.sum(y_hat * y_hat, axis=1))
-    sigma2 = (s1 - 2.0 * s2 + s3) / (n_p * dim) + scale_new ** 2 * sigma2_m
+    # Same f32 eps floor as _vi_mstep_t: the s1 - 2 s2 + s3 cancellation
+    # can go NEGATIVE at large N (observed at 700k) and a negative sigma2
+    # NaN-poisons every later iterate — this path serves the callback /
+    # chunked-callback loops, which lacked the round-4 fix.
+    sigma2 = jnp.maximum(
+        (s1 - 2.0 * s2 + s3) / (n_p * dim) + scale_new ** 2 * sigma2_m,
+        _EPS)
     return (tf.CombinedTransformation(rot_new, t_new, scale_new, v_hat),
             u_hat, sigma_out, alpha, sigma2)
 
@@ -582,6 +588,22 @@ class BayesianCoherentPointDrift(abc.ABC):
                 or extra_init is not None:
             raise ValueError("warm starts are only supported on the jitted "
                              "(no-callback) path")
+        m = int(self._source.shape[0])
+        n = int(jnp.shape(target)[0])
+        if (jax.default_backend() == "tpu"
+                and m * n > int(_config.config.transposed_em_max_pairs)):
+            # The callback loop materializes several dense (M, N) arrays
+            # per iteration (bcpd_estep) — sizes the jitted path streams
+            # fine would exhaust HBM here (and HBM-heavy runs are a
+            # documented tunnel-fault trigger).
+            raise ValueError(
+                f"BCPD with callbacks materializes the dense (M, N) "
+                f"posterior; M*N = {m}*{n} exceeds "
+                f"config.transposed_em_max_pairs = "
+                f"{int(_config.config.transposed_em_max_pairs)}. Run "
+                "without callbacks (the jitted path streams target "
+                "blocks), or register voxel-downsampled clouds for "
+                "visualization.")
         return self._registration_loop(target, w, maxiter, tol,
                                        callback_chunk=int(callback_chunk))
 
@@ -704,7 +726,12 @@ class CombinedBCPD(BayesianCoherentPointDrift):
                        np.asarray(p.get("t", np.zeros(dim)), np.float64),
                        np.float64(p.get("scale", 1.0)), v0, alpha0, sdiag0)
         try:
-            self._initialize(target)
+            # Only the Gram/Nystrom factor is needed here; _initialize
+            # would additionally allocate an (M, M) eye (1.6 GB at 20k
+            # dense, discarded unread) and dispatch a squared_kernel_sum
+            # whose result the line below recomputes — each eager op is a
+            # full tunnel RTT (CLAUDE.md).
+            self.gmat = self._gram()
             # Same eps clamp as the in-loop sigma2 floor: a sliced-dispatch
             # resume re-feeds the previous chunk's sigma2, which may have
             # collapsed to ~0 after convergence.
@@ -984,11 +1011,12 @@ def _registration_bcpd_impl(
             f"multistart at M*N = {src.shape[0]}*{tgt.shape[0]}",
             "Use registration_bcpd_pyramid(n_starts=...) — the "
             "orientation search runs on the small coarsest level.")
-        results = _registration_bcpd_multistart_batch(
+        results, s2_raws = _registration_bcpd_multistart_batch(
             [src], [tgt], w=w, maxiter=maxiter, tol=tol,
             n_starts=n_starts, **kwargs)
-        return (results[0], None, None, None) if return_last \
-            else (results[0], None)
+        s2_raw = float(s2_raws[0])
+        return (results[0], s2_raw, None, None) if return_last \
+            else (results[0], s2_raw)
     if not normalize:
         bc = CombinedBCPD(src, **kwargs)
         bc.set_callbacks(callbacks)
@@ -1089,12 +1117,10 @@ def _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, *, w,
 
     rot, t, scale, v, s2, rmse = jax.vmap(run)(rots0)
     i = jnp.argmin(jnp.where(jnp.isnan(rmse), jnp.inf, rmse))
-    return tf.CombinedTransformation(rot[i], t[i], scale[i], v[i])
-
-
-@partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
-def _run_bcpd_multistart_jit(source, target, gamma, lmd, k, rots0, **kw):
-    return _run_bcpd_multistart(source, target, gamma, lmd, k, rots0, **kw)
+    # Also return the WINNER's final sigma2: the pyramid/tracker carry it
+    # as the next warm start's temperature — dropping it forced the level
+    # above a multistart to re-run the dense start-temperature annealing.
+    return tf.CombinedTransformation(rot[i], t[i], scale[i], v[i]), s2[i]
 
 
 @partial(jax.jit, static_argnames=("w", "maxiter", "tol", "rank", "block"))
@@ -1191,7 +1217,7 @@ def registration_bcpd_batch(
             raise ValueError("n_starts > 1 requires the normalized path")
         return _registration_bcpd_multistart_batch(
             sources, targets, w=w, maxiter=maxiter, tol=tol,
-            n_starts=n_starts, lmd=lmd, k=k, gamma=gamma, rank=rank)
+            n_starts=n_starts, lmd=lmd, k=k, gamma=gamma, rank=rank)[0]
     if ragged:
         if n_starts > 1 and not normalize:
             raise ValueError("n_starts > 1 requires the normalized path")
@@ -1274,7 +1300,7 @@ def _registration_bcpd_multistart_batch(sources, targets, *, w, maxiter,
     dt = _config.config.dtype
     rots0 = jnp.asarray(
         cf.RigidCostFunction.initial_multistart_rots(int(n_starts)), dt)
-    transf = _run_bcpd_multistart_batch(
+    transf, s2_n = _run_bcpd_multistart_batch(
         jnp.asarray(src_h / scale[:, None, None], dt),
         jnp.asarray(tgt_h / scale[:, None, None], dt),
         jnp.asarray(gamma, dt), jnp.asarray(lmd, dt), jnp.asarray(k, dt),
@@ -1285,12 +1311,14 @@ def _registration_bcpd_multistart_batch(sources, targets, *, w, maxiter,
     tvec = np.asarray(transf.rigid_trans.t)
     s = np.asarray(transf.rigid_trans.scale)
     v = np.asarray(transf.v)
-    return [
+    results = [
         tf.CombinedTransformation(
             rot[i], scale[i] * tvec[i] + centroid[i], s[i],
             scale[i] * v[i] - centroid[i])
         for i in range(b)
     ]
+    # Winner sigma2 back in raw units — the pyramid/tracker warm carry.
+    return results, np.asarray(s2_n, np.float64) * scale ** 2
 
 
 def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
@@ -1342,7 +1370,7 @@ def _registration_bcpd_ragged(sources, targets, *, w, maxiter, tol, lmd, k,
         rots0 = jnp.asarray(
             cf.RigidCostFunction.initial_multistart_rots(
                 int(n_starts), src_p.shape[-1]), dt)
-        transf = _run_bcpd_multistart_ragged_batch(
+        transf, _ = _run_bcpd_multistart_ragged_batch(
             jnp.asarray(src_p), jnp.asarray(tgt_p),
             jnp.asarray(smask), jnp.asarray(tmask),
             jnp.asarray(gamma, dt), jnp.asarray(lmd, dt),

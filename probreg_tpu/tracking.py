@@ -103,6 +103,19 @@ class RigidTracker:
         if mode not in ("frame_to_frame", "keyframe"):
             raise ValueError("mode must be 'frame_to_frame' or 'keyframe'; "
                              f"got {mode!r}")
+        reserved = {"tf_init_params"}
+        if algorithm == "cpd":
+            reserved.add("sigma2_init")
+        elif algorithm == "filterreg":
+            reserved.add("sigma2")
+        bad = sorted(set(kwargs) & reserved)
+        if bad:
+            raise ValueError(
+                f"RigidTracker drives {bad} itself (the warm pose/variance "
+                "carry); they cannot be overridden per construction.")
+        if algorithm == "icp" and "n_starts" in kwargs:
+            raise ValueError("ICP has no orientation multistart; n_starts "
+                             "is supported for algorithm='cpd'/'filterreg'")
         self.algorithm = algorithm
         self.mode = mode
         self.sigma2_inflation = float(sigma2_inflation)
@@ -325,12 +338,14 @@ class NonrigidTracker:
         self.template: Optional[np.ndarray] = None
         self.transformation = None   # latest CombinedTransformation
         self._warm: Optional[Dict] = None
+        self._last_sigma2: Optional[float] = None
         self.n_frames = 0
 
     def reset(self) -> None:
         self.template = None
         self.transformation = None
         self._warm = None
+        self._last_sigma2 = None
         self.n_frames = 0
 
     def update(self, frame):
@@ -369,8 +384,10 @@ class NonrigidTracker:
             extra.pop("n_starts", None)
             if not warm and self.transformation is not None:
                 # The multistart path returns no VI state — seed the next
-                # frame from the recovered pose + displacement field so
-                # the found orientation is not discarded.
+                # frame from the recovered pose + displacement field (and
+                # the winner's final variance) so the found orientation is
+                # not discarded and the solve skips the start-temperature
+                # regime.
                 tr = self.transformation
                 warm = {
                     "tf_init_params": {
@@ -380,7 +397,16 @@ class NonrigidTracker:
                     },
                     "v_init": np.asarray(tr.v),
                 }
-        res, _, last, _ = _bcpd._registration_bcpd_impl(
+                if self._last_sigma2 is not None:
+                    s2 = self._last_sigma2 * self.sigma2_inflation
+                    if self.sigma2_floor_frac > 0.0:
+                        from .utils import math_utils as mu
+
+                        s2 = max(s2, self.sigma2_floor_frac
+                                 * mu.squared_kernel_sum_np(self.template,
+                                                            pts))
+                    warm["sigma2_init"] = s2
+        res, s2f, last, _ = _bcpd._registration_bcpd_impl(
             self.template, pts, w=self.kwargs.get("w", 0.0),
             maxiter=self.kwargs.get("maxiter", 50),
             tol=self.kwargs.get("tol", 1.0e-3),
@@ -389,5 +415,6 @@ class NonrigidTracker:
             **{**extra, **warm})
         self.transformation = res
         self._warm = last    # full raw-frame VI state, or None
+        self._last_sigma2 = None if s2f is None else float(s2f)
         self.n_frames += 1
         return res

@@ -38,6 +38,12 @@ def test_two_process_sharded_cpd(tmp_path):
 
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # The workers are CPU-Gloo hosts regardless of the suite's backend:
+    # inherited axon/TPU platform env vars make the plugin's get_backend
+    # hook resolve 'tpu' inside the worker (observed on the real-chip
+    # suite run) and two workers would fight over the one chip anyway.
+    env["PROBREG_TPU_TEST_BACKEND"] = "cpu"
+    env["JAX_PLATFORMS"] = env["JAX_PLATFORM_NAME"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [

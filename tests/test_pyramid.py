@@ -769,3 +769,33 @@ def test_filterreg_pyramid_mesh_rejects_unsupported_kwargs(rng):
     with pytest.raises(ValueError, match="does not support"):
         pyramid.registration_filterreg_pyramid(
             src, src, mesh=parallel.make_mesh(), estep_method="lattice")
+
+def test_bcpd_pyramid_multistart_carries_sigma2(rng):
+    """The multistart coarsest level must hand its WINNER's variance to the
+    next level — dropping it (review finding) re-ran the dense
+    start-temperature annealing the pyramid exists to skip."""
+    from probreg_tpu import bcpd as _bcpd
+
+    src = _dense_cloud(rng, n=6000)
+    rot = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(120.0)))
+    tgt = np.asarray(tf.RigidTransformation(rot, np.zeros(3)).transform(src))
+
+    seen = []
+    orig = _bcpd._registration_bcpd_impl
+
+    def spy(*args, **kwargs):
+        seen.append(dict(kwargs))
+        return orig(*args, **kwargs)
+
+    _bcpd._registration_bcpd_impl, saved = spy, orig
+    try:
+        pyramid.registration_bcpd_pyramid(
+            src, tgt, maxiter=20, tol=0.0, rank=16, lmd=1e3, levels=2,
+            coarse_points=800, n_starts=4)
+    finally:
+        _bcpd._registration_bcpd_impl = saved
+    assert seen[0].get("n_starts") == 4
+    finer = [kw for kw in seen[1:] if kw.get("n_starts", 1) == 1]
+    assert finer, seen
+    s2 = finer[0].get("sigma2_init")
+    assert s2 is not None and np.isfinite(s2) and s2 > 0.0, s2

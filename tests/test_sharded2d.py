@@ -5,12 +5,19 @@ The 2-D path's posterior normalizer den_j spans every source shard
 2x4-mesh results match the 1-D mesh and the single-device registration.
 """
 
+import jax
 import numpy as np
 import pytest
 
 from probreg_tpu import cpd
 from probreg_tpu.parallel import sharded, sharded2d
 from probreg_tpu.utils import se3_op
+
+if jax.device_count() < 8:
+    # The 2-D (m, n) mesh needs 8 devices; the real-chip suite run has
+    # exactly one (the virtual mesh comes from conftest's CPU flags).
+    pytest.skip("2-D mesh tests need >= 8 devices",
+                allow_module_level=True)
 
 
 @pytest.fixture
