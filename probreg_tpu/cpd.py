@@ -498,17 +498,20 @@ def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
 # Functional EM step per transform type (module-level => stable jit cache)
 # --------------------------------------------------------------------------
 
-def _rigid_step(source, target, transf, sigma2, aux, w, assume_sorted=False):
+def _rigid_step(source, target, transf, sigma2, aux, w, assume_sorted=False,
+                use_pallas=None):
     t_source = transf._transform(source)
     mom = estep_ops.estep(t_source, target, sigma2, w,
+                          use_pallas=use_pallas,
                           assume_sorted=assume_sorted)
     return rigid_maximization_step(source, mom, aux["update_scale"])
 
 
 def _affine_step(source, target, transf, sigma2, aux, w,
-                 assume_sorted=False):
+                 assume_sorted=False, use_pallas=None):
     t_source = transf._transform(source)
     mom = estep_ops.estep(t_source, target, sigma2, w,
+                          use_pallas=use_pallas,
                           assume_sorted=assume_sorted)
     return affine_maximization_step(source, mom)
 
@@ -536,6 +539,17 @@ _affine_step_sorted = partial(_affine_step, assume_sorted=True)
 _SORTED_STEPS = {
     _rigid_step: _rigid_step_sorted,
     _affine_step: _affine_step_sorted,
+}
+# use_pallas=False pins the E-step to the XLA scan on the generic EM path
+# too (callback loops, the sorted culled branch): without these the pin
+# only governed the fused fast paths, and a user opting out of Pallas
+# kernels still got estep_small / the culled stash kernel (review
+# finding). Module-level partials keep the jit-cache identity stable.
+_rigid_step_xla = partial(_rigid_step, use_pallas=False)
+_affine_step_xla = partial(_affine_step, use_pallas=False)
+_XLA_STEPS = {
+    _rigid_step: _rigid_step_xla,
+    _affine_step: _affine_step_xla,
 }
 
 
@@ -734,7 +748,14 @@ class CoherentPointDrift(abc.ABC):
                 return fast
         source = self._source
         step_fn = self._step_fn()
-        sorted_step = _SORTED_STEPS.get(step_fn)
+        if getattr(self, "_use_pallas", None) is False:
+            # The pin means "no Pallas kernels" everywhere, including the
+            # small-problem kernel and the Morton-sorted culled branch
+            # below (which IS a Pallas kernel).
+            step_fn = _XLA_STEPS.get(step_fn, step_fn)
+            sorted_step = None
+        else:
+            sorted_step = _SORTED_STEPS.get(step_fn)
         if (not self._callbacks
                 and sorted_step is not None
                 and jax.default_backend() == "tpu"
@@ -851,10 +872,16 @@ class RigidCPD(CoherentPointDrift):
                 raise ValueError("n_starts > 1 and tf_init_params are "
                                  "mutually exclusive")
             inits = _multistart_inits(self._n_starts, dim)
+            # sigma2_init composes with the search: every restart anneals
+            # from the caller's temperature (it was silently dropped
+            # before — review finding).
+            s2w = (None if self._sigma2_init is None
+                   else jnp.asarray(self._sigma2_init,
+                                    _config.config.dtype))
             lin, t, scale, sigma2, q = _run_em_t_multistart_jit(
                 self._source, target, jnp.asarray(inits),
                 w=float(w), maxiter=int(maxiter), tol=float(tol),
-                update_scale=bool(self._update_scale))
+                update_scale=bool(self._update_scale), sigma2_init=s2w)
             return MstepResult(tf.RigidTransformation(lin, t, scale),
                                sigma2, q)
         s2i = (None if self._sigma2_init is None
@@ -1136,10 +1163,11 @@ def _multistart_inits(n_starts: int, dim: int) -> np.ndarray:
 
 
 def _run_em_t_multistart(source, target, inits, *, w, maxiter, tol,
-                         update_scale, smask=None, tmask=None):
+                         update_scale, smask=None, tmask=None,
+                         sigma2_init=None):
     run = partial(_run_em_t, kind="rigid", w=w, maxiter=maxiter, tol=tol,
                   update_scale=update_scale, default_init=False,
-                  smask=smask, tmask=tmask)
+                  smask=smask, tmask=tmask, sigma2_init=sigma2_init)
     lin, t, scale, sigma2, q = jax.vmap(
         lambda x0: run(source, target, x0))(inits)
     # Select by final sigma2: the EM variance IS the alignment residual and
@@ -1151,9 +1179,10 @@ def _run_em_t_multistart(source, target, inits, *, w, maxiter, tol,
 
 @partial(jax.jit, static_argnames=("w", "update_scale"))
 def _run_em_t_multistart_jit(source, target, inits, *, w, maxiter, tol,
-                             update_scale):
+                             update_scale, sigma2_init=None):
     return _run_em_t_multistart(source, target, inits, w=w, maxiter=maxiter,
-                                tol=tol, update_scale=update_scale)
+                                tol=tol, update_scale=update_scale,
+                                sigma2_init=sigma2_init)
 
 
 @partial(jax.jit, static_argnames=("w", "update_scale"))

@@ -34,6 +34,7 @@ from . import config as _config
 from .log import log
 from .models import transformation as tf
 from .ops import gausstransform as gto
+from .ops import pairwise as _pw
 from .ops import permutohedral as phops
 from .ops import rigid_solvers
 from .utils import dualquat as dq
@@ -70,7 +71,12 @@ def rigid_mstep_pt2pt(t_source, m0, m1, m2, rot_p, t_p, sigma2, c):
     mask = (m0 > 0.0).astype(t_source.dtype)
     m0_safe = jnp.maximum(m0, _EPS)
     m1m0 = m1 / m0_safe[:, None]
-    m0m0 = m0 / (m0 + c)
+    # Guard m0 + c: with w = 0 (c = 0) the culled/streaming E-steps yield
+    # EXACT zeros for unsupported source rows — 0/0 would NaN the Kabsch
+    # weights (mask * NaN is still NaN). Same guard as
+    # _mstep_from_moments_t; the reference filters zero rows instead
+    # (reference filterreg.py:166-170).
+    m0m0 = m0 / jnp.maximum(m0 + c, _EPS)
     drxdx = mask * jnp.sqrt(m0m0 / sigma2)
     dr, dt = rigid_solvers.weighted_kabsch(t_source, m1m0, drxdx)
     rx = drxdx[:, None] * (t_source - m1m0)
@@ -86,7 +92,7 @@ def rigid_mstep_pt2pl(t_source, m0, m1, m2, nx, rot_p, t_p, sigma2, c):
     m0_safe = jnp.maximum(m0, _EPS)
     m1m0 = m1 / m0_safe[:, None]
     nxm0 = nx / m0_safe[:, None]
-    m0m0 = m0 / (m0 + c)
+    m0m0 = m0 / jnp.maximum(m0 + c, _EPS)   # 0/0 guard, see pt2pt above
     drxdx = mask * jnp.sqrt(m0m0 / sigma2)
     tw, q = rigid_solvers.twist_for_pt2pl(t_source, m1m0, nxm0, drxdx)
     rot, t = so.twist_mul(tw, rot_p, t_p)
@@ -106,7 +112,7 @@ def _sigma2_update(t_source, m0, m1, m2, m0m0, c, mask, sigma2_old):
     dim = t_source.shape[1]
     num = m0 * jnp.sum(t_source * t_source, axis=1) \
         - 2.0 * jnp.sum(t_source * m1, axis=1) + m2
-    s2 = jnp.sum(mask * num / (m0 + c))
+    s2 = jnp.sum(mask * num / jnp.maximum(m0 + c, _EPS))
     s2 = s2 / (dim * jnp.maximum(jnp.sum(mask * m0m0), _EPS))
     return s2
 
@@ -251,22 +257,22 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
 
     if auto_sigma2:
         if objective_type == "pt2pl":
-            # Point-spacing scale (see registration()): mean nonzero-NN d^2.
-            d2x = jnp.maximum(
-                x2.T + x2 - 2.0 * jax.lax.dot_general(
-                    xs_t, xs_t, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST), 0.0)
-            d2x = jnp.where(d2x <= 1e-12, jnp.inf, d2x)
+            # Point-spacing scale (see registration()): mean nonzero-NN
+            # d^2, streamed in O(N * block) memory (ops/pairwise). A
+            # dense (N, N) self-distance matrix here is bounded only by
+            # the M*N fast-path gate and could dwarf the (M, N) kernel
+            # that gate was sized for (small source, huge target).
             if masked:
-                d2x = jnp.where(tmask[None, :] > 0, d2x, jnp.inf)
-            nn2 = jnp.min(d2x, axis=1)
-            nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
-            if masked:
-                nn2 = nn2 * tmask
+                # Padded rows pushed far from the cloud: they keep their
+                # relative offsets (their own tiny NNs are zeroed by
+                # tmask below) and never become a valid row's NN.
+                far = target + (1.0 - tmask[:, None]) * 1.0e6
+                nn2 = _pw.nearest_sqdist(far, far, exclude_zero=True)
+                nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0) * tmask
                 sigma2_0 = jnp.maximum(jnp.sum(nn2) / n, min_sigma2 * 0.01)
             else:
-                sigma2_0 = jnp.maximum(jnp.mean(nn2), min_sigma2 * 0.01)
+                sigma2_0 = jnp.maximum(_pw.point_spacing_sq(target),
+                                       min_sigma2 * 0.01)
         elif masked:
             sigma2_0 = jnp.maximum(
                 mu.masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask),
@@ -536,6 +542,21 @@ class FilterReg(abc.ABC):
                     or not _is_identity_feature(feature_fn)):
                 raise ValueError("n_starts > 1 requires the rigid dense "
                                  "no-callback path")
+            if (self._source.shape[0] * target.shape[0]
+                    > _config.config.transposed_em_max_pairs):
+                # The multistart vmaps n_starts copies of the dense
+                # (M, N)-kernel EM into ONE program — a size the
+                # single-start path refuses and streams instead; reaching
+                # the device would OOM/fault it (cf. the same guard in
+                # cpd.RigidCPD._registration_fast).
+                raise ValueError(
+                    "n_starts > 1 FilterReg materializes n_starts dense "
+                    f"(M, N) kernels; M*N = {self._source.shape[0]}*"
+                    f"{target.shape[0]} exceeds "
+                    "config.transposed_em_max_pairs. Run the orientation "
+                    "search on a downsampled cloud "
+                    "(pyramid.registration_filterreg_pyramid(n_starts=)) "
+                    "and warm-start the full size with tf_init_params.")
             normals = self._target_normals \
                 if objective_type == "pt2pl" else None
             if objective_type == "pt2pl" and normals is None:
@@ -780,22 +801,34 @@ class FilterReg(abc.ABC):
         normals = self._target_normals if objective_type == "pt2pl" else None
         if objective_type == "pt2pl" and normals is None:
             raise ValueError("pt2pl requires target_normals.")
-        auto = self._sigma2 is None
-        flags = {"first": True, "q": None}
+        if self._sigma2 is None:
+            # Resolve the start temperature ONCE, outside the scanned
+            # program: toggling the STATIC auto_sigma2 arg between the
+            # first and later chunks compiled the K-step EM program twice
+            # per registration (review finding; a degraded-tunnel compile
+            # costs minutes, CLAUDE.md). Same formulas as _run_em_rigid's
+            # auto branch.
+            if objective_type == "pt2pl":
+                s20 = np.float32(jnp.maximum(
+                    _pw.point_spacing_sq(target), min_sigma2 * 0.01))
+            else:
+                s20 = np.float32(jnp.maximum(
+                    mu.squared_kernel_sum(self._source, target),
+                    min_sigma2))
+        else:
+            s20 = np.float32(self._sigma2)
+        flags = {"q": None}
         rot0 = jnp.asarray(self._tf_result.rot, self._source.dtype)
         t0 = jnp.asarray(self._tf_result.t, self._source.dtype)
-        s20 = np.float32(0.0 if auto else self._sigma2)
 
         def chunk_fn(st, kk):
-            out = _run_em_rigid(
+            return _run_em_rigid(
                 self._source, target, normals, st[0], st[1], st[2],
                 objective_type=objective_type,
                 update_sigma2=self._update_sigma2, w=float(w),
                 maxiter=0, tol=0.0, min_sigma2=float(min_sigma2),
                 sigma2_decay=float(sigma2_decay),
-                auto_sigma2=auto and flags["first"], chunk_k=kk)
-            flags["first"] = False
-            return out
+                auto_sigma2=False, chunk_k=kk)
 
         def handle(i, hist, j):
             rots, ts, s2s, qs = hist
@@ -954,9 +987,19 @@ class RigidFilterReg(FilterReg):
         # Infer dimensionality from the source (the reference forces the
         # user to pass tf_init_params={'rot': np.identity(2), ...} for 2-D
         # clouds, examples/filterreg_rigid2d.py).
+        self._dim_inferred = not tf_init_params
         if not tf_init_params and self._source is not None:
             tf_init_params = {"dim": int(self._source.shape[1])}
         self._tf_result = self._tf_type(**tf_init_params)
+
+    def set_source(self, source):
+        super().set_source(source)
+        # Re-run the inference: constructing with source=None and calling
+        # set_source(2-D cloud) later otherwise left a 3x3 identity that
+        # crashed the runner with an opaque shape error.
+        if self._dim_inferred:
+            self._tf_result = self._tf_type(
+                dim=int(self._source.shape[1]))
 
     @staticmethod
     def _maximization_step(t_source, target, estep_res, trans_p, sigma2,

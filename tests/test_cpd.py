@@ -262,3 +262,55 @@ def test_nonrigid_no_morton_sort_under_tpu_condition(rng, monkeypatch):
     rmse = np.sqrt(((moved - target) ** 2).sum(1)).mean()
     rmse0 = np.sqrt(((source - target) ** 2).sum(1)).mean()
     assert rmse < 0.3 * rmse0
+
+def test_multistart_composes_with_sigma2_init(rng):
+    """sigma2_init must thread into the orientation-grid restarts (review
+    finding: it was silently dropped — every restart re-annealed from the
+    dense start temperature)."""
+    from probreg_tpu import cpd as _cpd
+    from probreg_tpu import se3_op as so
+    from probreg_tpu import transformation as tf
+
+    src = rng.random((400, 3)).astype(np.float32)
+    rot = np.asarray(so.euler2mat(0.0, 0.0, np.deg2rad(130.0)))
+    tgt = np.asarray(tf.RigidTransformation(rot, np.zeros(3)).transform(src))
+
+    seen = {}
+    orig = _cpd._run_em_t_multistart_jit
+
+    def spy(*args, **kwargs):
+        seen["sigma2_init"] = kwargs.get("sigma2_init")
+        return orig(*args, **kwargs)
+
+    _cpd._run_em_t_multistart_jit, saved = spy, orig
+    try:
+        res = _cpd.registration_cpd(src, tgt, n_starts=6, sigma2_init=0.05,
+                                    maxiter=50, tol=1e-6)
+    finally:
+        _cpd._run_em_t_multistart_jit = saved
+    assert seen["sigma2_init"] is not None
+    assert float(seen["sigma2_init"]) == pytest.approx(0.05)
+    # (No recovery bar here: a caller-chosen temperature legitimately
+    # narrows each restart's basin — the contract under test is that the
+    # knob reaches the restarts at all.)
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
+
+
+def test_use_pallas_false_pins_generic_path():
+    """use_pallas=False must reach the E-step on the generic (callback /
+    sorted) EM path too, not only the fused fast paths (review finding)."""
+    from probreg_tpu import cpd as _cpd
+
+    # The module-level pin mapping exists and pins the kwarg...
+    assert _cpd._XLA_STEPS[_cpd._rigid_step].keywords["use_pallas"] is False
+    assert _cpd._XLA_STEPS[_cpd._affine_step].keywords["use_pallas"] is False
+    # ...and a callback-mode registration with the pin still works and
+    # matches the default path (CPU here: behaviorally identical).
+    rng = np.random.default_rng(3)
+    src = rng.random((200, 3)).astype(np.float32)
+    tgt = src + 0.01
+    calls = []
+    reg = _cpd.RigidCPD(src, use_pallas=False)
+    reg.set_callbacks([lambda t: calls.append(1)])
+    res = reg.registration(tgt, maxiter=5, tol=0.0)
+    assert calls and np.isfinite(np.asarray(res.transformation.rot)).all()

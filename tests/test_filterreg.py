@@ -262,3 +262,80 @@ def test_filterreg_lattice_runner_matches_host_loop(clouds):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_j.transformation.t),
                                np.asarray(res_h.transformation.t), atol=1e-4)
+
+def test_mstep_zero_m0_rows_no_nan():
+    """Exact-zero m0 rows with w=0 (c=0) must not NaN the M-step: the
+    culled/streaming Gauss transforms return EXACT zeros for source rows
+    far from every target (review finding — the 0/0 guard existed only in
+    _mstep_from_moments_t)."""
+    import jax.numpy as jnp
+
+    t_src = jnp.asarray(np.random.default_rng(0).random((6, 3)), jnp.float32)
+    m0 = jnp.asarray([0.5, 0.0, 0.8, 0.0, 0.3, 0.9], jnp.float32)
+    m1 = m0[:, None] * (t_src + 0.01)
+    m2 = m0 * 1.1
+    nx = m0[:, None] * jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    c = jnp.asarray(0.0, jnp.float32)
+    for out in (filterreg.rigid_mstep_pt2pt(
+                    t_src, m0, m1, m2, jnp.eye(3), jnp.zeros(3), 0.05, c),
+                filterreg.rigid_mstep_pt2pl(
+                    t_src, m0, m1, m2, nx, jnp.eye(3), jnp.zeros(3),
+                    0.05, c)):
+        rot, t, s2, q = out
+        assert np.isfinite(np.asarray(rot)).all()
+        assert np.isfinite(np.asarray(t)).all()
+        assert np.isfinite(float(s2)) and np.isfinite(float(q))
+
+
+def test_multistart_respects_size_guard(monkeypatch):
+    """n_starts > 1 vmaps dense (M, N) kernels; above the fast-path bound
+    it must raise clearly, not reach the device (review finding)."""
+    from probreg_tpu import config as cfg
+
+    rng = np.random.default_rng(1)
+    src = rng.random((60, 3)).astype(np.float32)
+    monkeypatch.setattr(cfg.config, "transposed_em_max_pairs", 1000)
+    with pytest.raises(ValueError, match="transposed_em_max_pairs"):
+        filterreg.registration_filterreg(src, src, n_starts=4)
+
+
+def test_rigid_filterreg_set_source_infers_dim(clouds):
+    """Constructing with source=None and set_source(2-D cloud) later must
+    re-run the dimensionality inference (review finding: stale 3x3
+    identity crashed the runner)."""
+    rng = np.random.default_rng(2)
+    src2d = rng.random((80, 2)).astype(np.float32)
+    ang = np.deg2rad(7.0)
+    rot = np.array([[np.cos(ang), -np.sin(ang)],
+                    [np.sin(ang), np.cos(ang)]], np.float32)
+    tgt2d = src2d @ rot.T
+    f = filterreg.RigidFilterReg()
+    f.set_source(src2d)
+    res = f.registration(tgt2d, maxiter=40, tol=1e-6)
+    assert np.asarray(res.transformation.rot).shape == (2, 2)
+    assert np.allclose(np.asarray(res.transformation.rot), rot, atol=5e-2)
+
+
+def test_chunked_auto_sigma2_single_compile(clouds):
+    """The chunked callback path resolves the auto start temperature ONCE:
+    every chunk must run the SAME compiled program (auto_sigma2 static arg
+    constant — review finding: it toggled, doubling compiles)."""
+    source, target, _, _ = clouds
+    seen = []
+    orig = filterreg._run_em_rigid
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("auto_sigma2"))
+        return orig(*args, **kwargs)
+
+    filterreg._run_em_rigid, saved = spy, orig
+    try:
+        calls = []
+        res = filterreg.registration_filterreg(
+            source, target, maxiter=8, tol=0.0,
+            callbacks=[lambda t: calls.append(1)], callback_chunk=4)
+    finally:
+        filterreg._run_em_rigid = saved
+    assert len(seen) >= 2 and all(a is False for a in seen), seen
+    assert len(calls) == 8
+    assert np.isfinite(np.asarray(res.transformation.rot)).all()
