@@ -101,6 +101,9 @@ def _rescore_and_polish(xs, src, tgt, sigma, opt_maxiter, opt_tol,
     robj = cf.RigidCostFunction.pure_objective
     args = (s, phi_s, t, phi_t, sigma)
     scores = jax.vmap(lambda x: robj(x, *args))(xs)
+    # A single NaN-diverged start must not hijack the argmin (NaN
+    # propagates through jnp.argmin) — same guard as gmmtree's selection.
+    scores = jnp.where(jnp.isnan(scores), jnp.inf, scores)
     return _bfgs_solve(robj, xs[jnp.argmin(scores)], args,
                        opt_maxiter, opt_tol)
 
@@ -367,7 +370,8 @@ class TPSSVR(L2DistRegistration):
         super().__init__(
             source, ft.OneClassSVM(source.shape[1], sigma, gamma, nu),
             cf.TPSCostFunction([], alpha, beta), sigma, delta,
-            use_estimated_sigma, optimizer=kwargs.get("optimizer", "jax"))
+            use_estimated_sigma, optimizer=kwargs.get("optimizer", "jax"),
+            n_starts=kwargs.get("n_starts", 1))
         self._feature_gen.init()
         control_pts, _ = self._feature_gen.compute(source)
         self._cost_fn._control_pts = control_pts

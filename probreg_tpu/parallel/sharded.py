@@ -241,6 +241,26 @@ def _run_em_sharded_t(source, xs_t_sh, mask_sh, init=None, sigma2_init=None,
             nl = xs_sh.shape[1]
             tm = min(culled_tile, ((m + 7) // 8) * 8)
             tn = min(culled_tile, ((nl + 127) // 128) * 128)
+            # Per-device g-stash cap (config.cpd_stash_max_bytes): the
+            # stash is O(M_padded * tile_n) PER DEVICE — the source is
+            # replicated, so target sharding does not shrink it. The
+            # single-chip wrapper (estep_auto) shrinks/falls back; this
+            # branch has no stash-free twin, so shrink or refuse clearly
+            # rather than fault the worker (review finding).
+            from ..config import config as _cfg
+
+            budget = int(getattr(_cfg, "cpd_stash_max_bytes", 0) or 0)
+            if budget:
+                tn_c = ep._capped_stash_tile_n(
+                    m, tm, tn, budget=budget, on_overflow="fallback")
+                if tn_c is None:
+                    raise ValueError(
+                        f"sharded culled E-step: the per-device g-stash "
+                        f"for M={m} exceeds config.cpd_stash_max_bytes "
+                        f"({budget}) even at the tile_n=256 floor. Pass "
+                        "use_culled=False (dense per-shard scan) or use "
+                        "a 2-axis mesh (shards the source too).")
+                tn = min(tn, tn_c)
             mp = -(-m // tm) * tm
             nlp = -(-nl // tn) * tn
             f32 = jnp.float32
@@ -324,10 +344,35 @@ def _mstep_dispatch(kind: str) -> Callable:
     static_argnames=("kind", "w", "n", "mesh", "axis"),
 )
 def _run_em_sharded(
-    source, target_sh, mask_sh, tf0, sigma2_0, q0, aux,
-    *, kind, w, maxiter, tol, n, mesh, axis,
+    source, target_sh, mask_sh, tf0, aux,
+    *, kind, w, maxiter, tol, n, mesh, axis, sigma2_init=None,
 ):
-    """Sharded analogue of cpd._run_em: whole EM as one SPMD XLA program."""
+    """Sharded analogue of cpd._run_em: whole EM as one SPMD XLA program.
+
+    sigma2_0/q0 are computed INSIDE the program (closed-form masked
+    squared_kernel_sum + psum, as _run_em_sharded_t does) — eager jnp
+    init scalars each cost a full tunnel RTT (CLAUDE.md).
+    """
+    m, dim = source.shape
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis, None), P(axis)), out_specs=P())
+    def init_sigma2(src, x_sh, msk):
+        sx2 = jnp.sum(src * src)
+        st2 = jax.lax.psum(jnp.sum(x_sh * x_sh * msk[:, None]), axis)
+        sx = jnp.sum(src, axis=0)
+        st = jax.lax.psum(jnp.sum(x_sh * msk[:, None], axis=0), axis)
+        return (n * sx2 + m * st2 - 2.0 * jnp.dot(sx, st)) \
+            / float(m * dim * n)
+
+    if sigma2_init is not None:
+        sigma2_0 = jnp.maximum(jnp.asarray(sigma2_init, source.dtype),
+                               jnp.finfo(jnp.float32).eps)
+    else:
+        sigma2_0 = init_sigma2(source, target_sh, mask_sh)
+    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2_0)
+    if kind in ("nonrigid", "nonrigid_lowrank"):
+        aux = dict(aux, sigma2_p=sigma2_0)
 
     def step(transf, sigma2, aux):
         t_src = transf._transform(source)
@@ -445,12 +490,8 @@ def registration_cpd_sharded(
                          "on the sharded path (the nonrigid field has no "
                          "packed init)")
     target_sh, mask_sh, n = shard_points(target, mesh, axis)
-    if sigma2_init is not None:
-        sigma2 = jnp.maximum(jnp.asarray(sigma2_init, config.dtype),
-                             jnp.finfo(jnp.float32).eps)
-    else:
-        sigma2 = mu.squared_kernel_sum(src, tgt)
-    q0 = 1.0 + n * dim * 0.5 * jnp.log(sigma2)
+    s2i = (None if sigma2_init is None
+           else jnp.asarray(sigma2_init, config.dtype))
 
     if tf_type_name == "nonrigid":
         rank = kwargs.pop("rank", None)
@@ -459,7 +500,6 @@ def registration_cpd_sharded(
             aux = {
                 "g": tf0.g,
                 "lmd": jnp.asarray(lmd, config.dtype),
-                "sigma2_p": sigma2,
             }
         else:
             # Low-rank factors and the K x K Woodbury solve are replicated
@@ -471,16 +511,15 @@ def registration_cpd_sharded(
                 "u": u,
                 "lam": lam,
                 "lmd": jnp.asarray(lmd, config.dtype),
-                "sigma2_p": sigma2,
             }
             tf_type_name = "nonrigid_lowrank"
     else:
         raise ValueError("unknown tf_type_name %s" % tf_type_name)
 
     return _run_em_sharded(
-        src, target_sh, mask_sh, tf0, sigma2, q0, aux,
+        src, target_sh, mask_sh, tf0, aux,
         kind=tf_type_name, w=float(w), maxiter=int(maxiter), tol=float(tol),
-        n=n, mesh=mesh, axis=axis,
+        n=n, mesh=mesh, axis=axis, sigma2_init=s2i,
     )
 
 
@@ -516,20 +555,40 @@ def _run_filterreg_sharded(source, xs_t_sh, mask_sh, nrm_t_sh, sigma2_in, *,
             # Point-spacing scale (see filterreg.registration): one-time
             # all-gather of the target so each shard's points query the
             # FULL cloud (shard-local NN overestimates spacing when the
-            # input ordering is not spatially coherent).
+            # input ordering is not spatially coherent). STREAMED over
+            # target blocks: a dense (n/P, n) distance matrix is 20 GB
+            # per device at n=200k on 8 devices — the single-device path
+            # streams for the same reason (filterreg._run_em_rigid).
             xs_full = jax.lax.all_gather(xs_sh, axis, axis=1, tiled=True)
             msk_full = jax.lax.all_gather(msk, axis, axis=1, tiled=True)
-            x2l = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)     # (1, n/P)
-            x2f = jnp.sum(xs_full * xs_full, axis=0, keepdims=True)  # (1, n)
-            d2 = jnp.maximum(
-                x2l.T + x2f - 2.0 * jax.lax.dot_general(
-                    xs_sh, xs_full, (((0,), (0,)), ((), ())),
+            blk = 4096
+            pad = (-xs_full.shape[1]) % blk
+            xs_p = jnp.pad(xs_full, ((0, 0), (0, pad)))
+            mk_p = jnp.pad(msk_full, ((0, 0), (0, pad)))
+            xblocks = jnp.moveaxis(
+                xs_p.reshape(dim, -1, blk), 1, 0)           # (B, dim, blk)
+            mblocks = jnp.moveaxis(
+                mk_p.reshape(1, -1, blk), 1, 0)             # (B, 1, blk)
+            x2l = jnp.sum(xs_sh * xs_sh, axis=0)[:, None]   # (n/P, 1)
+
+            def body(best, inp):
+                xb, mb = inp
+                x2b = jnp.sum(xb * xb, axis=0, keepdims=True)
+                xy = jax.lax.dot_general(
+                    xs_sh, xb, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST), 0.0)
-            invalid = (msk.T <= 0.0) | (msk_full <= 0.0) | (d2 <= 1e-12)
-            d2 = jnp.where(invalid, jnp.inf, d2)
-            nn2 = jnp.min(d2, axis=1)
-            nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0)
+                    precision=jax.lax.Precision.HIGHEST)
+                d2 = jnp.maximum(x2l + x2b - 2.0 * xy, 0.0)
+                d2 = jnp.where((mb <= 0.0) | (d2 <= 1e-12), jnp.inf, d2)
+                return jnp.minimum(best, jnp.min(d2, axis=1)), None
+
+            # pcast: the carry must share the varying-manual-axes type
+            # of the body output (derived from all_gathered arrays).
+            best0 = jax.lax.pcast(
+                jnp.full((xs_sh.shape[1],), jnp.inf, xs_sh.dtype),
+                (axis,), to="varying")
+            nn2, _ = jax.lax.scan(body, best0, (xblocks, mblocks))
+            nn2 = jnp.where((msk[0] > 0.0) & jnp.isfinite(nn2), nn2, 0.0)
             cnt = jax.lax.psum(jnp.sum(msk), axis)
             return jax.lax.psum(jnp.sum(nn2), axis) / jnp.maximum(cnt, 1.0)
         sx2 = jnp.sum(ys_t * ys_t)
@@ -907,6 +966,19 @@ def registration_bcpd_sharded(
     axis = mesh.axis_names[0]
     src = np.asarray(interop.as_points(source), dtype=np.float64)
     tgt = np.asarray(interop.as_points(target), dtype=np.float64)
+    # Hardware-safety guard on the PER-DEVICE pair count: the VI shards
+    # the target P-fold, but on a 1-device mesh (the default on a
+    # single-chip host) this is exactly the flat whole-VI dispatch
+    # registration_bcpd refuses — it faulted the v5e worker 3x.
+    from ..bcpd import _hw_guard
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    _hw_guard(
+        src.shape[0] * -(-tgt.shape[0] // ndev), maxiter,
+        f"sharded over {ndev} device(s) at per-device M*N/P = "
+        f"{src.shape[0]}*{-(-tgt.shape[0] // ndev)}",
+        "Use a larger mesh, registration_bcpd_pyramid(mesh=...), or "
+        "registration_bcpd_pyramid(dispatch_chunk=...).")
     if normalize:
         centroid = np.concatenate([src, tgt], axis=0).mean(axis=0)
         src_h, tgt_h = src - centroid, tgt - centroid
@@ -984,6 +1056,19 @@ def _run_gmmtree_sharded(xs_t_sh, mask_sh, pi, mu_n, cov, rot0, t0, *,
     return rot, t, q
 
 
+def _require_1d_mesh(mesh, what):
+    """Entries with no 2-D path must reject a 2-axis mesh instead of
+    silently sharding over its first axis only (every n-axis replica
+    would redundantly recompute identical work — a silent trap next to
+    the CPD/FilterReg/BCPD entries, which dispatch to sharded2d)."""
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"{what} supports 1-axis meshes only (got axes "
+            f"{tuple(mesh.axis_names)}); build one with make_mesh(), or "
+            "use registration_cpd_sharded/_filterreg_/_bcpd_ for the "
+            "2-D (m, n) mesh paths.")
+
+
 def registration_gmmtree_sharded(
     source,
     target,
@@ -1002,6 +1087,7 @@ def registration_gmmtree_sharded(
 
     if mesh is None:
         mesh = make_mesh()
+    _require_1d_mesh(mesh, "registration_gmmtree_sharded")
     axis = mesh.axis_names[0]
     gt = gt_mod.GMMTree(source, tree_level=tree_level, lambda_c=lambda_c,
                         lambda_s=lambda_s, **kwargs)
@@ -1107,28 +1193,37 @@ def _fit_ocsvm_sharded(x_sh, mask_sh, gamma, *, nu, n, iters, mesh, axis):
         msk_full = jax.lax.all_gather(msk, axis, tiled=True)   # (n_pad,)
         kmat = (jnp.exp(-gamma * sqdist(x, x_full))
                 * msk[:, None] * msk_full[None, :])
-        hi_box = c * msk_full  # padded entries boxed to 0
+        n_sh = x.shape[0]
+        start = jax.lax.axis_index(axis) * n_sh
 
         def project(v):
-            # tau with sum(clip(v - tau, 0, hi_box)) == 1 by bisection.
-            lo = jnp.min(v) - c
-            hi = jnp.max(v)
-
-            def body(_, carry):
-                lo, hi = carry
-                mid = 0.5 * (lo + hi)
-                s = jnp.sum(jnp.clip(v - mid, 0.0, hi_box))
-                return (jnp.where(s > 1.0, mid, lo),
-                        jnp.where(s > 1.0, hi, mid))
-
-            lo, hi = jax.lax.fori_loop(0, 50, body, (lo, hi))
-            return jnp.clip(v - 0.5 * (lo + hi), 0.0, hi_box)
+            # Exact one-shot projection onto {0 <= a <= c*msk, sum a = 1}
+            # — the sharded twin of features._fit_ocsvm_dual's project
+            # (KEEP IN SYNC), which replaced a 50-step sequential
+            # bisection whose latency chain dominated the dual solve.
+            # Each device evaluates s at ITS slice of the 2n breakpoints
+            # against the full iterate (O(n^2/P), the matvec's cost) and
+            # the crossing bracket reduces with pmax/pmin.
+            v_sl = jax.lax.dynamic_slice(v, (start,), (n_sh,))
+            b = jnp.concatenate([v_sl, v_sl - c])
+            s = jnp.sum(msk_full[None, :]
+                        * jnp.clip(v[None, :] - b[:, None], 0.0, c), axis=1)
+            valid = s >= 1.0
+            b_lo = jax.lax.pmax(jnp.max(jnp.where(valid, b, -jnp.inf)),
+                                axis)
+            b_hi = jax.lax.pmin(jnp.min(jnp.where(valid, jnp.inf, b)),
+                                axis)
+            s_lo = jnp.sum(msk_full * jnp.clip(v - b_lo, 0.0, c))
+            s_hi = jnp.sum(msk_full * jnp.clip(v - b_hi, 0.0, c))
+            tau = b_lo + (s_lo - 1.0) * (b_hi - b_lo) / jnp.maximum(
+                s_lo - s_hi, 1e-30)
+            return msk_full * jnp.clip(v - tau, 0.0, c)
 
         eta = 1.0 / jax.lax.pmax(
             jnp.max(jnp.sum(jnp.abs(kmat), axis=1)), axis)     # 1/||K||_inf
-        # Cast the replicated init varying so project's bisection carry (and
-        # the pg scan carry) have a consistent varying-manual-axes type with
-        # the all_gathered, device-varying iterates.
+        # Cast the replicated init varying so the pg scan carry has a
+        # consistent varying-manual-axes type with the all_gathered,
+        # device-varying iterates.
         alpha = project(jax.lax.pcast(
             jnp.full((x_full.shape[0],), 1.0 / n, x.dtype),
             (axis,), to="varying"))
@@ -1141,26 +1236,51 @@ def _fit_ocsvm_sharded(x_sh, mask_sh, gamma, *, nu, n, iters, mesh, axis):
             return project(alpha - eta * g), None
 
         alpha, _ = jax.lax.scan(pg, alpha, None, length=iters)
-        n_sh = x.shape[0]
-        start = jax.lax.axis_index(axis) * n_sh
         return jax.lax.dynamic_slice(alpha, (start,), (n_sh,)) * (nu * n)
 
     return run(x_sh, mask_sh, jnp.asarray(gamma, x_sh.dtype))
 
 
-class _ShardedGMM:
-    """features.GMM drop-in whose fit runs over the mesh."""
+class _ShardedFeatureWrapper:
+    """Shared drop-in plumbing: everything except ``compute`` delegates to
+    the wrapped single-device feature object — INCLUDING attribute writes.
+    The L2 registrations re-estimate kernel widths onto
+    ``self._feature_gen`` (e.g. RigidSVR._estimate_sigma sets ``_sigma``/
+    ``_gamma``); without write-delegation those landed on the wrapper
+    while ``compute`` read the base's stale values after ``set_source``
+    (review finding)."""
+
+    _OWN = ("_base", "_mesh", "_axis")
 
     def __init__(self, base, mesh: Mesh, axis: str):
-        self._base = base
-        self._mesh = mesh
-        self._axis = axis
+        object.__setattr__(self, "_base", base)
+        object.__setattr__(self, "_mesh", mesh)
+        object.__setattr__(self, "_axis", axis)
+
+    def __setattr__(self, name, value):
+        if name in self._OWN:
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self._base, name, value)
+
+    def __getattr__(self, name):
+        if name == "fused_fit":
+            # The fused single-device path is gated on
+            # hasattr(feature_gen, 'fused_fit') (l2dist_regs.py); the
+            # sharded wrapper must NOT advertise it — its fits run
+            # through compute() over the mesh.
+            raise AttributeError(name)
+        return getattr(self._base, name)
 
     def init(self):
         self._base.init()
 
     def annealing(self):
         self._base.annealing()
+
+
+class _ShardedGMM(_ShardedFeatureWrapper):
+    """features.GMM drop-in whose fit runs over the mesh."""
 
     def compute(self, data):
         pts = np.asarray(interop.as_points(data), dtype=np.float32)
@@ -1178,19 +1298,8 @@ class _ShardedGMM:
             em_iters=b._em_iters, mesh=self._mesh, axis=self._axis)
 
 
-class _ShardedOneClassSVM:
+class _ShardedOneClassSVM(_ShardedFeatureWrapper):
     """features.OneClassSVM drop-in whose dual solve runs over the mesh."""
-
-    def __init__(self, base, mesh: Mesh, axis: str):
-        self._base = base
-        self._mesh = mesh
-        self._axis = axis
-
-    def init(self):
-        self._base.init()
-
-    def annealing(self):
-        self._base.annealing()
 
     def compute(self, data):
         pts = np.asarray(interop.as_points(data), dtype=np.float32)
@@ -1230,6 +1339,7 @@ def registration_gmmreg_sharded(source, target, tf_type_name: str = "rigid",
 
     if mesh is None:
         mesh = make_mesh()
+    _require_1d_mesh(mesh, "registration_gmmreg_sharded")
     axis = mesh.axis_names[0]
     cv = lambda x: np.asarray(interop.as_points(x))
     if tf_type_name == "rigid":
@@ -1259,6 +1369,7 @@ def registration_svr_sharded(
 
     if mesh is None:
         mesh = make_mesh()
+    _require_1d_mesh(mesh, "registration_svr_sharded")
     axis = mesh.axis_names[0]
     cv = lambda x: np.asarray(interop.as_points(x))
     if tf_type_name == "rigid":

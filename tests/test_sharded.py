@@ -252,3 +252,52 @@ def test_sharded_gmmreg_recovers_rotation(mesh, horse_cloud):
     rec = np.asarray(se3_op.mat2euler(res.rot))
     np.testing.assert_allclose(rec, ang, atol=1e-1)
     np.testing.assert_allclose(np.asarray(res.t), 0.0, atol=1e-2)
+
+def test_bcpd_sharded_applies_hw_guard(monkeypatch):
+    """registration_bcpd_sharded on a small (1-device-class) mesh is the
+    flat whole-VI dispatch the hardware guard exists to refuse; it must
+    raise above the per-device bound, not fault the chip (review
+    finding)."""
+    import jax
+
+    from probreg_tpu import config as cfg
+    from probreg_tpu.parallel import sharded as sh
+
+    rng = np.random.default_rng(0)
+    src = rng.random((40, 3)).astype(np.float32)
+    monkeypatch.setattr(cfg.config, "bcpd_guard_max_pairs", 100)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="bcpd_guard_max_pairs"):
+        sh.registration_bcpd_sharded(src, src, maxiter=20, rank=8)
+
+
+def test_sharded_entries_reject_2d_mesh():
+    """Entries with no 2-D path must reject a 2-axis mesh instead of
+    silently wasting every n-axis replica (review finding)."""
+    from probreg_tpu.parallel import sharded as sh, sharded2d as s2d
+
+    rng = np.random.default_rng(1)
+    src = rng.random((50, 3)).astype(np.float32)
+    mesh2d = s2d.make_mesh_2d(2, 4)
+    for fn in (sh.registration_gmmtree_sharded,
+               sh.registration_gmmreg_sharded,
+               sh.registration_svr_sharded):
+        with pytest.raises(ValueError, match="1-axis"):
+            fn(src, src, mesh=mesh2d)
+
+
+def test_sharded_feature_wrapper_delegates_attribute_writes():
+    """RigidSVR._estimate_sigma writes _sigma/_gamma onto the (possibly
+    wrapped) feature generator; the sharded wrapper must forward those to
+    the base it computes with (review finding: stale kernel width after
+    set_source), and must NOT advertise the fused_fit fast path."""
+    from probreg_tpu import features as ft
+    from probreg_tpu.parallel import sharded as sh
+
+    base = ft.OneClassSVM(3, sigma=1.0, gamma=0.5, nu=0.1)
+    w = sh._ShardedOneClassSVM(base, sh.make_mesh(), "devices")
+    w._sigma = 2.5
+    w._gamma = 0.08
+    assert base._sigma == 2.5 and base._gamma == 0.08
+    assert w._nu == base._nu          # reads delegate too
+    assert not hasattr(w, "fused_fit")
