@@ -38,9 +38,17 @@ def _l2_overlap(mu_source, phi_source, mu_target, phi_target, sigma):
     return -(phi_source @ k @ phi_target) / z
 
 
+_l2_overlap_vg = jax.jit(jax.value_and_grad(_l2_overlap))
+
+
 def compute_l2_dist(mu_source, phi_source, mu_target, phi_target, sigma):
-    """Reference-shaped (f, df/d mu_source) pair (cost_functions.py:33-41)."""
-    f, g = jax.value_and_grad(_l2_overlap)(
+    """Reference-shaped (f, df/d mu_source) pair (cost_functions.py:33-41).
+
+    One jitted dispatch (trace cached module-level): building
+    value_and_grad fresh and running it eagerly cost a tunnel round trip
+    per primitive op (review finding).
+    """
+    f, g = _l2_overlap_vg(
         jnp.asarray(mu_source), jnp.asarray(phi_source),
         jnp.asarray(mu_target), jnp.asarray(phi_target),
         jnp.asarray(sigma))
@@ -135,8 +143,6 @@ class RigidCostFunction(CostFunction):
         the CPD/FilterReg/GMMTree/BCPD n_starts restarts. 3-D: identity +
         180/90/-90 deg about each axis (<=10). 2-D: n_starts angles evenly
         spaced on the circle starting at identity."""
-        from .utils import se3_op as so
-
         if dim == 2:
             angs = 2.0 * np.pi * np.arange(n_starts) / n_starts
             return np.stack([
@@ -157,12 +163,17 @@ class RigidCostFunction(CostFunction):
 
 @partial(jax.jit, static_argnames=("dim",))
 def _tps_obj(theta, control_pts, mu_source, phi_source, mu_target, phi_target,
-             sigma, alpha, beta, *, dim):
+             sigma, alpha, beta, *, dim, basis=None, kernel=None):
     n_a = dim * (dim + 1)
     a = theta[:n_a].reshape(dim + 1, dim)
     v = theta[n_a:].reshape(-1, dim)
     tps = tf.TPSTransformation(a, v, control_pts)
-    basis, kernel = tps.prepare(mu_source)
+    if basis is None:
+        # Theta-independent machinery (SVD null-space projection + two
+        # TPS kernel builds): the fused-BFGS programs hoist it via
+        # pure_prepare — recomputing it on EVERY function/gradient
+        # evaluation dominated TPS solves (review finding).
+        basis, kernel = tps.prepare(mu_source)
     t_mu = tps.transform_basis(basis)
     bending = jnp.trace(v.T @ kernel @ v)
     f1 = _l2_overlap(t_mu, phi_source, t_mu, phi_source, sigma)
@@ -192,15 +203,34 @@ class TPSCostFunction(CostFunction):
 
     @staticmethod
     def pure_objective(theta, mu_source, phi_source, mu_target, phi_target,
-                       sigma, control_pts, alpha, beta):
+                       sigma, control_pts, alpha, beta, basis=None,
+                       kernel=None):
         return _tps_obj(theta, control_pts, mu_source, phi_source, mu_target,
                         phi_target, sigma, alpha, beta,
-                        dim=int(control_pts.shape[1]))
+                        dim=int(control_pts.shape[1]), basis=basis,
+                        kernel=kernel)
+
+    @staticmethod
+    def pure_prepare(mu_source, control_pts, alpha, beta):
+        """Hoist the theta-independent TPS basis/kernel ONCE per solve:
+        appended to the extra args, they short-circuit the per-evaluation
+        prepare() inside _tps_obj."""
+        dim = control_pts.shape[1]
+        tps = tf.TPSTransformation(
+            jnp.zeros((dim + 1, dim), jnp.float32),
+            jnp.zeros((control_pts.shape[0], dim), jnp.float32),
+            control_pts)
+        basis, kernel = tps.prepare(mu_source)
+        return (control_pts, alpha, beta, basis, kernel)
 
     def extra_args(self):
-        return (jnp.asarray(self._control_pts, jnp.float32),
-                jnp.asarray(self._alpha, jnp.float32),
-                jnp.asarray(self._beta, jnp.float32))
+        # Scalars as numpy: an eager jnp.asarray is a device_put (one
+        # tunnel RTT each) per fused round; the jit dispatch transfers
+        # numpy for free (CLAUDE.md). control_pts passes through as-is —
+        # it is usually already a device array (feature_gen.compute
+        # output) and converting would round-trip it.
+        return (self._control_pts, np.float32(self._alpha),
+                np.float32(self._beta))
 
     def to_transformation(self, theta):
         # Host-side numpy reshapes (see RigidCostFunction.to_transformation);

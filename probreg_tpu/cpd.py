@@ -49,6 +49,15 @@ MstepResult.__doc__ = """Result of Maximization step.
 _F32_EPS = float(np.finfo(np.float32).eps)
 
 
+def _fused_dims_ok(m, n):
+    # VMEM-shape gate for the single-launch whole-EM kernels: the
+    # m*n bound alone is defeated by skewed shapes (ops/em_pallas.
+    # fused_dims_ok — review finding).
+    from .ops.em_pallas import fused_dims_ok
+
+    return fused_dims_ok(m, n)
+
+
 def _as_jnp(x):
     return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
 
@@ -890,6 +899,7 @@ class RigidCPD(CoherentPointDrift):
                 and _config.config.use_fused_em
                 and self._use_pallas is not False
                 and m * n <= _config.config.fused_em_max_pairs
+                and _fused_dims_ok(m, n)
                 and jax.default_backend() == "tpu"):
             from .ops import em_pallas
 
@@ -951,6 +961,7 @@ class AffineCPD(CoherentPointDrift):
                 and _config.config.use_fused_em
                 and self._use_pallas is not False
                 and m * n <= _config.config.fused_em_max_pairs
+                and _fused_dims_ok(m, n)
                 and jax.default_backend() == "tpu"):
             from .ops import em_pallas
 
@@ -1279,6 +1290,7 @@ def registration_cpd_batch(
         return (dim == 3 and _config.config.use_fused_em
                 and use_pallas is not False
                 and m * n <= _config.config.fused_em_max_pairs
+                and _fused_dims_ok(m, n)
                 and jax.default_backend() == "tpu")
 
     def _unpack_fused(lin, t, sigma2):

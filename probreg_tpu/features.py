@@ -229,7 +229,7 @@ class OneClassSVM(Feature):
     def compute(self, data):
         x = jnp.asarray(data, jnp.float32)
         alpha = _fit_ocsvm_dual(
-            x, jnp.asarray(self._gamma, jnp.float32),
+            x, np.float32(self._gamma),
             float(self._nu))
         z = np.power(2.0 * np.pi * self._sigma ** 2, self._dim * 0.5)
         sv = alpha > 1e-8
@@ -245,10 +245,12 @@ class OneClassSVM(Feature):
         return ()
 
     def fused_dynamic(self):
+        # Plain numpy scalars: an eager jnp.asarray is a device_put — a
+        # full tunnel RTT each, paid once per annealing round (CLAUDE.md;
+        # GMM.fused_dynamic follows the same rule).
         z = np.power(2.0 * np.pi * self._sigma ** 2, self._dim * 0.5)
-        return (jnp.asarray(self._gamma, jnp.float32),
-                jnp.asarray(self._nu, jnp.float32),
-                jnp.asarray(z, jnp.float32))
+        return (np.float32(self._gamma), np.float32(self._nu),
+                np.float32(z))
 
     @staticmethod
     def fused_fit(x, static, dynamic, smask=None):

@@ -58,6 +58,15 @@ _EPS = float(np.finfo(np.float32).eps)
 dualquat_from_twist = dq.from_twist
 
 
+def _fused_dims_ok(m, n):
+    # VMEM-shape gate for the single-launch whole-EM kernels: the
+    # m*n bound alone is defeated by skewed shapes (ops/em_pallas.
+    # fused_dims_ok — review finding).
+    from .ops.em_pallas import fused_dims_ok
+
+    return fused_dims_ok(m, n)
+
+
 def _as_jnp(x):
     return jnp.asarray(interop.as_points(x, dtype=_config.config.dtype))
 
@@ -600,6 +609,7 @@ class FilterReg(abc.ABC):
                     and _config.config.use_fused_em
                     and self._use_pallas is not False
                     and m * n <= _config.config.fused_em_max_pairs
+                    and _fused_dims_ok(m, n)
                     and jax.default_backend() == "tpu"):
                 from .ops import em_pallas
 
@@ -1388,6 +1398,7 @@ def _fused_batch_ok(m, n, dim, use_pallas):
     return (dim == 3 and _config.config.use_fused_em
             and use_pallas is not False
             and m * n <= _config.config.fused_em_max_pairs
+            and _fused_dims_ok(m, n)
             and jax.default_backend() == "tpu")
 
 

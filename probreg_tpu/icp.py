@@ -26,55 +26,86 @@ import numpy as np
 
 from . import config as _config
 from .models import transformation as tf
-from .ops import rigid_solvers
-from .ops.pairwise import sqdist
 from .utils import interop
 
 ICPResult = namedtuple("ICPResult", ["transformation", "rmse", "n_iter"])
 
 
-def _nearest(t_source, target, block: int = 4096):
-    """(d2, idx) of each source point's nearest target (streaming argmin)."""
-    m = t_source.shape[0]
-    n, dim = target.shape
-    pad = (-n) % block
+def _nearest_t(t_src_t, xs_t, block: int = 4096, src_block: int = 4096):
+    """(d2, idx) of each source point's nearest target, transposed layout.
+
+    BOTH axes are chunked: the transient distance buffer is
+    (src_block, block) f32 — 64 MB at the defaults — regardless of cloud
+    sizes. An unchunked source axis materialized (M, block) per scan
+    step, 16 GB at M=1M (review finding; CLAUDE.md flags >4 GB buffers
+    as a tunnel-fault trigger).
+    """
+    dim, m = t_src_t.shape
+    n = xs_t.shape[1]
+    pad_t = (-n) % block
     tgt = jnp.concatenate(
-        [target, jnp.full((pad, dim), 1e15, target.dtype)], axis=0)
-    nb = tgt.shape[0] // block
-    blocks = tgt.reshape(nb, block, dim)
+        [xs_t, jnp.full((dim, pad_t), 1e15, xs_t.dtype)], axis=1)
+    nb = tgt.shape[1] // block
+    tblocks = jnp.moveaxis(tgt.reshape(dim, nb, block), 1, 0)
+    x2b = jnp.sum(tblocks * tblocks, axis=1)               # (nb, block)
     offs = jnp.arange(nb) * block
+    pad_s = (-m) % src_block
+    src = jnp.concatenate(
+        [t_src_t, jnp.zeros((dim, pad_s), t_src_t.dtype)], axis=1)
+    ns = src.shape[1] // src_block
+    sblocks = jnp.moveaxis(src.reshape(dim, ns, src_block), 1, 0)
 
-    def body(carry, inp):
-        best_d2, best_ix = carry
-        blk, off = inp
-        d2 = sqdist(t_source, blk)
-        bd = jnp.min(d2, axis=1)
-        bi = jnp.argmin(d2, axis=1).astype(jnp.int32) + off
-        take = bd < best_d2
-        return (jnp.where(take, bd, best_d2),
-                jnp.where(take, bi, best_ix)), None
+    def one_chunk(sb):                                     # (dim, src_block)
+        y2 = jnp.sum(sb * sb, axis=0)                      # (src_block,)
 
-    init = (jnp.full((m,), jnp.inf, t_source.dtype),
-            jnp.zeros((m,), jnp.int32))
-    (d2, idx), _ = jax.lax.scan(body, init, (blocks, offs))
-    return d2, idx
+        def body(carry, inp):
+            best_d2, best_ix = carry
+            blk, x2, off = inp
+            d2 = jnp.maximum(
+                y2[:, None] + x2[None, :] - 2.0 * jax.lax.dot_general(
+                    sb, blk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0)
+            bd = jnp.min(d2, axis=1)
+            bi = jnp.argmin(d2, axis=1).astype(jnp.int32) + off
+            take = bd < best_d2
+            return (jnp.where(take, bd, best_d2),
+                    jnp.where(take, bi, best_ix)), None
+
+        init = (jnp.full((src_block,), jnp.inf, sb.dtype),
+                jnp.zeros((src_block,), jnp.int32))
+        out, _ = jax.lax.scan(body, init, (tblocks, x2b, offs))
+        return out
+
+    d2c, idxc = jax.lax.map(one_chunk, sblocks)
+    return d2c.reshape(-1)[:m], idxc.reshape(-1)[:m]
 
 
 @partial(jax.jit, static_argnames=("maxiter", "trim_fraction"))
 def _run_icp(source, target, rot0, t0, *, maxiter, tol, trim_fraction):
+    # Transposed (D, M) layout inside the loop (CLAUDE.md: per-iteration
+    # ops on (M, 3) arrays cost ~0.25 ms of relayout each on TPU).
+    from .filterreg import _kabsch_t
+
+    ys_t = source.T
+    xs_t = target.T
     m = source.shape[0]
+    # Trim count resolved at trace time: a sort-free lax.top_k threshold
+    # replaces the per-iteration jnp.quantile full sort (~0.3 s at 200k
+    # keys on TPU, CLAUDE.md).
+    k_trim = int(round(trim_fraction * m)) if trim_fraction > 0.0 else 0
 
     def step(rot, t):
-        t_src = source @ rot.T + t
-        d2, idx = _nearest(t_src, target)
-        corr = target[idx]
-        if trim_fraction > 0.0:
-            # Trimmed ICP: zero-weight the worst-matching quantile.
-            thresh = jnp.quantile(d2, 1.0 - trim_fraction)
-            w = (d2 <= thresh).astype(source.dtype)
+        t_src_t = rot @ ys_t + t[:, None]
+        d2, idx = _nearest_t(t_src_t, xs_t)
+        corr_t = xs_t[:, idx]
+        if k_trim > 0:
+            # Trimmed ICP: zero-weight the k worst correspondences.
+            worst = jax.lax.top_k(d2, k_trim)[0]
+            w = (d2 < worst[-1]).astype(source.dtype)
         else:
             w = jnp.ones((m,), source.dtype)
-        dr, dt = rigid_solvers.weighted_kabsch(t_src, corr, w)
+        dr, dt = _kabsch_t(t_src_t, corr_t, w)
         rot_n = dr @ rot
         t_n = dr @ t + dt
         wsum = jnp.maximum(jnp.sum(w), 1.0)

@@ -221,16 +221,22 @@ class L2DistRegistration:
 
             obj = type(self._cost_fn).pure_objective
             fit = type(feat).fused_fit
+            prep = getattr(type(self._cost_fn), "pure_prepare", None)
 
             @jax.jit
             def run(x0s, src, tgt, sigma, dynamic, extra):
                 mu_s, phi_s = fit(src, static_s, dynamic)
                 mu_t, phi_t = fit(tgt, static_t, dynamic)
+                # Theta-independent cost machinery hoisted once per solve
+                # (TPS: basis/kernel — recomputed per BFGS evaluation
+                # otherwise).
+                solved_extra = tuple(extra) if prep is None \
+                    else prep(mu_s, *extra)
 
                 def solve(x0):
                     return _bfgs_solve(
                         obj, x0,
-                        (mu_s, phi_s, mu_t, phi_t, sigma) + tuple(extra),
+                        (mu_s, phi_s, mu_t, phi_t, sigma) + solved_extra,
                         opt_maxiter, opt_tol)
 
                 xs, fs = jax.vmap(solve)(x0s)

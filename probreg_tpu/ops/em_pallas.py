@@ -391,6 +391,21 @@ def _em_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, x2_ref, bigy_ref,
     out_ref[0, 2] = it
 
 
+def fused_dims_ok(m, n):
+    """True iff the single-launch whole-EM kernels' VMEM-resident tiles
+    fit: the posterior tile is Mp x Np f32 with Mp padded to 8 sublanes
+    and Np to 128 lanes, and a few such tiles plus the (8, Mp)/(8, Np)
+    operand strips are live at once. Callers MUST gate on this, not on
+    raw m*n: skewed shapes defeat an m*n bound (m=65536, n=16 passes
+    m*n <= 2^20 but pads to a 32 MB tile against v5e's 16 MB VMEM —
+    review finding). The padded-pair budget matches the historical
+    config.fused_em_max_pairs default; the per-dim caps bound the
+    operand strips."""
+    mp = -(-m // 8) * 8
+    np_ = -(-n // 128) * 128
+    return (mp * np_ <= 1 << 20) and mp <= (1 << 14) and np_ <= (1 << 14)
+
+
 @functools.partial(
     jax.jit, static_argnames=("w", "maxiter", "tol", "update_scale",
                               "kind", "interpret"))
@@ -694,9 +709,14 @@ def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
                 1.0, 0.5 / jnp.sqrt(jnp.maximum(wn2, jnp.float32(1e-24))))
             u1 = u1 * fac
             u2 = u2 * fac
-            # Exact Rodrigues (se3_op.twist_trans).
+            # Exact Rodrigues (se3_op.twist_trans). The identity snap uses
+            # the SAME 1e-12 cutoff as the XLA twin: snapping at f32 eps
+            # (angle < 3.5e-4 rad) put a ~0.02 deg floor on the fused
+            # pt2pl refinement the XLA path does not have (review
+            # finding); the sqrt stays guarded so the math is safe at
+            # any cutoff.
             twd2 = jnp.sum(u1 * u1)
-            twd = jnp.sqrt(jnp.maximum(twd2, eps))
+            twd = jnp.sqrt(jnp.maximum(twd2, jnp.float32(1e-30)))
             ntw = u1 / twd
             skewm = _unflatten_rows(
                 jnp.dot(ntw.T, sk_ref[:],
@@ -705,7 +725,7 @@ def _frg_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
             sth = jnp.sin(twd)
             nnt = jnp.dot(ntw, ntw.T, preferred_element_type=jnp.float32)
             dr = cth * eye3 + (1.0 - cth) * nnt + sth * skewm
-            dr = jnp.where(twd2 < eps, eye3, dr)
+            dr = jnp.where(twd2 < jnp.float32(1e-12), eye3, dr)
             dt = u2
 
         dr = jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), dr)
@@ -819,15 +839,13 @@ def run_em_filterreg_fused(source, target, normals=None, smask=None,
             from . import pairwise as _pw
 
             if masked:
-                x2c = x2_real
-                d2x = jnp.maximum(
-                    x2c[:, None] + x2c[None, :]
-                    - 2.0 * jnp.dot(target, target.T,
-                                    precision=jax.lax.Precision.HIGHEST),
-                    0.0)
-                d2x = jnp.where(d2x <= 1e-12, jnp.inf, d2x)
-                d2x = jnp.where(tmask[None, :] > 0, d2x, jnp.inf)
-                nn2 = jnp.min(d2x, axis=1)
+                # Streamed NN with padded rows pushed far from the cloud
+                # (same trick as filterreg._run_em_rigid): a dense (N, N)
+                # self-distance matrix here is 17 GB at a 65k padded
+                # target — a size the Pallas kernel itself handles fine
+                # (review finding).
+                far = target + (1.0 - tmask[:, None]) * 1.0e6
+                nn2 = _pw.nearest_sqdist(far, far, exclude_zero=True)
                 nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0) * tmask
                 s2_0 = jnp.maximum(jnp.sum(nn2) / jnp.sum(tmask),
                                    min_sigma2 * 0.01)

@@ -100,36 +100,49 @@ def _pad_rows(x: jax.Array, block: int) -> tuple[jax.Array, int]:
     return x, m
 
 
-@partial(jax.jit, static_argnames=("block", "exclude_zero"))
+@partial(jax.jit, static_argnames=("block", "exclude_zero", "src_block"))
 def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096,
-                   exclude_zero: bool = False) -> jax.Array:
+                   exclude_zero: bool = False,
+                   src_block: int = 4096) -> jax.Array:
     """For each source point, squared distance to its nearest target point.
 
     Streaming replacement for the reference's scipy cKDTree queries
     (math_utils.py:32-33, bcpd.py:86). Brute force is MXU-shaped and wins on
     TPU for the point counts involved. ``exclude_zero`` skips exact matches
     (self-neighbors) — used for point-spacing estimation.
+
+    BOTH axes are chunked: the transient distance buffer is
+    (src_block, block) f32 regardless of cloud sizes — an unchunked
+    source axis materialized (M, block) per scan step, 16 GB at M=1M
+    (review finding; CLAUDE.md flags >4 GB buffers as a tunnel-fault
+    trigger).
     """
     source = jnp.asarray(source)
     target = jnp.asarray(target)
+    m = source.shape[0]
     tgt, n = _pad_rows(target, block)
     n_blocks = tgt.shape[0] // block
     blocks = tgt.reshape(n_blocks, block, tgt.shape[1])
     base = jnp.arange(block)
-
-    def body(best, inp):
-        blk, idx0 = inp
-        d2 = sqdist(source, blk)
-        valid = (idx0 + base) < n
-        d2 = jnp.where(valid[None, :], d2, jnp.inf)
-        if exclude_zero:
-            d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
-        return jnp.minimum(best, jnp.min(d2, axis=1)), None
-
-    init = jnp.full((source.shape[0],), jnp.inf, source.dtype)
     offs = jnp.arange(n_blocks) * block
-    best, _ = jax.lax.scan(body, init, (blocks, offs))
-    return best
+    src_p, _ = _pad_rows(source, src_block)
+    schunks = src_p.reshape(-1, src_block, src_p.shape[1])
+
+    def one_chunk(sc):
+        def body(best, inp):
+            blk, idx0 = inp
+            d2 = sqdist(sc, blk)
+            valid = (idx0 + base) < n
+            d2 = jnp.where(valid[None, :], d2, jnp.inf)
+            if exclude_zero:
+                d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
+            return jnp.minimum(best, jnp.min(d2, axis=1)), None
+
+        init = jnp.full((src_block,), jnp.inf, sc.dtype)
+        best, _ = jax.lax.scan(body, init, (blocks, offs))
+        return best
+
+    return jax.lax.map(one_chunk, schunks).reshape(-1)[:m]
 
 
 def point_spacing_sq(points: jax.Array) -> jax.Array:

@@ -59,3 +59,34 @@ def test_icp_maxiter_zero_with_callbacks(horse_cloud):
                                callbacks=[lambda tr: None])
     assert int(res.n_iter) == 0
     np.testing.assert_allclose(np.asarray(res.transformation.rot), np.eye(3))
+
+def test_icp_trimmed_topk_matches_quantile_semantics(rng):
+    """The sort-free top_k trim must still reject gross outliers and
+    recover the pose (the quantile full-sort cost ~0.3 s/iter at 200k on
+    TPU — review finding)."""
+    from probreg_tpu import icp, se3_op as so
+
+    src = rng.random((400, 3)).astype(np.float32)
+    rot = np.asarray(so.euler2mat(0.0, 0.0, 0.15))
+    tgt = (src @ rot.T + 0.02).astype(np.float32)
+    # 15% outliers appended to the SOURCE: untrimmed ICP is dragged off.
+    src_o = np.concatenate(
+        [src, rng.uniform(2.0, 3.0, size=(60, 3)).astype(np.float32)])
+    res = icp.registration_icp(src_o, tgt, maxiter=60, tol=0.0,
+                               trim_fraction=0.2)
+    ang = float(so.rotation_angle(np.asarray(res.transformation.rot), rot))
+    assert ang < 5e-3, ang
+
+
+def test_icp_nearest_t_exact(rng):
+    """Double-chunked transposed NN matches brute force (incl. chunk
+    remainders)."""
+    from probreg_tpu import icp
+
+    src = rng.random((130, 3)).astype(np.float32)
+    tgt = rng.random((257, 3)).astype(np.float32)
+    d2, idx = icp._nearest_t(src.T, tgt.T, block=128, src_block=64)
+    ref = ((src[:, None] - tgt[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), ref.min(1), rtol=1e-4,
+                               atol=1e-5)
+    assert (np.asarray(idx) == ref.argmin(1)).all()

@@ -67,3 +67,35 @@ def test_normalizer_roundtrip(rng):
     xn = np.asarray(nrm.normalize(x))
     assert np.abs(xn.mean(0)).max() < 1.0
     assert np.allclose(np.asarray(nrm.denormalize(xn)), x, atol=1e-4)
+
+def test_nearest_sqdist_source_chunking_exact():
+    """The source axis is chunked (an unchunked (M, block) buffer reaches
+    16 GB at M=1M — review finding); chunking must not change results."""
+    import jax.numpy as jnp
+
+    from probreg_tpu.ops import pairwise as pw
+
+    rng = np.random.default_rng(0)
+    src = rng.random((530, 3)).astype(np.float32)
+    tgt = rng.random((700, 3)).astype(np.float32)
+    got = np.asarray(pw.nearest_sqdist(src, tgt, block=256, src_block=128))
+    d2 = ((src[:, None] - tgt[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, d2.min(axis=1), rtol=1e-5, atol=1e-6)
+    # exclude_zero still works through the chunked path.
+    got2 = np.asarray(pw.nearest_sqdist(src, src, block=256, src_block=128,
+                                        exclude_zero=True))
+    d2s = ((src[:, None] - src[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2s, np.inf)
+    np.testing.assert_allclose(got2, d2s.min(axis=1), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_dims_ok_rejects_skewed_shapes():
+    """The m*n gate alone admits shapes whose PADDED tiles blow VMEM
+    (review finding)."""
+    from probreg_tpu.ops.em_pallas import fused_dims_ok
+
+    assert fused_dims_ok(390, 390)
+    assert fused_dims_ok(1024, 1024)
+    assert not fused_dims_ok(65536, 16)    # m*n passes, 32 MB padded tile
+    assert not fused_dims_ok(1_000_000, 1)
+    assert not fused_dims_ok(16, 65536)
