@@ -42,11 +42,14 @@ def _normals(points, idx, valid):
     """PCA normals over (masked) neighborhoods, consistently oriented."""
     nbrs = points[idx]                                   # (N, k, D)
     w = valid[..., None].astype(points.dtype)
-    cnt = jnp.maximum(w.sum(1), 1.0)
-    ctr = (nbrs * w).sum(1) / cnt
+    # Open3D's radius search returns the query point itself, so its PCA
+    # is over {self} u nbrs: include self in BOTH the mean and the
+    # scatter (adding the self term around the neighbors-only centroid
+    # tilted normals at surface edges — review finding).
+    cnt = w.sum(1) + 1.0
+    ctr = ((nbrs * w).sum(1) + points) / cnt
     diff = (nbrs - ctr[:, None, :]) * w
     cov = jnp.einsum("nki,nkj->nij", diff, diff)
-    # Include the point itself in the covariance (Open3D does).
     self_diff = points - ctr
     cov = cov + jnp.einsum("ni,nj->nij", self_diff, self_diff)
     _, vecs = jnp.linalg.eigh(cov)
@@ -60,17 +63,28 @@ def _normals(points, idx, valid):
 
 
 def _pair_angles(p, n_p, q, n_q):
-    """Darboux-frame angle triplet for point pairs, batched over (..., 3)."""
+    """Darboux-frame angle triplet for point pairs, batched over (..., 3).
+
+    Includes PCL/Open3D's source-target swap (ComputePairFeatures): the
+    point whose normal is better aligned with the connecting line acts
+    as the frame source, with the direction negated — omitting it binned
+    ~half of all pairs differently than the reference (review finding).
+    """
     d = q - p
     dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
     dn = d / jnp.maximum(dist, 1e-12)
-    u = n_p
+    dot_p = jnp.sum(n_p * dn, axis=-1, keepdims=True)
+    dot_q = jnp.sum(n_q * dn, axis=-1, keepdims=True)
+    swap = jnp.abs(dot_p) < jnp.abs(dot_q)
+    u = jnp.where(swap, n_q, n_p)
+    nt = jnp.where(swap, n_p, n_q)
+    dn = jnp.where(swap, -dn, dn)
     v = jnp.cross(dn, u)
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
     w = jnp.cross(u, v)
-    f1 = jnp.sum(v * n_q, axis=-1)                       # alpha in [-1, 1]
+    f1 = jnp.sum(v * nt, axis=-1)                        # alpha in [-1, 1]
     f2 = jnp.sum(u * dn, axis=-1)                        # phi   in [-1, 1]
-    f3 = jnp.arctan2(jnp.sum(w * n_q, axis=-1), jnp.sum(u * n_q, axis=-1))
+    f3 = jnp.arctan2(jnp.sum(w * nt, axis=-1), jnp.sum(u * nt, axis=-1))
     return f1, f2, f3
 
 
@@ -97,12 +111,23 @@ def _fpfh_impl(points, radius_normal, radius_feature, max_nn_normal,
     idx_n, valid_n, _ = _knn(points, max_nn_normal, radius_normal)
     normals = _normals(points, idx_n, valid_n)
     idx_f, valid_f, dist_f = _knn(points, max_nn_feature, radius_feature)
+    # Open3D skips coincident neighbors: a duplicate point's 1/dist
+    # weight otherwise reaches ~1e10 and swamps the descriptor (review
+    # finding). Excluded from the SPFH votes too (pair features are
+    # undefined at d = 0).
+    valid_f = valid_f & (dist_f > 1e-6)
     spfh = _spfh(points, normals, idx_f, valid_f)
-    # FPFH_i = SPFH_i + mean over valid neighbors of SPFH_j / dist_ij.
+    # FPFH_i = SPFH_i + neighbor term: the 1/dist-weighted SPFH_j sum,
+    # renormalized per 11-bin block to sum 100 (Open3D's convention —
+    # dividing by the neighbor count instead made the self/neighbor
+    # balance depend on the cloud's absolute scale; review finding).
     wgt = valid_f.astype(points.dtype) / jnp.maximum(dist_f, 1e-12)
     nbr_hist = jnp.einsum("nk,nkb->nb", wgt, spfh[idx_f])
-    cnt = jnp.maximum(valid_f.sum(1, keepdims=True).astype(points.dtype), 1.0)
-    return spfh + nbr_hist / cnt
+    blocks = nbr_hist.reshape(-1, 3, _NBINS)
+    bsum = blocks.sum(axis=2, keepdims=True)
+    blocks = jnp.where(bsum > 0.0, blocks * (100.0 / jnp.maximum(
+        bsum, 1e-30)), 0.0)
+    return spfh + blocks.reshape(-1, 3 * _NBINS)
 
 
 def fpfh(points, radius_normal: float = 0.1, radius_feature: float = 0.5,
@@ -114,12 +139,20 @@ def fpfh(points, radius_normal: float = 0.1, radius_feature: float = 0.5,
                       int(max_nn_normal), int(max_nn_feature))
 
 
+@partial(jax.jit, static_argnames=("max_nn",))
+def _normals_impl(points, radius, max_nn):
+    idx, valid, _ = _knn(points, max_nn, radius)
+    return _normals(points, idx, valid)
+
+
 def estimate_normals(points, radius: float = 0.1, max_nn: int = 30):
     """Per-point normals from radius-limited kNN PCA (smallest eigenvector).
 
     Native equivalent of the Open3D call the reference wraps at
     features.py:43-44; sign is made deterministic inside ``_normals``.
+    ONE jitted dispatch (the eager chain paid a tunnel round trip per op
+    — review finding).
     """
     points = jnp.asarray(points, jnp.float32)
-    idx, valid, _ = _knn(points, int(max_nn), jnp.asarray(radius, jnp.float32))
-    return _normals(points, idx, valid)
+    return _normals_impl(points, jnp.asarray(radius, jnp.float32),
+                         int(max_nn))

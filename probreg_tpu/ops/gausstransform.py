@@ -48,10 +48,20 @@ def gauss_transform(
     # Large problems route to the tile-culled single-pass Pallas kernel:
     # no posterior normalizer -> no double-exp penalty, so it is at worst
     # dense-fused speed and wins by 1/active-fraction as h shrinks.
+    # Gates (review findings): the kernel packs points into 8-sublane
+    # strips and Morton codes need >= 2-D, so only 2 <= dim <= 8 clouds
+    # qualify (33-D FPFH feature spaces crash _pad_transpose otherwise);
+    # and UNSORTED callers qualify only from 1 << 28 pairs — they pay two
+    # Morton argsorts (~0.3 s each at 200k keys) + an unsort scatter PER
+    # CALL, which per-iteration E-step bodies must never do (same rule as
+    # ops/estep.py's unsorted threshold).
+    min_pairs = (config.culled_estep_min_pairs if assume_sorted
+                 else max(config.culled_estep_min_pairs, 1 << 28))
     if (jax.default_backend() == "tpu"
             and config.use_culled_estep
             and weights.shape[1] <= 8
-            and m * target.shape[0] >= config.culled_estep_min_pairs):
+            and 2 <= dim <= 8
+            and m * target.shape[0] >= min_pairs):
         from . import estep_pallas
 
         out = estep_pallas.gauss_transform_culled(

@@ -103,3 +103,63 @@ def test_cupy_utils_compat(rng):
     d2 = ((x[:, None] - y[None]) ** 2).sum(-1)
     # Reference convention (cupy_utils.py:46): beta enters linearly.
     np.testing.assert_allclose(g, np.exp(-d2 / (2 * 0.7)), atol=1e-5)
+
+def test_fpfh_robust_to_duplicate_points(rng):
+    """Coincident neighbors must be skipped (Open3D does): a duplicate
+    point's 1/dist weight otherwise reached ~1e10 and swamped the
+    descriptor (review finding)."""
+    from probreg_tpu.ops import fpfh as fpfh_ops
+
+    pts = rng.random((120, 3)).astype(np.float32)
+    pts_dup = np.concatenate([pts, pts[:1]])     # exact duplicate of row 0
+    f = np.asarray(fpfh_ops.fpfh(pts_dup, radius_feature=2.0))
+    assert np.isfinite(f).all()
+    # The duplicate rows' descriptors stay in a sane range (they were
+    # ~1e12 before the fix; regular rows are O(100) per block).
+    assert np.abs(f[0]).max() < 1e4 and np.abs(f[-1]).max() < 1e4
+
+
+def test_fpfh_neighbor_term_scale_invariant(rng):
+    """The neighbor term renormalizes per 11-bin block (Open3D), so
+    uniformly rescaling a cloud (with the radii) must not change the
+    self/neighbor balance (review finding: a 1/dist mean made it depend
+    on the absolute scale)."""
+    from probreg_tpu.ops import fpfh as fpfh_ops
+
+    pts = rng.random((150, 3)).astype(np.float32)
+    f1 = np.asarray(fpfh_ops.fpfh(pts, radius_normal=0.3,
+                                  radius_feature=1.0))
+    f2 = np.asarray(fpfh_ops.fpfh(10.0 * pts, radius_normal=3.0,
+                                  radius_feature=10.0))
+    # f32 angle binning flips a handful of boundary votes at the new
+    # scale; the DESCRIPTOR BALANCE must be unchanged (99%+ of entries
+    # tight). Pre-fix, the neighbor term scaled by 1/10 wholesale.
+    close = np.isclose(f1, f2, rtol=1e-3, atol=1e-2)
+    assert close.mean() > 0.99, close.mean()
+    assert np.median(np.abs(f1 - f2)) < 1e-2
+
+
+def test_gauss_transform_high_dim_uses_dense_path(monkeypatch):
+    """>8-D clouds (33-D FPFH feature spaces) must take the dense path —
+    the culled kernel packs points into 8-sublane strips and would crash
+    at trace time (review finding)."""
+    import jax
+
+    from probreg_tpu import config as cfgmod
+    from probreg_tpu.ops import gausstransform as gto
+
+    rng = np.random.default_rng(0)
+    src = rng.random((300, 33)).astype(np.float32)
+    wts = rng.random((300,)).astype(np.float32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cfgmod.config, "culled_estep_min_pairs", 1)
+    called = {}
+    import probreg_tpu.ops.estep_pallas as ep
+
+    def boom(*a, **k):
+        called["culled"] = True
+        raise AssertionError("culled kernel must not be reached")
+
+    monkeypatch.setattr(ep, "gauss_transform_culled", boom)
+    out = gto.gauss_transform(src, src, wts, 1.0)
+    assert out.shape == (300,) and "culled" not in called
