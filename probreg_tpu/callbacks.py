@@ -44,9 +44,9 @@ class Plot2DCallback:
         self._save = save
         self._keep_window = keep_window
         self._cnt = 0
-        self._plot()
+        self._plot(save=False)   # initial draw only; frame k = iteration k
 
-    def _plot(self):
+    def _plot(self, save=True):
         plt = self._plt
         plt.cla()
         plt.axis("equal")
@@ -54,11 +54,11 @@ class Plot2DCallback:
         plt.plot(self._target[:, 0], self._target[:, 1], "g^", label="target")
         plt.plot(self._result[:, 0], self._result[:, 1], "bo", label="result")
         plt.legend()
-        if self._save:
+        if self._save and save:
             self._plt.savefig("image_%04d.png" % self._cnt)
+            self._cnt += 1
         plt.draw()
         plt.pause(0.001)
-        self._cnt += 1
 
     def __call__(self, transformation: Transformation) -> None:
         self._result = asnumpy(transformation.transform(self._source))

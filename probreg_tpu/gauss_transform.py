@@ -59,10 +59,11 @@ class GaussTransform:
         if method == "ifgt":
             from .ops.ifgt import Ifgt
 
+            # Ifgt exposes .compute(target, weights) like Direct. Do NOT
+            # touch its _source/_h: the instance stores the CENTERED
+            # cloud (overwriting it with the raw one desynchronized the
+            # coefficients from the cluster geometry — review follow-up).
             self._impl = Ifgt(np.asarray(source), h, eps)
-            self._impl._h = float(h)
-            # Ifgt exposes .compute(target, weights) like Direct.
-            self._impl._source = jnp.asarray(source, jnp.float32)
         else:
             self._impl = Direct(source, h)
         self._m = np.asarray(source).shape[0]
@@ -72,7 +73,10 @@ class GaussTransform:
             weights = np.ones(self._m)
         weights = np.asarray(weights)
         if weights.ndim == 1:
-            return self._impl.compute(target, weights)
+            # Host array like the 2-D path below (and the C++ class this
+            # facade mirrors): leaking the device array made every
+            # numpy op downstream a separate ~33 ms tunnel fetch.
+            return np.asarray(self._impl.compute(target, weights))
         if weights.ndim == 2:
             if isinstance(self._impl, Direct):
                 # (C, M) row-wise transforms, like the reference loop

@@ -99,10 +99,13 @@ class AffineTransformation(Transformation):
 
     def __init__(self, b=None, t=None, xp=None, dim: int = 3):
         del xp
+        # Host numpy defaults: an eager jnp.eye/zeros is a device_put
+        # (~33 ms tunnel RTT) at construction AND a device fetch on every
+        # .b/.t read-back (CLAUDE.md; RigidTransformation does the same).
         if b is None:
-            b = jnp.eye(dim, dtype=config.dtype)
+            b = np.eye(dim, dtype=config.dtype)
         if t is None:
-            t = jnp.zeros(dim, dtype=config.dtype)
+            t = np.zeros(dim, dtype=config.dtype)
         self.b = _f(b)
         self.t = _f(t)
 
@@ -133,7 +136,16 @@ class NonRigidTransformation(Transformation):
         if g is None:
             g = pairwise.rbf_kernel(_f(points), _f(points), beta)
         self.g = _f(g)
-        self.w = jnp.zeros_like(self.g[:, :0]) if w is None else _f(w)
+        if w is None:
+            # Zero displacement field, (M, D) like the points (an (M, 0)
+            # placeholder crashed _transform with a broadcast error —
+            # review finding).
+            if points is None:
+                raise ValueError(
+                    "NonRigidTransformation(w=None) needs points= to "
+                    "shape the zero displacement field")
+            w = np.zeros(np.asarray(points).shape, config.dtype)
+        self.w = _f(w)
 
     def _transform(self, points):
         return points + self.g @ self.w
@@ -298,8 +310,9 @@ class DeformableKinematicModel(Transformation):
         return cls.SkinningWeight(pairs, vals)
 
     def __init__(self, dualquats, weights):
-        # dualquats: (n_nodes, 8) array or list of 8-vectors.
-        self.dualquats = _f(jnp.stack([jnp.asarray(q) for q in dualquats])
+        # dualquats: (n_nodes, 8) array or list of 8-vectors. Stacked on
+        # host when given as a list (eager jnp ops cost tunnel RTTs).
+        self.dualquats = _f(np.stack([np.asarray(q) for q in dualquats])
                             if not hasattr(dualquats, "ndim") else dualquats)
         self.weights = weights
 

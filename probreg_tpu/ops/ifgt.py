@@ -105,7 +105,7 @@ class ClusteringResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("k", "max_iter"))
-def _kcenter(data, k, max_iter=100):
+def _kcenter(data, k, eps=1e-4, max_iter=100):
     n, d = data.shape
     # Deterministic spread init over the whole cloud (the C++ draws random
     # indices in [0, k) — i.e. only ever from the first k points,
@@ -113,19 +113,33 @@ def _kcenter(data, k, max_iter=100):
     idx0 = (jnp.arange(k) * n) // k
     centers = data[idx0]
 
-    def body(carry, _):
-        centers, _ = carry
+    def step(centers):
         d2 = sqdist(data, centers)
         labels = jnp.argmin(d2, axis=1)
         err = jnp.sum(jnp.min(d2, axis=1))
         sums = jax.ops.segment_sum(data, labels, num_segments=k)
         cnt = jax.ops.segment_sum(jnp.ones((n,), data.dtype), labels,
                                   num_segments=k)
-        centers = sums / jnp.maximum(cnt, 1.0)[:, None]
-        return (centers, err), None
+        return sums / jnp.maximum(cnt, 1.0)[:, None], err
 
-    (centers, _), _ = jax.lax.scan(body, (centers, jnp.asarray(0.0, data.dtype)),
-                                   None, length=max_iter)
+    # Convergence tolerance like the C++ (kcenter_clustering.cc:23:
+    # break when |err - prev_err| < eps) — the eps parameter used to be
+    # silently ignored and every construction paid all max_iter full
+    # (N, K) assignment passes (review finding).
+    def cond(carry):
+        _, err, err_prev, i = carry
+        return jnp.logical_and(
+            i < max_iter,
+            jnp.logical_or(i < 2, jnp.abs(err - err_prev) >= eps))
+
+    def body(carry):
+        centers, err, _, i = carry
+        centers, err_new = step(centers)
+        return (centers, err_new, err, i + 1)
+
+    inf = jnp.asarray(jnp.inf, data.dtype)
+    centers, _, _, _ = jax.lax.while_loop(
+        cond, body, (centers, inf, inf, jnp.asarray(0)))
     d2 = sqdist(data, centers)
     labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
     dist = jnp.sqrt(jnp.min(d2, axis=1))
@@ -138,7 +152,8 @@ def kcenter_clustering(data, num_clusters: int, eps: float = 1e-4,
                        max_iter: int = 100) -> ClusteringResult:
     """K-center clustering (kcenter_clustering.cc:6-29)."""
     labels, centers, radii = _kcenter(
-        jnp.asarray(data, jnp.float32), int(num_clusters), max_iter=max_iter)
+        jnp.asarray(data, jnp.float32), int(num_clusters),
+        eps=jnp.float32(eps), max_iter=max_iter)
     return ClusteringResult(float(jnp.max(radii)), labels, centers, radii)
 
 
@@ -175,10 +190,18 @@ class Ifgt:
 
     def __init__(self, source, h: float, eps: float = 1.0e-4,
                  max_clusters: int = 2048, p_limit: int = 10):
-        self._source = jnp.asarray(source, jnp.float32)
+        src_np = np.asarray(source, np.float32)
+        # Center the cloud (host-side): the Gauss transform is translation
+        # invariant, but the expanded-form f32 sqdist inside clustering /
+        # coefficient accumulation loses ~|x|^2 * eps to cancellation —
+        # measured 300-500x the eps target for unit clouds offset by 1e3+
+        # (UTM/mm-unit data; review finding). The same shift is applied
+        # to targets inside the jitted compute.
+        self._centroid = src_np.mean(axis=0)
+        src_np = src_np - self._centroid
+        self._source = jnp.asarray(src_np)
         self._h = float(h)
         n, dims = self._source.shape
-        src_np = np.asarray(self._source)
         max_range = float((src_np.max(0) - src_np.min(0)).max())
         max_range = max(max_range, 1e-6)
         # Deviation from the C++ selection (ifgt.cc:43-62): with the
@@ -193,10 +216,9 @@ class Ifgt:
                                    1, min(max_clusters, max(n // 2, 1))))
         p_max = p_limit
         self._cluster = kcenter_clustering(self._source, num_clusters, eps)
-        r = min(max_range * np.sqrt(dims),
-                self._h * np.sqrt(np.log(1.0 / eps)))
         self._p = choose_truncation_number(
-            dims, self._h, r, eps, self._cluster.max_cluster_radius, p_max)
+            dims, self._h, self._cutoff, eps,
+            self._cluster.max_cluster_radius, p_max)
         expo_np = multi_indices(dims, self._p)
         const = (2.0 ** expo_np.sum(1)) / np.array(
             [np.prod([math.factorial(int(a)) for a in row]) for row in expo_np])
@@ -205,15 +227,16 @@ class Ifgt:
         # expo/const are baked into the trace as constants (the monomial
         # structure is static per instance).
         self._compute = jax.jit(
-            lambda source, target, weights, h, labels, centers, ry2:
-            _ifgt_compute(source, target, weights, h, labels, centers, ry2,
-                          expo_np, const_np))
+            lambda source, target, weights, h, labels, centers, ry2, cen:
+            _ifgt_compute(source, target - cen[None, :], weights, h,
+                          labels, centers, ry2, expo_np, const_np))
 
     def compute(self, target, weights) -> jax.Array:
         return self._compute(
             self._source, jnp.asarray(target, jnp.float32),
             jnp.asarray(weights, jnp.float32), self._h,
-            self._cluster.labels, self._cluster.centers, self._ry2)
+            self._cluster.labels, self._cluster.centers, self._ry2,
+            jnp.asarray(self._centroid))
 
 
 def _ifgt_compute(source, target, weights, h, labels, centers, ry2, expo,
@@ -225,9 +248,14 @@ def _ifgt_compute(source, target, weights, h, labels, centers, ry2, expo,
     # the (chunk, p_max_total) monomial matrix never exceeds VMEM-friendly
     # sizes at large N.
     pad = (-n) % chunk
+    # Pad with a REAL point (weight 0), not the origin: a zero pad row far
+    # from its assigned center overflows dx^p to inf and 0 * inf = NaN
+    # poisons that cluster's coefficients (review finding; all-NaN repro
+    # on clouds offset from the origin).
     src_p = jnp.concatenate(
-        [source, jnp.zeros((pad, dims), source.dtype)], axis=0)
-    lab_p = jnp.concatenate([labels, jnp.zeros((pad,), labels.dtype)])
+        [source, jnp.broadcast_to(source[:1], (pad, dims))], axis=0)
+    lab_p = jnp.concatenate(
+        [labels, jnp.broadcast_to(labels[:1], (pad,))])
     wgt_p = jnp.concatenate([weights, jnp.zeros((pad,), weights.dtype)])
     nb = src_p.shape[0] // chunk
 

@@ -38,11 +38,16 @@ def read_ply(path) -> np.ndarray:
     if _nat is not None:
         return _nat.read_ply(str(path))
     raw = Path(path).read_bytes()
-    end = raw.find(b"end_header\n")
+    # CRLF-tolerant (Windows-written ASCII PLY ends the line with \r\n —
+    # review finding): locate the token, then skip past ITS newline.
+    end = raw.find(b"end_header")
     if end < 0:
         raise ValueError("not a PLY file: %s" % path)
+    nl = raw.find(b"\n", end)
+    if nl < 0:
+        raise ValueError("not a PLY file: %s" % path)
     header = raw[: end].decode("ascii", errors="replace").splitlines()
-    body = raw[end + len(b"end_header\n"):]
+    body = raw[nl + 1:]
 
     fmt = None
     elements = []  # (name, count, [(prop_name, dtype_str) ...])
@@ -86,7 +91,8 @@ def read_pcd(path) -> np.ndarray:
     if _nat is not None:
         return _nat.read_pcd(str(path))
     raw = Path(path).read_bytes()
-    m = re.search(rb"DATA\s+(\w+)\n", raw)
+    # \r? before \n: CRLF-written PCD headers (review finding).
+    m = re.search(rb"DATA[ \t]+(\w+)[ \t]*\r?\n", raw)
     if m is None:
         raise ValueError("not a PCD file: %s" % path)
     header = raw[: m.end()].decode("ascii", errors="replace")
@@ -113,7 +119,7 @@ def read_pcd(path) -> np.ndarray:
         np_t = {"F": "f", "I": "i", "U": "u"}
         dt = np.dtype(
             [
-                (f if c == 1 else f, "<%s%d" % (np_t[t], s), (c,) if c > 1 else ())
+                (f, "<%s%d" % (np_t[t], s), (c,) if c > 1 else ())
                 for f, s, t, c in zip(fields, sizes, types, counts)
             ]
         )

@@ -66,3 +66,48 @@ def test_ifgt_error_bound_envelope(h, eps):
     ref = direct(src, tgt, w, h)
     abs_over_w = np.max(np.abs(out - ref)) / w.sum()
     assert abs_over_w <= eps + 2e-6, (h, eps, abs_over_w)
+
+def test_ifgt_offset_cloud_accuracy(rng):
+    """Clouds far from the origin (UTM/mm-unit data) must keep the eps
+    guarantee: the uncentered pipeline NaN'd (zero pad rows overflowing
+    monomials) and lost the bound 300-500x to f32 sqdist cancellation
+    (review findings; fixed by host-side centering + real-point pads)."""
+    from probreg_tpu.ops.ifgt import Ifgt
+    from probreg_tpu.ops.gausstransform import gauss_transform
+
+    src = rng.random((900, 3)).astype(np.float32)
+    tgt = rng.random((300, 3)).astype(np.float32)
+    w = rng.random((900,)).astype(np.float32)
+    offset = np.float32(1.0e5)
+    # Oracle on the SAME f32-quantized offset inputs (representing a
+    # unit cloud at 1e5 costs ~0.008 of input resolution — that loss is
+    # the data's, not the algorithm's).
+    srcq = (src + offset) - offset
+    tgtq = (tgt + offset) - offset
+    exact = np.asarray(gauss_transform(srcq, tgtq, w, 0.2))
+    got = np.asarray(Ifgt(src + offset, 0.2, eps=1e-4).compute(
+        tgt + offset, w))
+    assert np.isfinite(got).all()
+    err = np.abs(got - exact).max() / w.sum()
+    assert err < 1e-4, err
+
+def test_gauss_transform_facade_ifgt_offset(rng):
+    """The facade must not clobber Ifgt's centered source (it used to
+    overwrite _impl._source with the raw cloud, desynchronizing the
+    coefficients from the cluster geometry), and the 1-D path returns a
+    HOST array like Direct."""
+    from probreg_tpu import gauss_transform as gt_mod
+
+    src = (rng.random((400, 3)) + 7.0e4).astype(np.float32)
+    w = rng.random((400,)).astype(np.float32)
+    g = gt_mod.GaussTransform(src, h=0.5, method="ifgt")
+    out = g.compute(src, w)
+    assert isinstance(out, np.ndarray)
+    assert np.isfinite(out).all()
+    # Oracle on the CENTERED copy of the same data: the exact path's
+    # expanded-form f32 sqdist itself loses all precision at |x| ~ 7e4
+    # (measured 0.83 relative on this fixture) — the centered IFGT is
+    # the accurate one here.
+    cen = src.mean(0)
+    exact = gt_mod.GaussTransform(src - cen, h=0.5).compute(src - cen, w)
+    assert np.abs(out - np.asarray(exact)).max() / w.sum() < 1e-4
