@@ -315,6 +315,24 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
     dim, m = ys_t.shape
     n = xs_t.shape[1]
     masked = smask is not None
+    # Shared-centroid centering (in-program, EM is translation
+    # invariant): the expanded-form f32 sqdist in every E-step loses
+    # ~|x|^2 * eps to cancellation, which at UTM/mm-scale coordinates
+    # (|x| ~ 1e4+) exceeds real point distances — measured: CPD NaNs and
+    # ICP diverges at a 1e4 offset the f64 reference shrugs off. The
+    # subtraction itself is exact to the result's ulp, so centered
+    # arithmetic restores O(1)-coordinate accuracy; the recovered
+    # translation converts back below.
+    if masked:
+        m_eff, n_eff = jnp.sum(smask), jnp.sum(tmask)
+        cen = ((ys_t @ smask + xs_t @ tmask)
+               / jnp.maximum(m_eff + n_eff, 1.0))
+    else:
+        m_eff, n_eff = None, n
+        cen = (jnp.sum(ys_t, axis=1) + jnp.sum(xs_t, axis=1)) / (m + n)
+    ys_t = ys_t - cen[:, None]
+    xs_t = xs_t - cen[:, None]
+    kmask = smask[:, None] * tmask[None, :] if masked else None
     if default_init:
         lin0 = jnp.eye(dim, dtype=source.dtype)
         t0 = jnp.zeros(dim, dtype=source.dtype)
@@ -324,14 +342,18 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
         lin0 = init[: dim * dim].reshape(dim, dim)
         t0 = init[dim * dim: dim * dim + dim]
         scale0 = init[dim * dim + dim]
-    # sigma2_0 = squared_kernel_sum in closed form (O(M+N), math_utils.py:28).
+        # Raw-frame warm start -> centered frame: x - c = s L (y - c)
+        # + (t + s L c - c).
+        t0 = t0 + scale0 * lin0 @ cen - cen
+    # sigma2_0 = squared_kernel_sum in closed form (O(M+N), math_utils.py:28),
+    # from the CENTERED arrays (the closed form shares the cancellation).
     if masked:
-        m_eff, n_eff = jnp.sum(smask), jnp.sum(tmask)
-        kmask = smask[:, None] * tmask[None, :]            # (M, N)
         sigma2_0 = mu.masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask)
     else:
-        m_eff, n_eff, kmask = None, n, None
-        sigma2_0 = mu.squared_kernel_sum(source, target)
+        sy = jnp.sum(ys_t, axis=1)
+        sx = jnp.sum(xs_t, axis=1)
+        sigma2_0 = (n * jnp.sum(ys_t * ys_t) + m * jnp.sum(xs_t * xs_t)
+                    - 2.0 * sy @ sx) / (m * dim * n)
     if sigma2_init is not None:
         sigma2_0 = jnp.maximum(
             jnp.asarray(sigma2_init, source.dtype), _F32_EPS)
@@ -365,6 +387,8 @@ def _run_em_t(source, target, init=None, *, kind, w, maxiter, tol,
     state = (lin0, t0, scale0, sigma2_0, q0,
              jnp.asarray(jnp.inf, q0.dtype), jnp.asarray(0))
     lin, t, scale, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    # Centered -> raw frame: x = s L y + (t_c + c - s L c).
+    t = t + cen - scale * lin @ cen
     return lin, t, scale, sigma2, q
 
 
@@ -390,12 +414,22 @@ def _run_em_nonrigid_lowrank_t(source, target, u, lam, lmd, *, w, maxiter,
     dim, m = ys_t.shape
     n = xs_t.shape[1]
     k = lam.shape[0]
+    # Shared-centroid centering (see _run_em_t): the displacement field
+    # and its Nystrom coordinates are translation invariant, so nothing
+    # converts back — only the E-step arithmetic gains O(1)-coordinate
+    # accuracy.
+    cen = (jnp.sum(ys_t, axis=1) + jnp.sum(xs_t, axis=1)) / (m + n)
+    ys_t = ys_t - cen[:, None]
+    xs_t = xs_t - cen[:, None]
     eps = jnp.asarray(jnp.finfo(jnp.float32).eps, source.dtype)
     if sigma2_init is not None:
         sigma2_0 = jnp.maximum(
             jnp.asarray(sigma2_init, source.dtype), _F32_EPS)
     else:
-        sigma2_0 = mu.squared_kernel_sum(source, target)
+        sy = jnp.sum(ys_t, axis=1)
+        sx = jnp.sum(xs_t, axis=1)
+        sigma2_0 = (n * jnp.sum(ys_t * ys_t) + m * jnp.sum(xs_t * xs_t)
+                    - 2.0 * sy @ sx) / (m * dim * n)
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)       # (1, N)
     xs_ext = jnp.concatenate(
         [xs_t, jnp.ones((1, n), xs_t.dtype)], axis=0)      # (D+1, N)
@@ -1179,8 +1213,26 @@ def _run_em_t_multistart(source, target, inits, *, w, maxiter, tol,
     run = partial(_run_em_t, kind="rigid", w=w, maxiter=maxiter, tol=tol,
                   update_scale=update_scale, default_init=False,
                   smask=smask, tmask=tmask, sigma2_init=sigma2_init)
+    # Orientation-grid starts rotate about the shared CENTROID (raw-frame
+    # t = c - s L c), not the origin: identical for centered clouds, and
+    # the only sane start for clouds at UTM/mm-scale offsets (an
+    # about-origin grid rotation flings the cloud away).
+    dim = source.shape[1]
+    if smask is not None:
+        cen = ((smask @ source + tmask @ target)
+               / jnp.maximum(jnp.sum(smask) + jnp.sum(tmask), 1.0))
+    else:
+        cen = ((jnp.sum(source, axis=0) + jnp.sum(target, axis=0))
+               / (source.shape[0] + target.shape[0]))
+
+    def recenter(x0):
+        lin0 = x0[: dim * dim].reshape(dim, dim)
+        s0 = x0[dim * dim + dim]
+        t0 = x0[dim * dim: dim * dim + dim] + cen - s0 * lin0 @ cen
+        return jnp.concatenate([x0[: dim * dim], t0, x0[-1:]])
+
     lin, t, scale, sigma2, q = jax.vmap(
-        lambda x0: run(source, target, x0))(inits)
+        lambda x0: run(source, target, recenter(x0)))(inits)
     # Select by final sigma2: the EM variance IS the alignment residual and
     # is directly comparable across restarts on the same pair. (q mixes
     # n_p and log-sigma2 terms whose sign flips with the data scale.)

@@ -250,6 +250,19 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
     masked = smask is not None
     ys_t = source.T                                            # (D, M)
     xs_t = target.T                                            # (D, N)
+    # Shared-centroid centering (translation-invariant EM): the
+    # expanded-form f32 sqdist loses ~|x|^2 * eps to cancellation —
+    # catastrophic at UTM/mm-scale coordinates (see cpd._run_em_t).
+    # rot0/t0 convert in; every emitted transform converts back.
+    if masked:
+        cen = ((ys_t @ smask + xs_t @ tmask)
+               / jnp.maximum(jnp.sum(smask) + jnp.sum(tmask), 1.0))
+    else:
+        cen = ((jnp.sum(ys_t, axis=1) + jnp.sum(xs_t, axis=1))
+               / (m + n))
+    ys_t = ys_t - cen[:, None]
+    xs_t = xs_t - cen[:, None]
+    t0 = t0 + rot0 @ cen - cen
     x2 = jnp.sum(xs_t * xs_t, axis=0, keepdims=True)           # (1, N)
     nrm_t = None if normals is None else normals.T
     if masked:
@@ -271,24 +284,25 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
             # dense (N, N) self-distance matrix here is bounded only by
             # the M*N fast-path gate and could dwarf the (M, N) kernel
             # that gate was sized for (small source, huge target).
+            tgt_c = xs_t.T                  # centered target (N, D)
             if masked:
-                # Padded rows pushed far from the cloud: they keep their
-                # relative offsets (their own tiny NNs are zeroed by
-                # tmask below) and never become a valid row's NN.
-                far = target + (1.0 - tmask[:, None]) * 1.0e6
-                nn2 = _pw.nearest_sqdist(far, far, exclude_zero=True)
+                nn2 = _pw.nearest_sqdist(tgt_c, tgt_c, exclude_zero=True,
+                                         target_valid=tmask)
                 nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0) * tmask
                 sigma2_0 = jnp.maximum(jnp.sum(nn2) / n, min_sigma2 * 0.01)
             else:
-                sigma2_0 = jnp.maximum(_pw.point_spacing_sq(target),
+                sigma2_0 = jnp.maximum(_pw.point_spacing_sq(tgt_c),
                                        min_sigma2 * 0.01)
         elif masked:
             sigma2_0 = jnp.maximum(
                 mu.masked_squared_kernel_sum_t(ys_t, xs_t, smask, tmask),
                 min_sigma2)
         else:
+            sy = jnp.sum(ys_t, axis=1)
+            sx = jnp.sum(xs_t, axis=1)
             sigma2_0 = jnp.maximum(
-                mu.squared_kernel_sum(source, target), min_sigma2)
+                (n * jnp.sum(ys_t * ys_t) + m * jnp.sum(xs_t * xs_t)
+                 - 2.0 * sy @ sx) / (m * dim * n), min_sigma2)
 
     def step(rot, t, sigma2):
         t_src = rot @ ys_t + t[:, None]                        # (D, M)
@@ -325,10 +339,14 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
             if not update_sigma2:
                 s2 = sigma2 * sigma2_decay
             s2 = jnp.maximum(s2, min_sigma2)
-            return (rot_n, t_n, s2), (rot_n, t_n, s2, q_new)
+            # History in the RAW frame (callback consumers); carry stays
+            # centered.
+            t_raw = t_n + cen - rot_n @ cen
+            return (rot_n, t_n, s2), (rot_n, t_raw, s2, q_new)
 
-        return jax.lax.scan(sbody, (rot0, t0, sigma2_0), None,
-                            length=chunk_k)
+        (rot_c, t_c, s2_c), hist = jax.lax.scan(
+            sbody, (rot0, t0, sigma2_0), None, length=chunk_k)
+        return (rot_c, t_c + cen - rot_c @ cen, s2_c), hist
 
     def cond(state):
         _, _, _, q, q_prev, i = state
@@ -349,6 +367,7 @@ def _run_em_rigid(source, target, normals, rot0, t0, sigma2_0, *,
              jnp.asarray(jnp.inf, source.dtype),
              jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
     rot, t, sigma2, q, _, _ = jax.lax.while_loop(cond, body, state)
+    t = t + cen - rot @ cen                     # centered -> raw frame
     return MstepResult(tf.RigidTransformation(rot, t), sigma2, q)
 
 
@@ -1304,9 +1323,16 @@ def _run_em_rigid_multistart(source, target, normals, rots0, sigma2_0, *,
                              objective_type, update_sigma2, w, maxiter, tol,
                              min_sigma2, sigma2_decay, auto_sigma2,
                              smask=None, tmask=None):
-    t0 = jnp.zeros((source.shape[1],), source.dtype)
+    # Grid rotations about the shared centroid (cf. cpd._run_em_t_multistart).
+    if smask is not None:
+        cen = ((smask @ source + tmask @ target)
+               / jnp.maximum(jnp.sum(smask) + jnp.sum(tmask), 1.0))
+    else:
+        cen = ((jnp.sum(source, axis=0) + jnp.sum(target, axis=0))
+               / (source.shape[0] + target.shape[0]))
 
     def run(rot0):
+        t0 = cen - rot0 @ cen
         return _run_em_rigid(
             source, target, normals, rot0, t0, sigma2_0,
             objective_type=objective_type, update_sigma2=update_sigma2,

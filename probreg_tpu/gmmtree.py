@@ -111,6 +111,15 @@ def _build(points, key, *, max_level, lambda_s, lambda_d, smask=None):
     n_total = _n_total(max_level)
     masked = smask is not None
     n_eff = jnp.sum(smask) if masked else n
+    # Centering: the build's covariance estimators are all of the
+    # cancellation-prone m2/m0 - mu mu^T form, which at UTM/mm-scale
+    # coordinates (|x| ~ 1e4+) loses the entire covariance to f32
+    # rounding (see cpd._run_em_t). Node means shift back at the end.
+    if masked:
+        cen = (smask @ points) / jnp.maximum(n_eff, 1.0)
+    else:
+        cen = jnp.mean(points, axis=0)
+    points = points - cen[None, :]
 
     # --- initializeNodes (gmmtree.cc:46-75)
     n_leaf = N_NODE ** max_level
@@ -203,7 +212,7 @@ def _build(points, key, *, max_level, lambda_s, lambda_d, smask=None):
                  jnp.asarray(0))
         pi, mu, cov, parent_idx, _, _, _ = jax.lax.while_loop(cond, body, state)
 
-    return pi, mu, cov
+    return pi, mu + cen[None, :], cov
 
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_c"))
@@ -345,7 +354,19 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
     """
     n, dim = target.shape
     lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
-    xs_t0 = target.T                                        # (3, N)
+    # f32 covariance estimation can leave slightly INDEFINITE nodes
+    # (observed -1.1e-5 smallest eigenvalue on a quantized-input build);
+    # a negative eigenvalue drops that direction's twist weight to the
+    # eps floor and one such node dominates the 6x6 system — repro:
+    # 1.67 rad error at a 1e4 coordinate offset, 4e-3 with the floor.
+    lmd_nodes = jnp.maximum(lmd_nodes, jnp.float32(1e-7))
+    # Shared-centroid centering (node means + target): the Mahalanobis
+    # quadratic terms lose ~|x|^2 * eps to f32 cancellation at UTM/mm
+    # coordinate scales (see cpd._run_em_t); covariances are invariant.
+    cen = _tree_centroid(target, mu, tmask)
+    mu = mu - cen[None, :]
+    xs_t0 = target.T - cen[:, None]                         # (3, N)
+    t0 = t0 + rot0 @ cen - cen
     estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
     col_mask = tmask[None, :] if tmask is not None \
         else jnp.ones((1, n), target.dtype)
@@ -370,6 +391,7 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
     state = (rot0, t0, jnp.asarray(jnp.inf, target.dtype),
              jnp.asarray(jnp.inf, target.dtype), jnp.asarray(0))
     rot, t, q, _, _ = jax.lax.while_loop(cond, body, state)
+    t = t + cen - rot @ cen                     # centered -> raw frame
     return rot, t, q
 
 
@@ -380,6 +402,18 @@ def _multistart_rots(n_starts: int, dim: int) -> np.ndarray:
     return cf.RigidCostFunction.initial_multistart_rots(n_starts, dim)
 
 
+def _tree_centroid(target, mu, tmask=None):
+    """Shared centering shift for the descent (any near-cloud point works;
+    exactness is irrelevant, only the magnitude reduction matters)."""
+    if tmask is not None:
+        tsum = tmask @ target
+        tcnt = jnp.sum(tmask)
+    else:
+        tsum = jnp.sum(target, axis=0)
+        tcnt = target.shape[0]
+    return (tsum + jnp.sum(mu, axis=0)) / (tcnt + mu.shape[0])
+
+
 @partial(jax.jit, static_argnames=("max_level", "lambda_c", "k"))
 def _registration_chunk(target, pi, mu, cov, rot0, t0, *, max_level,
                         lambda_c, k):
@@ -388,7 +422,16 @@ def _registration_chunk(target, pi, mu, cov, rot0, t0, *, max_level,
     Callback-mode chunking (utils/chunked.py): same transposed step as
     _run_registration, scanned with history instead of while-looped."""
     lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
-    xs_t0 = target.T
+    # f32 covariance estimation can leave slightly INDEFINITE nodes
+    # (observed -1.1e-5 smallest eigenvalue on a quantized-input build);
+    # a negative eigenvalue drops that direction's twist weight to the
+    # eps floor and one such node dominates the 6x6 system — repro:
+    # 1.67 rad error at a 1e4 coordinate offset, 4e-3 with the floor.
+    lmd_nodes = jnp.maximum(lmd_nodes, jnp.float32(1e-7))
+    cen = _tree_centroid(target, mu)
+    mu = mu - cen[None, :]
+    xs_t0 = target.T - cen[:, None]
+    t0 = t0 + rot0 @ cen - cen
     estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
     col_mask = jnp.ones((1, target.shape[0]), target.dtype)
 
@@ -398,23 +441,28 @@ def _registration_chunk(target, pi, mu, cov, rot0, t0, *, max_level,
         m0, m1 = estep_core(x_t, col_mask)
         rot_n, t_n, q_n = _mstep_core(m0, m1, mu, lmd_nodes, nn_nodes,
                                       rot, t)
-        return (rot_n, t_n), (rot_n, t_n, q_n)
+        # RAW-frame history for the callback consumers; centered carry.
+        return (rot_n, t_n), (rot_n, t_n + cen - rot_n @ cen, q_n)
 
-    carry, hist = jax.lax.scan(body, (rot0, t0), None, length=k)
-    return carry, hist
+    (rot_c, t_c), hist = jax.lax.scan(body, (rot0, t0), None, length=k)
+    return (rot_c, t_c + cen - rot_c @ cen), hist
 
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_c"))
 def _run_registration_multistart(target, pi, mu, cov, rots0, *, max_level,
                                  lambda_c, maxiter, tol, tmask=None):
     n, dim = target.shape
-    t0 = jnp.zeros((dim,), target.dtype)
-    xs_t0 = target.T
-    estep_core = _estep_t_factory(pi, mu, cov, max_level, lambda_c)
+    cen = _tree_centroid(target, mu, tmask)
+    mu_c = mu - cen[None, :]
+    xs_t0 = target.T - cen[:, None]
+    estep_core = _estep_t_factory(pi, mu_c, cov, max_level, lambda_c)
     col_mask = tmask[None, :] if tmask is not None \
         else jnp.ones((1, n), target.dtype)
 
     def run(rot0):
+        # About-centroid grid start (raw frame); _run_registration
+        # re-centers internally.
+        t0 = cen - rot0 @ cen
         rot, t, q = _run_registration(target, pi, mu, cov, rot0, t0,
                                       max_level=max_level, lambda_c=lambda_c,
                                       maxiter=maxiter, tol=tol, tmask=tmask)
@@ -423,9 +471,11 @@ def _run_registration_multistart(target, pi, mu, cov, rots0, *, max_level,
         # q = 0 — the worst outcome scoring as the best. Rescore the final
         # pose by the m0-weighted distance of each node's assigned-point
         # centroid to the node mean, with unmatched mass scored infinite.
-        m0, m1 = estep_core(rot @ xs_t0 + t[:, None], col_mask)
+        # Rescore in the CENTERED frame: t_c = t + R c - c.
+        m0, m1 = estep_core(
+            rot @ xs_t0 + (t + rot @ cen - cen)[:, None], col_mask)
         m0s = jnp.maximum(m0, _EPS)
-        d2 = jnp.sum((m1 / m0s[:, None] - mu) ** 2, axis=1)
+        d2 = jnp.sum((m1 / m0s[:, None] - mu_c) ** 2, axis=1)
         mass = jnp.sum(m0)
         n_eff = jnp.sum(tmask) if tmask is not None else n
         score = jnp.where(mass > 1e-3 * n_eff,
@@ -468,10 +518,23 @@ class GMMTree:
     def set_source(self, source):
         self._source = jnp.asarray(
             interop.as_points(source, dtype=_config.config.dtype))
+        # Build from the f64-HOST-centered cloud: representing a unit
+        # cloud at |x| ~ 1e4 quantizes every f32 coordinate to ~1e-3,
+        # which is enough noise to flip the build EM into a degenerate
+        # half-dead tree (38/64 live leaves) whose descent then DIVERGES
+        # (measured: q and the pose walk away monotonically at a 1e4
+        # offset). Centering in f64 first preserves the full input
+        # precision; node means shift back so the tree stays in the
+        # caller's raw frame (the registration runners re-center
+        # internally in f32, which is exact once magnitudes are O(1)).
+        src64 = np.asarray(interop.as_points(source), np.float64)
+        center = src64.mean(axis=0)
         key = jax.random.PRNGKey(self._seed)
-        self._nodes = _build(
-            self._source, key, max_level=self._tree_level,
+        pi, mu, cov = _build(
+            jnp.asarray(src64 - center, _config.config.dtype), key,
+            max_level=self._tree_level,
             lambda_s=float(self._lambda_s), lambda_d=1.0e-4)
+        self._nodes = (pi, mu + jnp.asarray(center, mu.dtype)[None, :], cov)
 
     def set_callbacks(self, callbacks):
         self._callbacks = callbacks
@@ -544,19 +607,43 @@ class GMMTree:
             if out is None:
                 out = MstepResult(self._tf_result.inverse(), None)
             return out
+        # Reference-parity host loop, run in the SAME shared-centroid
+        # frame as the jitted runners (_run_registration) so both paths
+        # follow one trajectory and stay accurate at large coordinate
+        # offsets: nodes and target centered in, every emitted transform
+        # converted back.
+        pi, mu, cov = self._nodes
+        cen = np.asarray(_tree_centroid(target, mu), np.float64)
+        nodes_c = (pi, mu - jnp.asarray(cen, mu.dtype)[None, :], cov)
+        target_c = target - jnp.asarray(cen, target.dtype)[None, :]
+        rot0 = np.asarray(self._tf_result.rot, np.float64)
+        tf_c = tf.RigidTransformation(
+            rot0, np.asarray(self._tf_result.t, np.float64)
+            + rot0 @ cen - cen)
+
+        def to_raw(tr):
+            r = np.asarray(tr.rot, np.float64)
+            return tf.RigidTransformation(
+                r, np.asarray(tr.t, np.float64) + cen - r @ cen)
+
+        saved_nodes = self._nodes
         q = None
-        res = MstepResult(self._tf_result, None)
-        for i in range(maxiter):
-            t_target = self._tf_result._transform(target)
-            estep_res = self.expectation_step(t_target)
-            res = self.maximization_step(estep_res, self._tf_result)
-            self._tf_result = res.transformation
-            for c in self._callbacks:
-                c(self._tf_result.inverse())
-            log.debug("Iteration: {}, Criteria: {}".format(i, res.q))
-            if q is not None and abs(float(res.q) - float(q)) < tol:
-                break
-            q = float(res.q)
+        res = MstepResult(tf_c, None)
+        try:
+            self._nodes = nodes_c
+            for i in range(maxiter):
+                t_target = res.transformation._transform(target_c)
+                estep_res = self.expectation_step(t_target)
+                res = self.maximization_step(estep_res, res.transformation)
+                self._tf_result = to_raw(res.transformation)
+                for c in self._callbacks:
+                    c(self._tf_result.inverse())
+                log.debug("Iteration: {}, Criteria: {}".format(i, res.q))
+                if q is not None and abs(float(res.q) - float(q)) < tol:
+                    break
+                q = float(res.q)
+        finally:
+            self._nodes = saved_nodes
         return MstepResult(self._tf_result.inverse(), res.q)
 
 

@@ -90,6 +90,15 @@ def _run_icp(source, target, rot0, t0, *, maxiter, tol, trim_fraction):
     ys_t = source.T
     xs_t = target.T
     m = source.shape[0]
+    # Shared-centroid centering: the expanded-form f32 NN distances lose
+    # ~|x|^2 * eps to cancellation — ICP diverged outright at a 1e4
+    # coordinate offset (see cpd._run_em_t). rot0/t0 convert in; the
+    # result converts back.
+    cen = ((jnp.sum(ys_t, axis=1) + jnp.sum(xs_t, axis=1))
+           / (m + xs_t.shape[1]))
+    ys_t = ys_t - cen[:, None]
+    xs_t = xs_t - cen[:, None]
+    t0 = t0 + rot0 @ cen - cen
     # Trim count resolved at trace time: a sort-free lax.top_k threshold
     # replaces the per-iteration jnp.quantile full sort (~0.3 s at 200k
     # keys on TPU, CLAUDE.md).
@@ -126,6 +135,7 @@ def _run_icp(source, target, rot0, t0, *, maxiter, tol, trim_fraction):
     state = (rot0, t0, jnp.asarray(jnp.inf, source.dtype),
              jnp.asarray(jnp.inf, source.dtype), jnp.asarray(0))
     rot, t, rmse, _, i = jax.lax.while_loop(cond, body, state)
+    t = t + cen - rot @ cen                     # centered -> raw frame
     return rot, t, rmse, i
 
 

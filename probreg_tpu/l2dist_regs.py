@@ -262,6 +262,39 @@ class L2DistRegistration:
                      ) -> tf.Transformation:
         f = None
         x_ini = self._cost_fn.initial()
+        # Rigid solves run in the shared-centroid frame: the quaternion
+        # objective rotates about the ORIGIN, so at UTM/mm-scale
+        # coordinates (|x| ~ 1e4) every grid/BFGS rotation step throws
+        # the mixture ~1e4*theta away and the solve diverges (measured
+        # 3.1 rad error at a 1e4 offset; the f64 reference is equally
+        # origin-anchored but its users' data is origin-ish). Centering
+        # is exact (f64 host) and the translation converts back below.
+        # TPS keeps the raw frame (its basis is not translation
+        # invariant); pre-center the clouds for TPS at large offsets.
+        rigid_center = isinstance(self._cost_fn, cf.RigidCostFunction)
+        saved_source = self._source
+        if rigid_center:
+            src64 = np.asarray(self._source, np.float64)
+            tgt64 = np.asarray(target, np.float64)
+            cen = (src64.mean(axis=0) * len(tgt64)
+                   + tgt64.mean(axis=0) * len(src64)) \
+                / (len(src64) + len(tgt64))
+            self._source = (src64 - cen).astype(np.float32)
+            target = (tgt64 - cen).astype(np.float32)
+        try:
+            out = self._registration_impl(target, maxiter, tol,
+                                          opt_maxiter, opt_tol, x_ini, f)
+        finally:
+            self._source = saved_source
+        if rigid_center:
+            rot = np.asarray(out.rot, np.float64)
+            t_raw = np.asarray(out.t, np.float64) + cen - rot @ cen
+            out = tf.RigidTransformation(rot, t_raw,
+                                         float(np.asarray(out.scale)))
+        return out
+
+    def _registration_impl(self, target, maxiter, tol, opt_maxiter,
+                           opt_tol, x_ini, f):
         use_jax_opt = (self._optimizer == "jax" and not self._callbacks
                        and hasattr(self._cost_fn, "pure_objective"))
         use_fused = use_jax_opt and hasattr(self._feature_gen, "fused_fit")

@@ -839,13 +839,12 @@ def run_em_filterreg_fused(source, target, normals=None, smask=None,
             from . import pairwise as _pw
 
             if masked:
-                # Streamed NN with padded rows pushed far from the cloud
-                # (same trick as filterreg._run_em_rigid): a dense (N, N)
-                # self-distance matrix here is 17 GB at a 65k padded
-                # target — a size the Pallas kernel itself handles fine
-                # (review finding).
-                far = target + (1.0 - tmask[:, None]) * 1.0e6
-                nn2 = _pw.nearest_sqdist(far, far, exclude_zero=True)
+                # Streamed masked NN (same as filterreg._run_em_rigid): a
+                # dense (N, N) self-distance matrix here is 17 GB at a
+                # 65k padded target — a size the Pallas kernel itself
+                # handles fine (review finding).
+                nn2 = _pw.nearest_sqdist(target, target, exclude_zero=True,
+                                         target_valid=tmask)
                 nn2 = jnp.where(jnp.isfinite(nn2), nn2, 0.0) * tmask
                 s2_0 = jnp.maximum(jnp.sum(nn2) / jnp.sum(tmask),
                                    min_sigma2 * 0.01)

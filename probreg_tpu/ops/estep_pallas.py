@@ -1037,6 +1037,15 @@ def gauss_transform_culled(
     if c > _SUBLANES:
         raise ValueError(f"gauss_transform_culled supports <= {_SUBLANES} "
                          f"weight channels, got {c}")
+    # Shared-centroid centering, like ops/pairwise.sqdist: the in-kernel
+    # expanded-form distances lose ~|x|^2 * eps to f32 cancellation at
+    # large coordinate magnitudes; the transform is translation
+    # invariant, so centering is free and keeps the kernel consistent
+    # with the (centered) dense oracle.
+    cen = ((jnp.sum(source, axis=0) + jnp.sum(target, axis=0))
+           / (m + nq))
+    source = source - cen[None, :]
+    target = target - cen[None, :]
     if sort:
         perm_p = morton_order(source)
         perm_q = morton_order(target)

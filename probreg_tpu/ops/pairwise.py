@@ -24,9 +24,21 @@ def sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
     """Pairwise squared euclidean distances, shape (M, N) for (M,D),(N,D).
 
     Clamped at zero: the matmul formulation can go slightly negative in f32.
+
+    Internally centered: the expanded form loses ~|x|^2 * eps to f32
+    cancellation, which exceeds real point distances once coordinates
+    reach UTM/mm magnitudes (|x| ~ 1e4; the f64 reference never sees
+    this). Squared distances are translation invariant, so subtracting a
+    shared mean first — exact to the result's ulp — restores O(1)
+    accuracy for every kernel/NN builder routed through here at O(M+N)
+    extra cost.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    cen = ((jnp.sum(x, axis=0) + jnp.sum(y, axis=0))
+           / (x.shape[0] + y.shape[0])).astype(x.dtype)
+    x = x - cen[None, :]
+    y = y - cen[None, :]
     x2 = jnp.sum(x * x, axis=-1)[:, None]
     y2 = jnp.sum(y * y, axis=-1)[None, :]
     # precision=HIGHEST is load-bearing: the TPU MXU's default f32 matmul is
@@ -85,6 +97,12 @@ def sqdist_sum(x: jax.Array, y: jax.Array, block: int = 8192) -> jax.Array:
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     m, n = x.shape[0], y.shape[0]
+    # Internally centered, like sqdist (the closed form shares the
+    # |x|^2-scale cancellation).
+    cen = ((jnp.sum(x, axis=0) + jnp.sum(y, axis=0)) / (m + n)).astype(
+        x.dtype)
+    x = x - cen[None, :]
+    y = y - cen[None, :]
     sx2 = jnp.sum(x * x)
     sy2 = jnp.sum(y * y)
     sx = jnp.sum(x, axis=0)
@@ -103,7 +121,8 @@ def _pad_rows(x: jax.Array, block: int) -> tuple[jax.Array, int]:
 @partial(jax.jit, static_argnames=("block", "exclude_zero", "src_block"))
 def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096,
                    exclude_zero: bool = False,
-                   src_block: int = 4096) -> jax.Array:
+                   src_block: int = 4096,
+                   target_valid: jax.Array = None) -> jax.Array:
     """For each source point, squared distance to its nearest target point.
 
     Streaming replacement for the reference's scipy cKDTree queries
@@ -116,6 +135,12 @@ def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096,
     source axis materialized (M, block) per scan step, 16 GB at M=1M
     (review finding; CLAUDE.md flags >4 GB buffers as a tunnel-fault
     trigger).
+
+    ``target_valid``: optional (N,) 0/1 mask — invalid rows are never a
+    nearest neighbor (ragged-batch padding). Use this, NOT a far-offset
+    coordinate trick: sqdist centers on the joint mean, so rows pushed
+    1e6 away drag the centroid off the real cloud and re-introduce the
+    cancellation the centering exists to remove.
     """
     source = jnp.asarray(source)
     target = jnp.asarray(target)
@@ -123,6 +148,11 @@ def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096,
     tgt, n = _pad_rows(target, block)
     n_blocks = tgt.shape[0] // block
     blocks = tgt.reshape(n_blocks, block, tgt.shape[1])
+    if target_valid is not None:
+        tv, _ = _pad_rows(jnp.asarray(target_valid, source.dtype), block)
+        vblocks = tv.reshape(n_blocks, block)
+    else:
+        vblocks = jnp.ones((n_blocks, block), source.dtype)
     base = jnp.arange(block)
     offs = jnp.arange(n_blocks) * block
     src_p, _ = _pad_rows(source, src_block)
@@ -130,16 +160,16 @@ def nearest_sqdist(source: jax.Array, target: jax.Array, block: int = 4096,
 
     def one_chunk(sc):
         def body(best, inp):
-            blk, idx0 = inp
+            blk, vb, idx0 = inp
             d2 = sqdist(sc, blk)
-            valid = (idx0 + base) < n
+            valid = ((idx0 + base) < n) & (vb > 0)
             d2 = jnp.where(valid[None, :], d2, jnp.inf)
             if exclude_zero:
                 d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
             return jnp.minimum(best, jnp.min(d2, axis=1)), None
 
         init = jnp.full((src_block,), jnp.inf, sc.dtype)
-        best, _ = jax.lax.scan(body, init, (blocks, offs))
+        best, _ = jax.lax.scan(body, init, (blocks, vblocks, offs))
         return best
 
     return jax.lax.map(one_chunk, schunks).reshape(-1)[:m]

@@ -1025,6 +1025,12 @@ def _run_gmmtree_sharded(xs_t_sh, mask_sh, pi, mu_n, cov, rot0, t0, *,
     from .. import gmmtree as gt_mod
 
     lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    # f32 covariance estimation can leave slightly INDEFINITE nodes
+    # (observed -1.1e-5 smallest eigenvalue on a quantized-input build);
+    # a negative eigenvalue drops that direction's twist weight to the
+    # eps floor and one such node dominates the 6x6 system — repro:
+    # 1.67 rad error at a 1e4 coordinate offset, 4e-3 with the floor.
+    lmd_nodes = jnp.maximum(lmd_nodes, jnp.float32(1e-7))
     estep_core = gt_mod._estep_t_factory(pi, mu_n, cov, max_level, lambda_c)
 
     @partial(

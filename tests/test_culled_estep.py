@@ -162,13 +162,17 @@ def test_gauss_transform_culled_matches_dense(h):
     out = np.asarray(ep.gauss_transform_culled(src, tgt, w, h,
                                                tile=128, interpret=True))
     scale = max(1.0, np.abs(ref).max())
-    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-6)
+    # 2e-4: the dense oracle computes its distances CENTERED
+    # (ops/pairwise.sqdist — the large-coordinate robustness fix) while
+    # the kernel computes them raw; on O(1)-coordinate fixtures the two
+    # valid f32 op orders differ by ~1e-4 relative.
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-4)
 
     # 1-D weights squeeze path.
     ref1 = np.asarray(gauss_transform(src, tgt, w[:, 0], h))
     out1 = np.asarray(ep.gauss_transform_culled(src, tgt, w[:, 0], h,
                                                 tile=128, interpret=True))
-    np.testing.assert_allclose(out1 / scale, ref1 / scale, atol=5e-6)
+    np.testing.assert_allclose(out1 / scale, ref1 / scale, atol=2e-4)
 
 
 @pytest.mark.parametrize("sigma2", [2.0, 0.05])
@@ -272,7 +276,7 @@ def test_gauss_transform_culled_assume_sorted():
     out = np.asarray(ep.gauss_transform_culled(s, t, w, 0.25, tile=128,
                                                interpret=True, sort=False))
     scale = max(1.0, np.abs(ref).max())
-    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-6)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-4)
 
 
 def test_morton_order_np_matches_jnp():

@@ -70,11 +70,19 @@ def test_fused_round_matches_eager_round(rigid_clouds):
     rec_f = np.asarray(se3_op.mat2euler(res_f.rot))
 
     # Replay the round eagerly: same feature key (counter=1), separate
-    # dispatches through the cached per-class optimizer program.
-    eager = l2dist_regs.RigidGMMReg(src, n_gmm_components=200)
+    # dispatches through the cached per-class optimizer program. The
+    # rigid registration runs in the shared-centroid frame, so the
+    # replay must center identically (rotations are frame invariant;
+    # the BFGS trajectory is not).
+    cen = ((np.asarray(src, np.float64).mean(0) * len(tgt)
+            + np.asarray(tgt, np.float64).mean(0) * len(src))
+           / (len(src) + len(tgt)))
+    src_c = (np.asarray(src, np.float64) - cen).astype(np.float32)
+    tgt_c = (np.asarray(tgt, np.float64) - cen).astype(np.float32)
+    eager = l2dist_regs.RigidGMMReg(src_c, n_gmm_components=200)
     eager._feature_gen.init()
-    mu_s, phi_s = eager._feature_gen.compute(src)
-    mu_t, phi_t = eager._feature_gen.compute(tgt)
+    mu_s, phi_s = eager._feature_gen.compute(src_c)
+    mu_t, phi_t = eager._feature_gen.compute(tgt_c)
     opt = eager._jax_optimizer(50, 1.0e-3)
     rx, _ = opt(jnp.asarray(eager._cost_fn.initial(), jnp.float32),
                 mu_s, phi_s, mu_t, phi_t,

@@ -276,6 +276,9 @@ def test_sharded_entries_reject_2d_mesh():
     silently wasting every n-axis replica (review finding)."""
     from probreg_tpu.parallel import sharded as sh, sharded2d as s2d
 
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices for the 2-axis mesh (single-chip "
+                    "TPU run)")
     rng = np.random.default_rng(1)
     src = rng.random((50, 3)).astype(np.float32)
     mesh2d = s2d.make_mesh_2d(2, 4)
