@@ -789,7 +789,30 @@ class CoherentPointDrift(abc.ABC):
             fast = self._registration_fast(target, w, maxiter, tol)
             if fast is not None:
                 return fast
-        source = self._source
+        # Shared-centroid centering for the generic loop (the fast-path
+        # runners center internally; this path serves callback mode,
+        # dense nonrigid and constrained CPD — verified >100 deg wrong at
+        # a 1e4 coordinate offset without it). Nonrigid transforms and
+        # the constrained priors (built from the centered target in
+        # _initialize) are translation invariant; rigid/affine initial
+        # params convert in and every emitted transform converts back.
+        cen = ((jnp.sum(self._source, axis=0) + jnp.sum(target, axis=0))
+               / (self._source.shape[0] + target.shape[0]))
+        target = target - cen[None, :]
+        centered_source = self._source - cen[None, :]
+
+        def _tf_to(tr, sign):
+            # sign=+1: raw -> centered; sign=-1: centered -> raw.
+            if isinstance(tr, tf.RigidTransformation):
+                shift = tr.scale * (tr.rot @ cen) - cen
+                return tf.RigidTransformation(tr.rot, tr.t + sign * shift,
+                                              tr.scale)
+            if isinstance(tr, tf.AffineTransformation):
+                shift = tr.b @ cen - cen
+                return tf.AffineTransformation(tr.b, tr.t + sign * shift)
+            return tr
+
+        source = centered_source
         step_fn = self._step_fn()
         if getattr(self, "_use_pallas", None) is False:
             # The pin means "no Pallas kernels" everywhere, including the
@@ -816,29 +839,29 @@ class CoherentPointDrift(abc.ABC):
             source = source[morton_order(source)]
             target = target[morton_order(target)]
             step_fn = sorted_step
-        if source is not self._source:
-            orig_source = self._source
-            self._source = source
-            try:
-                res = self._initialize(target)
-                aux = self._step_aux()
-            finally:
-                self._source = orig_source
-        else:
+        orig_source = self._source
+        self._source = source
+        try:
             res = self._initialize(target)
             aux = self._step_aux()
+        finally:
+            self._source = orig_source
+        res = res._replace(transformation=_tf_to(res.transformation, +1.0))
         if self._callbacks:
             from .utils import chunked
 
             state = {"q": float(res.q), "res": res}
 
             def chunk_fn(st, kk):
-                return _em_chunk(self._source, target, st[0], st[1], aux,
+                return _em_chunk(source, target, st[0], st[1], aux,
                                  step_fn=step_fn, w=float(w), k=kk)
 
             def handle(i, hist, j):
                 trs, s2s, qs = hist
-                out = MstepResult(chunked.slice_tree(trs, j), s2s[j], qs[j])
+                out_c = MstepResult(chunked.slice_tree(trs, j), s2s[j],
+                                    qs[j])
+                out = out_c._replace(
+                    transformation=_tf_to(out_c.transformation, -1.0))
                 for c in self._callbacks:
                     c(out.transformation)
                 log.debug("Iteration: {}, Criteria: {}".format(i, out.q))
@@ -850,11 +873,14 @@ class CoherentPointDrift(abc.ABC):
             out = chunked.run_chunked(
                 chunk_fn, (res.transformation, res.sigma2), int(maxiter),
                 int(callback_chunk), handle)
-            return out if out is not None else res
-        return _run_em(
+            return out if out is not None \
+                else res._replace(
+                    transformation=_tf_to(res.transformation, -1.0))
+        out = _run_em(
             source, target, res.transformation, res.sigma2, res.q, aux,
             step_fn=step_fn, w=float(w), maxiter=int(maxiter), tol=float(tol),
         )
+        return out._replace(transformation=_tf_to(out.transformation, -1.0))
 
     def _registration_fast(self, target, w, maxiter, tol):
         """Transposed-layout whole-EM path; None if unsupported here."""

@@ -106,7 +106,11 @@ def _block_moments(t_source, x_blk, sigma2, c, eps):
     px = pxp[:, :-1]
     p1 = pxp[:, -1]
     x2r = jnp.sum(x_blk * x_blk, axis=1)
-    xx = jnp.sum(pt1 * jnp.where(x2r < _PAD_BIG, x2r, 0.0))
+    # Pad filter on the SQUARED norm: pad rows sit at |x|^2 ~ D*_PAD_BIG^2
+    # (3e30); comparing against the unsquared 1e15 misclassified real
+    # points beyond |x| ~ 3e7 as padding (review finding; matches the
+    # estep_pallas kernels' x2 < _BIG * 0.5 semantics).
+    xx = jnp.sum(pt1 * jnp.where(x2r < 0.5 * _PAD_BIG ** 2, x2r, 0.0))
     return pt1, p1, px, xx
 
 

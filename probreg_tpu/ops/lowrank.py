@@ -68,8 +68,11 @@ def nystrom_eig(points: jax.Array, kernel_fn, rank: int,
         # Ragged padding: valid points come first (utils.interop.pad_ragged),
         # so a traced-stride over [0, m_valid) picks only valid landmarks.
         m_valid = jnp.sum(valid)
-        idx = jnp.round(
-            jnp.linspace(0.0, 1.0, ell) * (m_valid - 1.0)).astype(jnp.int32)
+        # maximum(. , 0): an all-padding (empty) batch entry would give
+        # idx = -1 and silently gather the last pad row as every landmark
+        # (review finding).
+        idx = jnp.round(jnp.linspace(0.0, 1.0, ell)
+                        * jnp.maximum(m_valid - 1.0, 0.0)).astype(jnp.int32)
     landmarks = points[idx]
     kmk = kernel_fn(points, landmarks)                     # (M, L)
     kkk = kernel_fn(landmarks, landmarks)                  # (L, L)
@@ -100,16 +103,6 @@ def lowrank_imq(points: jax.Array, c: float, rank: int, valid=None,
     return nystrom_eig(
         points, lambda a, b: pairwise.inverse_multiquadric_kernel(a, b, c),
         rank, valid=valid, max_landmarks=max_landmarks)
-
-
-def gram_apply(u: jax.Array, lam: jax.Array, x: jax.Array) -> jax.Array:
-    """(U diag(lam) U^T) @ x for (M, D) x — two skinny matmuls."""
-    return u @ (lam[:, None] * (u.T @ x))
-
-
-def gram_apply_t(u: jax.Array, lam: jax.Array, x_t: jax.Array) -> jax.Array:
-    """x_t @ (U diag(lam) U^T) for lane-major (D, M) x_t."""
-    return ((x_t @ u) * lam[None, :]) @ u.T
 
 
 def woodbury_coeffs(u: jax.Array, lam: jax.Array, d: jax.Array, c, rhs: jax.Array):

@@ -38,16 +38,14 @@ def read_ply(path) -> np.ndarray:
     if _nat is not None:
         return _nat.read_ply(str(path))
     raw = Path(path).read_bytes()
-    # CRLF-tolerant (Windows-written ASCII PLY ends the line with \r\n —
-    # review finding): locate the token, then skip past ITS newline.
-    end = raw.find(b"end_header")
-    if end < 0:
+    # CRLF-tolerant AND line-anchored: a bare substring search matched
+    # 'end_header' inside comment lines and truncated the header (review
+    # finding); the real terminator is a line that is exactly the token.
+    m = re.search(rb"^end_header[ \t]*\r?$", raw, re.M)
+    if m is None:
         raise ValueError("not a PLY file: %s" % path)
-    nl = raw.find(b"\n", end)
-    if nl < 0:
-        raise ValueError("not a PLY file: %s" % path)
-    header = raw[: end].decode("ascii", errors="replace").splitlines()
-    body = raw[nl + 1:]
+    header = raw[: m.start()].decode("ascii", errors="replace").splitlines()
+    body = raw[m.end() + 1:]
 
     fmt = None
     elements = []  # (name, count, [(prop_name, dtype_str) ...])
@@ -97,12 +95,22 @@ def read_pcd(path) -> np.ndarray:
         raise ValueError("not a PCD file: %s" % path)
     header = raw[: m.end()].decode("ascii", errors="replace")
     body = raw[m.end():]
-    fields = re.search(r"FIELDS\s+(.+)", header).group(1).split()
-    sizes = [int(s) for s in re.search(r"SIZE\s+(.+)", header).group(1).split()]
-    types = re.search(r"TYPE\s+(.+)", header).group(1).split()
+
+    def _req(pattern):
+        hm = re.search(pattern, header)
+        if hm is None:
+            # A clear diagnostic instead of AttributeError on a truncated
+            # header (review finding).
+            raise ValueError("not a PCD file (missing %r): %s"
+                             % (pattern, path))
+        return hm
+
+    fields = _req(r"FIELDS\s+(.+)").group(1).split()
+    sizes = [int(s) for s in _req(r"SIZE\s+(.+)").group(1).split()]
+    types = _req(r"TYPE\s+(.+)").group(1).split()
     counts_m = re.search(r"COUNT\s+(.+)", header)
     counts = [int(c) for c in counts_m.group(1).split()] if counts_m else [1] * len(fields)
-    n = int(re.search(r"POINTS\s+(\d+)", header).group(1))
+    n = int(_req(r"POINTS\s+(\d+)").group(1))
     data_kind = m.group(1).decode()
 
     if data_kind == "ascii":
@@ -215,6 +223,10 @@ def read_batch(paths, voxel_size: float = 0.0, threads: int = 0):
 
 def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """Average points falling in the same voxel (Open3D-compatible)."""
+    if not voxel_size > 0.0:
+        # Open3D raises the same; without this the fallback's divide
+        # produces an int64-wrapped garbage voxelization (review finding).
+        raise ValueError("voxel_size must be positive, got %r" % voxel_size)
     points = np.asarray(points, dtype=np.float64)
     if _nat is not None and points.ndim == 2 and points.shape[1] == 3:
         return _nat.voxel_down_sample(points, float(voxel_size))

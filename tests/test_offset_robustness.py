@@ -132,3 +132,35 @@ def test_multistart_at_offset(rng):
     tgt = ((src - c) @ rot.T + c).astype(np.float32)
     res = cpd.registration_cpd(src, tgt, n_starts=6, maxiter=60, tol=1e-6)
     assert _rot_err(res.transformation.rot, rot) < 1e-2
+
+def test_generic_loop_paths_at_offset(offset_pair):
+    """The generic _run_em loop (callback mode, dense nonrigid,
+    constrained CPD) centers too — it routed through raw-coordinate
+    moments and returned a silently wrong pose (>100 deg) at a 1e4
+    offset while the fast path was fine (review finding)."""
+    from probreg_tpu import cpd
+
+    src, tgt, rot = offset_pair
+    calls = []
+    res = cpd.registration_cpd(src, tgt, maxiter=60, tol=1e-6,
+                               callbacks=[lambda t: calls.append(1)])
+    assert calls
+    assert _rot_err(res.transformation.rot, rot) < 5e-3
+
+    # Dense nonrigid (rank=None) on a small slice.
+    s = src[:400]
+    c = s.mean(0)
+    t = (s + 0.05 * np.sin(2.0 * (s - c)[:, ::-1])).astype(np.float32)
+    rn = cpd.registration_cpd(s, t, "nonrigid", maxiter=40)
+    moved = np.asarray(rn.transformation.transform(s))
+    r0 = np.sqrt(((s - t) ** 2).sum(1)).mean()
+    r1 = np.sqrt(((moved - t) ** 2).sum(1)).mean()
+    assert np.isfinite(r1) and r1 < 0.3 * r0
+
+    # Constrained nonrigid with a few known correspondences.
+    rc = cpd.registration_cpd(s, t, "nonrigid_constrained", maxiter=40,
+                              idx_source=np.arange(10),
+                              idx_target=np.arange(10), alpha=1e-6)
+    moved_c = np.asarray(rc.transformation.transform(s))
+    r2 = np.sqrt(((moved_c - t) ** 2).sum(1)).mean()
+    assert np.isfinite(r2) and r2 < 0.3 * r0
