@@ -34,6 +34,7 @@ FLOORS = {
     "bcpd_chunked_pyramid_warm_s": 10.0,   # 4.6-5.4 measured (round 4)
     "filterreg_bunny_batch_ms": 2.0,       # 0.80 measured (ref: 5.1 ms)
     "gmmtree_bunny_batch_ms": 60.0,        # 31.6 measured (ref: 105.4 ms)
+    "icp_bunny_batch_ms": 2.0,             # placeholder until r5 measure
 }
 HIGHER_IS_BETTER = {"estep_stash_dense_gpairs", "estep_stash_culled_gpairs",
                     "estep_xla_gpairs"}
@@ -186,6 +187,39 @@ def bench_gmmtree_batch(results):
     results["gmmtree_bunny_batch_ms"] = (t * 1e3, "ms")
 
 
+def bench_icp(results):
+    """ICP on the reference's bunny headline config (its README row 1:
+    1.41 ms via Open3D, single CPU thread) — amortized like the CPD
+    headline: a scan of whole-ICP while_loop registrations (30
+    iterations, the Open3D default) in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as headline
+
+    from probreg_tpu import icp
+
+    src, tgt = headline.prepare_clouds()
+    src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
+    b = 50 if jax.default_backend() == "tpu" else 4
+    rot0 = jnp.eye(3, dtype=src.dtype)
+    t0 = jnp.zeros(3, src.dtype)
+
+    @jax.jit
+    def run(src, tgt):
+        def body(carry, _):
+            rot, t, rmse, _ = icp._run_icp(
+                src, tgt, rot0, t0, maxiter=30, tol=1e-6,
+                trim_fraction=0.0)
+            return carry + rmse * 1e-30, rot
+        acc, rots = jax.lax.scan(body, jnp.asarray(0.0, src.dtype),
+                                 None, length=b)
+        return acc, rots[-1]
+
+    t = _timeit(lambda: run(src_d, tgt_d)) / b
+    results["icp_bunny_batch_ms"] = (t * 1e3, "ms")
+
+
 def bench_svr(results):
     import jax
 
@@ -276,7 +310,7 @@ def main():
     failed = []
     for fn in (bench_estep, bench_bunny_batch, bench_svr, bench_pyramid,
                bench_bcpd_chunked, bench_filterreg_batch,
-               bench_gmmtree_batch):
+               bench_gmmtree_batch, bench_icp):
         try:
             fn(results)
         except Exception as e:  # keep the rest of the suite running, but a

@@ -208,13 +208,36 @@ def _bcpd_chunk(source, target, transf, sigma_mat, alpha, sigma2, gmat,
 
 
 def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
-                m_eff=None):
+                m_eff=None, e1=None, t_src_t=None, v_prev_t=None):
     """CombinedBCPD M-step in transposed (D, M) layout, from psum-able
     E-step moments (px_t, nu, s1). Shared by the single-device VI loop and
     the sharded runner (parallel/sharded.py). ``gmat`` dense or (u, lam).
     ``m_eff``: true source count when padded (ragged batch) — feeds the
     Dirichlet digamma normalizer; everything else is inert to padding
-    because padded rows have nu = 0."""
+    because padded rows have nu = 0.
+
+    sigma2 update — two forms:
+
+    * **Residual form** (``e1`` given): ``e1 = sum_mn p_mn |x_n - y_m|^2``
+      accumulated in the E-step where d2 is live (a sum of NONNEGATIVE
+      residual-scale terms — numerically stable at any N), corrected for
+      the v update the reference applies between E and sigma2
+      (reference bcpd.py:151 evaluates y_hat with v_NEW but the PREVIOUS
+      rigid transform):  with delta_m = scale * rot @ (v_new - v_prev)_m,
+
+        sum p |x - y_hat|^2 = e1 - 2 sum_m (px_m - nu_m y_m) . delta_m
+                                 + sum_m nu_m |delta_m|^2
+
+      — every term is O(residual), so no catastrophic cancellation.
+      Requires ``t_src_t`` (the (D, M) transformed source the E-step saw)
+      and ``v_prev_t`` (the (D, M) displacement field it used).
+    * **Expanded form** (``e1 is None``): the reference's
+      ``s1 - 2 s2 + s3`` (bcpd.py:152-155) — sums of O(n_p |x|^2) f32
+      terms whose true difference is the tiny converged residual; above
+      ~500k points the rounding noise exceeds it (observed NEGATIVE at
+      700k, round 4). Kept for callers that only have channel moments.
+
+    Both forms keep the f32 eps floor as a backstop."""
     dim, m = ys_t.shape
     if m_eff is None:
         m_eff = m
@@ -263,19 +286,23 @@ def _vi_mstep_t(ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
     rot_new = (phi * cdet) @ psih
     scale_new = jnp.trace(rot_new @ s_xu) / jnp.trace(s_uu)
     t_new = x_m - scale_new * rot_new @ u_m
-    # Reference parity (bcpd.py:151): y_hat with the PREVIOUS transform.
-    y_hat_t = scale * rot @ (ys_t + v_new_t) + t[:, None]
-    s2v = jnp.sum(px_t * y_hat_t)
-    s3 = jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0))
-    # Floor at f32 eps: s1 - 2 s2v + s3 is a catastrophic cancellation of
-    # O(N)-term f32 sums (each ~n_p * |x|^2) whose true value is the tiny
-    # converged residual — at >= ~500k points the rounding noise exceeds
-    # it and the raw update can go NEGATIVE, after which exp(-d2/2sigma2)
-    # and sigma2**2 poison the whole VI state with NaNs (observed at 700k
-    # round 4). The reference runs float64 where the cancellation is
-    # harmless (reference bcpd.py:152-155); CPD's EM floors identically.
+    if e1 is not None:
+        # Residual form (see docstring): every term is O(residual)-scale.
+        delta_t = scale * (rot @ (v_new_t - v_prev_t))       # (D, M)
+        r_t = px_t - nu[None, :] * t_src_t                   # (D, M)
+        numer = (e1 - 2.0 * jnp.sum(r_t * delta_t)
+                 + jnp.sum(nu * jnp.sum(delta_t * delta_t, axis=0)))
+    else:
+        # Reference parity (bcpd.py:151): y_hat with the PREVIOUS transform.
+        y_hat_t = scale * rot @ (ys_t + v_new_t) + t[:, None]
+        s2v = jnp.sum(px_t * y_hat_t)
+        s3 = jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0))
+        numer = s1 - 2.0 * s2v + s3
+    # f32 eps floor as a backstop (residual form: guards the tiny negative
+    # the correction terms can produce at machine precision; expanded
+    # form: guards the large-N catastrophic cancellation, see docstring).
     sigma2_new = jnp.maximum(
-        (s1 - 2.0 * s2v + s3) / (n_p * dim) + scale_new ** 2 * sigma2_m,
+        numer / (n_p * dim) + scale_new ** 2 * sigma2_m,
         _EPS)
     return (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
             sigma2_new)
@@ -348,7 +375,9 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         m_blocks = cmask.reshape(1, nb, block).transpose(1, 0, 2)
 
     def _estep_cols(t_src_t, y2, row, sigma2, xs_b, v_b, mask_b):
-        """Moments + per-source-row min-d2 of one (M, B) posterior block."""
+        """Moments, per-source-row min-d2 and the residual-form
+        e1 = sum p * d2 of one (M, B) posterior block (d2 is live here —
+        see _vi_mstep_t's sigma2 docstring)."""
         x2b = jnp.sum(xs_b * xs_b, axis=0, keepdims=True)
         xy = jax.lax.dot_general(
             t_src_t, xs_b, (((0,), (0,)), ((), ())),
@@ -366,7 +395,8 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
             v_b, pmat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)                # (D+2, M)
-        return mom, dmin
+        e1_b = jnp.sum(pmat * d2)
+        return mom, dmin, e1_b
 
     def body(state):
         (rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev,
@@ -390,23 +420,25 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
                 jnp.log(jnp.maximum(row, 1e-38))
                 - dim * 0.5 * jnp.log(2.0 * jnp.pi * sigma2),
                 -1e30)
-            _, mom, minrow = _ep.bcpd_estep_culled(
+            _, mom, minrow, e1 = _ep.bcpd_estep_culled(
                 t_src_t.T, target, rowlog, v_chan, w / n_eff, sigma2,
                 interpret=culled_interpret)
         elif blocked:
             def eblk(carry, blk):
-                mom_acc, min_acc = carry
+                mom_acc, min_acc, e1_acc = carry
                 xs_b, v_b, mask_b = blk
-                mom_b, dmin = _estep_cols(
+                mom_b, dmin, e1_b = _estep_cols(
                     t_src_t, y2, row, sigma2, xs_b, v_b, mask_b)
-                return (mom_acc + mom_b, jnp.minimum(min_acc, dmin)), None
+                return (mom_acc + mom_b, jnp.minimum(min_acc, dmin),
+                        e1_acc + e1_b), None
 
             init = (jnp.zeros((dim + 2, m), source.dtype),
-                    jnp.full((m,), jnp.inf, source.dtype))
-            (mom, minrow), _ = jax.lax.scan(
+                    jnp.full((m,), jnp.inf, source.dtype),
+                    jnp.zeros((), source.dtype))
+            (mom, minrow, e1), _ = jax.lax.scan(
                 eblk, init, (xs_blocks, v_blocks, m_blocks))
         else:
-            mom, minrow = _estep_cols(
+            mom, minrow, e1 = _estep_cols(
                 t_src_t, y2, row, sigma2, xs_t, v_chan,
                 tmask[None, :] if masked
                 else jnp.ones((1, n), xs_t.dtype))
@@ -422,7 +454,8 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
         (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
          sigma2_new) = _vi_mstep_t(
             ys_t, rot, t, scale, sigma2, gmat, lmd, k, px_t, nu, s1,
-            m_eff=m_eff if masked else None)
+            m_eff=m_eff if masked else None,
+            e1=e1, t_src_t=t_src_t, v_prev_t=v_hat_t)
         # Track the best state VISITED (by the loop's own NN-RMSE
         # criterion): the VI trajectory keeps trading scale against v after
         # convergence (chaotic in f32), so the LAST iterate can be worse
@@ -490,21 +523,21 @@ def _run_bcpd(source, target, gmat, lmd, k, sigma2_0, *, w, maxiter, tol,
 
         rowlog1 = jnp.zeros((m,), source.dtype) \
             - dim * 0.5 * jnp.log(2.0 * jnp.pi * sigma2_0)
-        _, _, minrow = _ep.bcpd_estep_culled(
+        _, _, minrow, _ = _ep.bcpd_estep_culled(
             t_src_t.T, target, rowlog1, v_chan, w / n_eff, sigma2_0,
             interpret=culled_interpret)
     elif blocked:
         def dblk(carry, blk):
             xs_b, v_b, mask_b = blk
-            _, dmin = _estep_cols(t_src_t, y2, row1, sigma2_0, xs_b, v_b,
-                                  mask_b)
+            _, dmin, _ = _estep_cols(t_src_t, y2, row1, sigma2_0, xs_b,
+                                     v_b, mask_b)
             return jnp.minimum(carry, dmin), None
 
         minrow, _ = jax.lax.scan(
             dblk, jnp.full((m,), jnp.inf, source.dtype),
             (xs_blocks, v_blocks, m_blocks))
     else:
-        _, minrow = _estep_cols(
+        _, minrow, _ = _estep_cols(
             t_src_t, y2, row1, sigma2_0, xs_t, v_chan,
             tmask[None, :] if masked else jnp.ones((1, n), xs_t.dtype))
     if masked:

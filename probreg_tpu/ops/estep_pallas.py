@@ -730,17 +730,21 @@ def _wdist_tile(ys_t, y2, xs_t, x2, inv2s2, rowlog):
 
 
 def _wstash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, rl_ref,
-                       xs_ref, x2_ref, den_ref, nud_ref, dmin_ref, gst_ref):
+                       xs_ref, x2_ref, den_ref, nud_ref, dmin_ref, gst_ref,
+                       gd2_ref):
     """Row-weighted pass A (one target stripe): stash exp'd blocks, raw
     den, per-row d2 minima (computed HERE where d2 is live — the stash
     holds only g, and recovering d2 from it would cost a log per pair,
-    exactly the transcendental the stash saves)."""
+    exactly the transcendental the stash saves), and the residual-form
+    sigma2 accumulator sum_m g * d2 per column (normalized to
+    sum_m p * d2 at the last grid step — see bcpd._vi_mstep_t)."""
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
         den_ref[:] = jnp.zeros_like(den_ref)
+        gd2_ref[:] = jnp.zeros_like(gd2_ref)
 
     @pl.when(act_ref[i] == 1)
     def _():
@@ -748,6 +752,9 @@ def _wstash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, rl_ref,
                             scal_ref[0], rl_ref[:])
         gst_ref[:] = g
         den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+        # g underflows to EXACTLY 0.0 wherever d2 is the padded-column
+        # _BIG marker, so g * d2 contributes exactly 0 there.
+        gd2_ref[:] += jnp.sum(g * d2, axis=0, keepdims=True)
         # Padded target columns carry |x|^2 = _BIG, which d2 inherits, so
         # no masking term is needed in the row minima.
         dmin_ref[:] = jnp.min(d2, axis=1, keepdims=True).reshape(1, -1)
@@ -763,6 +770,7 @@ def _wstash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, rl_ref,
         den = jnp.where(den == 0.0, scal_ref[2], den)  # eps
         nud_ref[:] = den_raw / den
         den_ref[:] = 1.0 / den                       # reciprocal for pass B
+        gd2_ref[:] = gd2_ref[:] * den_ref[:]         # sum_m p * d2 per col
 
 
 def _wstash_moment_kernel(act_ref, eff_ref, v_ref, den_ref, gst_ref,
@@ -840,11 +848,14 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
         w_over_n: the outlier constant w / n_eff.
         sigma2: Gaussian variance.
 
-    Returns (nu_d (N,), mom (C, M), dmin (M,)) where dmin is each source
-    row's min squared distance over ACTIVE tiles, min'd with the box-gap
-    lower bound of its culled tiles — a tight lower bound on the true NN
-    distance (exact whenever the NN lies in an active tile, which it does
-    unless the row's entire neighborhood is culled).
+    Returns (nu_d (N,), mom (C, M), dmin (M,), e1 ()) where dmin is each
+    source row's min squared distance over ACTIVE tiles, min'd with the
+    box-gap lower bound of its culled tiles — a tight lower bound on the
+    true NN distance (exact whenever the NN lies in an active tile, which
+    it does unless the row's entire neighborhood is culled) — and e1 is
+    the residual-form sigma2 numerator sum_mn p_mn d2_mn, accumulated in
+    pass A where d2 is live (culled pairs contribute ~0: their g
+    underflows; see bcpd._vi_mstep_t).
     """
     t_source = jnp.asarray(t_source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -919,6 +930,7 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
                 pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, i)),
                 pl.BlockSpec((tile_m, tile_n),
                              lambda i, act, eff: (eff[i], 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
             ],
         ),
         out_shape=[
@@ -926,6 +938,7 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
             jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
             jax.ShapeDtypeStruct((1, mp), jnp.float32),
             jax.ShapeDtypeStruct((mp, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -949,16 +962,18 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
     )
 
     def stripe(carry, blk):
-        mom_a, dmin_a = carry
+        mom_a, dmin_a, e1_a = carry
         xs_b, x2_b, vt_b, act_b, eff_b = blk
-        inv_den, nud_b, dmin_b, gst = den_kernel(
+        inv_den, nud_b, dmin_b, gst, gd2_b = den_kernel(
             act_b, eff_b, scal, ys_t, y2, rl, xs_b, x2_b)
         mom_b = moment_kernel(act_b, eff_b, vt_b, inv_den, gst)
-        return (mom_a + mom_b, jnp.minimum(dmin_a, dmin_b)), nud_b
+        return (mom_a + mom_b, jnp.minimum(dmin_a, dmin_b),
+                e1_a + jnp.sum(gd2_b)), nud_b
 
     init = (jnp.zeros((_SUBLANES, mp), jnp.float32),
-            jnp.full((1, mp), _BIG, jnp.float32))
-    (mom, dminp), nud_stack = jax.lax.scan(
+            jnp.full((1, mp), _BIG, jnp.float32),
+            jnp.zeros((), jnp.float32))
+    (mom, dminp, e1), nud_stack = jax.lax.scan(
         stripe, init, (xs_blocks, x2_blocks, vt_blocks, act, eff))
     nud = nud_stack.transpose(1, 0, 2).reshape(1, np_)
 
@@ -968,7 +983,7 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
     lb2_row_tile = jnp.min(lb2_culled, axis=1)             # (n_i,)
     dmin_tiles = jnp.repeat(lb2_row_tile, tile_m)[:mp]
     dmin = jnp.minimum(dminp[0, :m], dmin_tiles[:m])
-    return nud[0, :n], mom[:c, :m], dmin
+    return nud[0, :n], mom[:c, :m], dmin, e1
 
 
 # --------------------------------------------------------------------------

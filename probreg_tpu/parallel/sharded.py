@@ -848,7 +848,7 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, axis), P(None, axis), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
     )
     def estep(t_src_t, xs_sh, msk, row, sigma2):
         x2 = jnp.sum(xs_sh * xs_sh, axis=0, keepdims=True)
@@ -870,7 +870,11 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
             v_chan, pmat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)            # (D+2, M)
-        return jax.lax.psum(mom, axis), jax.lax.pmin(dmin, axis)
+        # Residual-form sigma2 numerator (bcpd._vi_mstep_t): d2 is live
+        # here, so e1 = sum p * d2 is a scalar psum.
+        e1 = jnp.sum(pmat * d2)
+        return (jax.lax.psum(mom, axis), jax.lax.pmin(dmin, axis),
+                jax.lax.psum(e1, axis))
 
     def body(state):
         (rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _, rmse_prev,
@@ -878,12 +882,13 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
         t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
         row = (1.0 - w) * alpha * jnp.exp(
             -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim)
-        mom, dmin = estep(t_src_t, xs_t_sh, mask_sh, row, sigma2)
+        mom, dmin, e1 = estep(t_src_t, xs_t_sh, mask_sh, row, sigma2)
         rmse = jnp.mean(jnp.sqrt(dmin))
         px_t, nu, s1 = mom[:dim], mom[dim], jnp.sum(mom[dim + 1])
         (rot_new, t_new, scale_new, v_new_t, sigma_diag_new, alpha_new,
          sigma2_new) = bcpd_mod._vi_mstep_t(
-            ys_t, rot, t, scale, sigma2, gram, lmd, k, px_t, nu, s1)
+            ys_t, rot, t, scale, sigma2, gram, lmd, k, px_t, nu, s1,
+            e1=e1, t_src_t=t_src_t, v_prev_t=v_hat_t)
         # Best-visited tracking — same rationale as bcpd._run_bcpd: the VI
         # trajectory wanders after convergence, so keep the best iterate by
         # the loop's own NN-RMSE. `rmse` scores the incoming state.
@@ -917,8 +922,8 @@ def _run_bcpd_sharded(source, xs_t_sh, mask_sh, gram, lmd, k, sigma2_0, *,
     b_rot, b_t, b_scale, b_v, b_rmse = state[10]
     # Score the last iterate once and keep the better of (last, best).
     t_src_t = scale * rot @ (ys_t + v_hat_t) + t[:, None]
-    _, dmin = estep(t_src_t, xs_t_sh, mask_sh,
-                    jnp.ones((m,), source.dtype), sigma2_0)
+    _, dmin, _ = estep(t_src_t, xs_t_sh, mask_sh,
+                       jnp.ones((m,), source.dtype), sigma2_0)
     rmse_last = jnp.mean(jnp.sqrt(dmin))
     use_last = rmse_last <= b_rmse
     rot = jnp.where(use_last, rot, b_rot)

@@ -815,7 +815,11 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
                 precision=jax.lax.Precision.HIGHEST), N_AXIS)  # (D+2, Ml)
             px_t, nu = mom[:dim], mom[dim]
             s1 = jax.lax.psum(jnp.sum(mom[dim + 1]), M_AXIS)
-            return px_t, nu, s1, dmin
+            # Residual-form sigma2 numerator (bcpd._vi_mstep_t): d2 is
+            # live here, so e1 = sum p * d2 is a scalar double-psum.
+            e1 = jax.lax.psum(jax.lax.psum(
+                jnp.sum(pmat * d2), N_AXIS), M_AXIS)
+            return px_t, nu, s1, dmin, e1
 
         def body(state):
             (rot, t, scale, v_hat_t, sigma_diag, alpha, sigma2, _,
@@ -823,7 +827,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
             t_src_t = scale * rot @ (ys_loc + v_hat_t) + t[:, None]
             row = (1.0 - w) * alpha * jnp.exp(
                 -(scale ** 2) / (2.0 * sigma2) * sigma_diag * dim) * sm1
-            px_t, nu, s1, dmin = estep(t_src_t, row, sigma2)
+            px_t, nu, s1, dmin, e1 = estep(t_src_t, row, sigma2)
             rmse = jax.lax.psum(
                 jnp.sum(jnp.where(sm1 > 0, jnp.sqrt(dmin), 0.0)),
                 M_AXIS) / m
@@ -878,20 +882,21 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
             rot_new = (phi * cdet) @ psih
             scale_new = jnp.trace(rot_new @ s_xu) / jnp.trace(s_uu)
             t_new = x_m - scale_new * rot_new @ u_m
-            # Reference parity (bcpd.py:151): y_hat with the PREVIOUS
-            # transform.
-            y_hat_t = scale * rot @ (ys_loc + v_new_t) + t[:, None]
-            s2v = jax.lax.psum(jnp.sum(px_t * y_hat_t), M_AXIS)
-            s3 = jax.lax.psum(
-                jnp.sum(nu * jnp.sum(y_hat_t * y_hat_t, axis=0)), M_AXIS)
-            # Same f32 eps floor as bcpd._vi_mstep_t: the s1/s2v/s3
-            # difference cancels catastrophically at >= ~500k points and
-            # the raw update can go NEGATIVE (NaN-poisons the VI state;
-            # observed at 700k on the single-chip path) — and this runner
-            # IS the 1M-class path.
+            # Residual-form sigma2 update (bcpd._vi_mstep_t docstring):
+            # e1 = sum p d2 from the E-step plus the v-update correction —
+            # every term O(residual)-scale, so the expanded-form
+            # catastrophic cancellation (raw update observed NEGATIVE at
+            # 700k) never happens — and this runner IS the 1M-class path.
+            # The f32 eps floor stays as a backstop.
+            delta_t = scale * (rot @ (v_new_t - v_hat_t))   # (D, Ml)
+            r_t = px_t - nu[None, :] * t_src_t              # (D, Ml)
+            numer = (e1
+                     - 2.0 * jax.lax.psum(jnp.sum(r_t * delta_t), M_AXIS)
+                     + jax.lax.psum(
+                         jnp.sum(nu * jnp.sum(delta_t * delta_t, axis=0)),
+                         M_AXIS))
             sigma2_new = jnp.maximum(
-                (s1 - 2.0 * s2v + s3) / (n_p * dim)
-                + scale_new ** 2 * sigma2_m,
+                numer / (n_p * dim) + scale_new ** 2 * sigma2_m,
                 jnp.finfo(jnp.float32).eps)
 
             b_rot, b_t, b_scale, b_v, b_s2, b_rmse = best
@@ -929,7 +934,7 @@ def _run_bcpd_2d(ys_t_sh, smask_sh, xs_t_sh, xmask_sh, u_sh, lam, lmd, k,
         b_rot, b_t, b_scale, b_v, b_s2, b_rmse = state[10]
         # Score the last iterate once; keep the better of (last, best).
         t_src_t = scale * rot @ (ys_loc + v_hat_t) + t[:, None]
-        _, _, _, dmin = estep(t_src_t, sm1, s2_0)
+        _, _, _, dmin, _ = estep(t_src_t, sm1, s2_0)
         rmse_last = jax.lax.psum(
             jnp.sum(jnp.where(sm1 > 0, jnp.sqrt(dmin), 0.0)), M_AXIS) / m
         use_last = rmse_last <= b_rmse

@@ -21,6 +21,19 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 if _BACKEND == "cpu":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU-gated runs are compile-dominated (test_em_pallas alone was ~27
+    # min of compiles, round-4 CLAUDE.md) and the persistent compilation
+    # cache is measured to work through the axon tunnel (23.9 -> 12.9 s
+    # cold-process 20k CPD, BENCHMARKS.md). Route every gated run through
+    # it so re-runs skip every previously-seen whole-EM/kernel compile.
+    _cache_dir = os.environ.get(
+        "PROBREG_TPU_TEST_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", ".tpu_test_compile_cache"))
+    from probreg_tpu import config as _pconfig  # noqa: E402
+
+    _pconfig.enable_compilation_cache(os.path.abspath(_cache_dir))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -211,11 +211,13 @@ def test_bcpd_culled_kernel_matches_dense_multitile(sigma2):
     nud_ref = pm.sum(0)
     dmin_ref = d2.min(1)
 
-    nud, mom, dmin = ep.bcpd_estep_culled(
+    nud, mom, dmin, e1 = ep.bcpd_estep_culled(
         s, t, rowlog, v_t, w / n, sigma2, tile_m=128, tile_n=128,
         interpret=True)
     assert _rel(nud, jnp.asarray(nud_ref)) < 1e-4
     assert _rel(mom, jnp.asarray(mom_ref)) < 1e-4
+    e1_ref = float((pm * d2).sum())
+    assert abs(float(e1) - e1_ref) <= 1e-4 * max(abs(e1_ref), 1e-12)
     dmin = np.asarray(dmin)
     # dmin must lower-bound the truth everywhere and be exact wherever the
     # NN lies in an active tile (all rows here: clusters overlap src/tgt).
@@ -467,7 +469,7 @@ def test_bcpd_culled_all_rowlog_underflow_keeps_dmin_honest(rng):
     rowlog = np.full((m,), -120.0, np.float32)     # below -_CUT
     v_t = np.concatenate([tgt.T, np.ones((1, m), np.float32),
                           (tgt ** 2).sum(1)[None]], 0)
-    _, _, dmin = ep.bcpd_estep_culled(
+    _, _, dmin, _ = ep.bcpd_estep_culled(
         src, tgt, rowlog, v_t, 1e-3 / m, 0.05, tile_m=64, tile_n=64,
         interpret=True)
     true_nn = ((src[:, None] - tgt[None]) ** 2).sum(-1).min(1)
