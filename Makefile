@@ -1,4 +1,7 @@
-.PHONY: native test test-tpu bench bench-full fixtures clean
+.PHONY: native test test-tpu bench bench-full fixtures docs clean
+
+docs:
+	JAX_PLATFORMS=cpu python docs/gen_api.py
 
 native:
 	python setup.py build_ext --inplace

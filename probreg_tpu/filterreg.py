@@ -644,11 +644,12 @@ class FilterReg(abc.ABC):
                 self._tf_result = res.transformation
                 self._sigma2 = float(res.sigma2)
                 return res
+            dt = _config.config.dtype
             res = _run_em_rigid(
                 self._source, target, normals,
-                np.asarray(self._tf_result.rot, np.float32),
-                np.asarray(self._tf_result.t, np.float32),
-                np.float32(0.0 if auto else self._sigma2),
+                np.asarray(self._tf_result.rot, dt),
+                np.asarray(self._tf_result.t, dt),
+                np.asarray(0.0 if auto else self._sigma2, dt),
                 objective_type=objective_type,
                 update_sigma2=self._update_sigma2,
                 w=float(w), maxiter=int(maxiter), tol=float(tol),

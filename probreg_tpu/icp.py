@@ -48,7 +48,9 @@ def _nearest_t(t_src_t, xs_t, block: int = 4096, src_block: int = 4096):
     nb = tgt.shape[1] // block
     tblocks = jnp.moveaxis(tgt.reshape(dim, nb, block), 1, 0)
     x2b = jnp.sum(tblocks * tblocks, axis=1)               # (nb, block)
-    offs = jnp.arange(nb) * block
+    # int32 keeps the scan carry type stable under jax x64 (the f64
+    # validation tier): a bare arange would promote to int64 there.
+    offs = jnp.arange(nb, dtype=jnp.int32) * jnp.int32(block)
     pad_s = (-m) % src_block
     src = jnp.concatenate(
         [t_src_t, jnp.zeros((dim, pad_s), t_src_t.dtype)], axis=1)

@@ -565,6 +565,194 @@ def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
     return pt1p, p1p, pxp, xx.reshape(1, 1)
 
 
+def _stash_merged_kernel(act_ref, eff_ref, pact_ref, peff_ref, scal_ref,
+                         ys_ref, y2_ref, xs_ref, x2_ref, pxs_ref, pden_ref,
+                         pgst_ref, den_ref, pt1_ref, xx_ref, gst_ref,
+                         p1_ref, px_ref):
+    """One-launch-per-stripe pipeline: pass A (den+stash) for the CURRENT
+    target stripe fused with pass B (moments) for the PREVIOUS stripe.
+
+    The two-launch design serializes pass A (exp, VPU-bound) and pass B
+    (stash reload + channel matmul, DMA/MXU-bound) — TPU kernels never
+    overlap each other, so per-pair time is the SUM of the passes. Fused
+    at a one-stripe offset, Mosaic schedules the B-half's MXU dot and
+    both stash DMA streams under the A-half's exp, so per-pair time is
+    the MAX — measured v5e: 63.6 -> ~90 Gpair/s dense (BENCHMARKS.md
+    round-5 decomposition table).
+    """
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    # ---- pass A: current stripe's den + stash
+    @pl.when(i == 0)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(act_ref[i] == 1)
+    def _():
+        g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
+                       scal_ref[0])
+        gst_ref[:] = g.astype(gst_ref.dtype)
+        den_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        den_raw = den_ref[:]
+        eps = jnp.asarray(jnp.finfo(jnp.float32).eps, den_raw.dtype)
+        inv_den = 1.0 / (jnp.where(den_raw == 0.0, eps, den_raw)
+                         + scal_ref[1])
+        pt1 = den_raw * inv_den
+        pt1_ref[:] = pt1
+        den_ref[:] = inv_den
+        x2 = x2_ref[:]
+        xx_ref[:] = jnp.sum(
+            jnp.where(x2 < _BIG * 0.5, pt1 * x2, 0.0), keepdims=True)
+
+    # ---- pass B: previous stripe's moments (pgst/pden/pxs), zero on the
+    # first stripe (pact all 0) and on its culled tiles.
+    @pl.when(pact_ref[i] == 1)
+    def _():
+        p = pgst_ref[:].astype(jnp.float32) * pden_ref[:]
+        p1_ref[:] = jnp.sum(p, axis=1, keepdims=True).reshape(1, -1)
+        px_ref[:] = jax.lax.dot_general(
+            pxs_ref[:], p,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, TM)
+
+    @pl.when(pact_ref[i] == 0)
+    def _():
+        p1_ref[:] = jnp.zeros_like(p1_ref)
+        px_ref[:] = jnp.zeros_like(px_ref)
+
+
+def fused_stash_merged_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int,
+                            tile_n: int, mask=None, interpret: bool = False,
+                            stash_dtype=jnp.float32):
+    """Single-exp culled E-step, pipelined: same contract and outputs as
+    :func:`fused_stash_core`, but each stripe is ONE kernel launch that
+    computes the current stripe's den/stash while emitting the previous
+    stripe's moments (see _stash_merged_kernel). Costs a second resident
+    g-stash buffer (the scan ping-pongs previous/current)."""
+    mp, np_ = ys_t.shape[1], xs_t.shape[1]
+    n_i, n_j = mp // tile_m, np_ // tile_n
+    inv2s2 = scal[0]
+
+    if mask is None:
+        ymin, ymax = _tile_bounds(ys_t, y2, tile_m)
+        xmin, xmax = _tile_bounds(xs_t, x2, tile_n)
+        mask = _active_mask(ymin, ymax, xmin, xmax, inv2s2)
+    act, eff = _stripe_compaction(mask)                    # (n_j, n_i) each
+
+    xs_blocks = xs_t.reshape(_SUBLANES, n_j, tile_n).transpose(1, 0, 2)
+    x2_blocks = x2.reshape(1, n_j, tile_n).transpose(1, 0, 2)
+
+    merged_kernel = pl.pallas_call(
+        _stash_merged_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff, pact, peff: (0, eff[i])),
+                pl.BlockSpec((1, tile_m),
+                             lambda i, act, eff, pact, peff: (0, eff[i])),
+                pl.BlockSpec((_SUBLANES, tile_n),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((1, tile_n),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((_SUBLANES, tile_n),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((1, tile_n),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff, pact, peff: (peff[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_n),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((1, tile_n),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((1, 1),
+                             lambda i, act, eff, pact, peff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff, pact, peff: (eff[i], 0)),
+                pl.BlockSpec((1, tile_m),
+                             lambda i, act, eff, pact, peff: (0, i)),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff, pact, peff: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, tile_n), stash_dtype),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * tile_n * (2 * _SUBLANES + 3),
+            bytes_accessed=8 * mp * tile_n,
+            transcendentals=mp * tile_n,
+        ),
+        interpret=interpret,
+    )
+
+    moment_kernel = pl.pallas_call(
+        _stash_moment_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec((_SUBLANES, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, i)),
+                pl.BlockSpec((_SUBLANES, tile_m),
+                             lambda i, act, eff: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((_SUBLANES, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    zeros_i32 = jnp.zeros((n_i,), act.dtype)
+    gst0 = jnp.zeros((mp, tile_n), stash_dtype)
+    den0 = jnp.zeros((1, tile_n), jnp.float32)
+    xs0 = jnp.zeros((_SUBLANES, tile_n), jnp.float32)
+
+    def stripe(carry, blk):
+        (p1a, pxa, xxa, gst_p, den_p, xs_p, act_p, eff_p) = carry
+        xs_b, x2_b, act_b, eff_b = blk
+        den, pt1_b, xx_b, gst, p1_b, px_b = merged_kernel(
+            act_b, eff_b, act_p, eff_p, scal, ys_t, y2, xs_b, x2_b,
+            xs_p, den_p, gst_p)
+        return ((p1a + p1_b, pxa + px_b, xxa + xx_b[0, 0],
+                 gst, den, xs_b, act_b, eff_b), pt1_b)
+
+    init = (jnp.zeros((1, mp), jnp.float32),
+            jnp.zeros((_SUBLANES, mp), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            gst0, den0, xs0, zeros_i32, zeros_i32)
+    (p1p, pxp, xx, gst_l, den_l, xs_l, act_l, eff_l), pt1_stack = \
+        jax.lax.scan(stripe, init, (xs_blocks, x2_blocks, act, eff))
+    # Epilogue: the last stripe's moments never ran inside the scan.
+    p1_b, px_b = moment_kernel(act_l, eff_l, xs_l, den_l, gst_l)
+    p1p = p1p + p1_b
+    pxp = pxp + px_b
+    pt1p = pt1_stack.transpose(1, 0, 2).reshape(1, np_)
+    return pt1p, p1p, pxp, xx.reshape(1, 1)
+
+
 def _stash_den_raw_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref,
                           xs_ref, x2_ref, den_ref, gst_ref):
     """Pass A without the normalizer finalization: RAW column sums only.

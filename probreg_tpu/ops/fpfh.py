@@ -107,9 +107,10 @@ def _spfh(points, normals, idx, valid):
 
 @partial(jax.jit, static_argnames=("max_nn_normal", "max_nn_feature"))
 def _fpfh_impl(points, radius_normal, radius_feature, max_nn_normal,
-               max_nn_feature):
-    idx_n, valid_n, _ = _knn(points, max_nn_normal, radius_normal)
-    normals = _normals(points, idx_n, valid_n)
+               max_nn_feature, normals=None):
+    if normals is None:
+        idx_n, valid_n, _ = _knn(points, max_nn_normal, radius_normal)
+        normals = _normals(points, idx_n, valid_n)
     idx_f, valid_f, dist_f = _knn(points, max_nn_feature, radius_feature)
     # Open3D skips coincident neighbors: a duplicate point's 1/dist
     # weight otherwise reaches ~1e10 and swamps the descriptor (review
@@ -131,12 +132,20 @@ def _fpfh_impl(points, radius_normal, radius_feature, max_nn_normal,
 
 
 def fpfh(points, radius_normal: float = 0.1, radius_feature: float = 0.5,
-         max_nn_normal: int = 30, max_nn_feature: int = 100):
-    """33-D FPFH descriptors for an (N, 3) cloud."""
+         max_nn_normal: int = 30, max_nn_feature: int = 100, normals=None):
+    """33-D FPFH descriptors for an (N, 3) cloud.
+
+    ``normals``: optional precomputed (N, 3) unit normals — mirrors
+    Open3D's ``compute_fpfh_feature``, which consumes whatever normals
+    the cloud already carries. Omit to estimate them here
+    (:func:`estimate_normals` semantics)."""
     points = jnp.asarray(points, jnp.float32)
+    if normals is not None:
+        normals = jnp.asarray(normals, jnp.float32)
     return _fpfh_impl(points, jnp.asarray(radius_normal, jnp.float32),
                       jnp.asarray(radius_feature, jnp.float32),
-                      int(max_nn_normal), int(max_nn_feature))
+                      int(max_nn_normal), int(max_nn_feature),
+                      normals=normals)
 
 
 @partial(jax.jit, static_argnames=("max_nn",))
