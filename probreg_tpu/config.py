@@ -60,6 +60,12 @@ class Config:
     # The posterior NORMALIZER stays f32 either way (summed before the
     # cast); bf16 quantizes only the moment numerators (~0.4% relative).
     stash_dtype: jnp.dtype = jnp.float32
+    # Pipelined single-launch-per-stripe stash E-step
+    # (fused_stash_merged_core): pass B of stripe j-1 runs fused under
+    # pass A of stripe j, overlapping the moment matmul + stash DMA with
+    # the exp instead of serializing two kernels. Costs a SECOND resident
+    # g-stash buffer (the budget accounting below halves accordingly).
+    use_merged_stash: bool = False
     # Stash-allocation cap for the CPD single-exp culled kernel
     # (fused_stash_core via estep_auto): the (M_padded, tile_n) g-stash is
     # 4.1 GB at the validated 1M x 1024 f32; beyond ~6 GB per buffer the

@@ -1412,11 +1412,15 @@ def estep_auto(
     # already-compiled shapes re-derive their tiles (config.py docstring).
     from ..config import config as _cfg
 
+    merged = bool(getattr(_cfg, "use_merged_stash", False))
     budget = int(getattr(_cfg, "cpd_stash_max_bytes", 0) or 0)
     if budget:
         tn = _capped_stash_tile_n(
             m, tile_m, min(tile_n, ((n + 127) // 128) * 128),
-            itemsize=jnp.dtype(stash_dtype).itemsize, budget=budget,
+            itemsize=jnp.dtype(stash_dtype).itemsize,
+            # The merged pipeline keeps TWO stash buffers resident
+            # (previous + current stripe ping-pong through the scan).
+            budget=budget // 2 if merged else budget,
             on_overflow="fallback")
         if tn is None:
             from .estep import estep_xla
@@ -1441,7 +1445,8 @@ def estep_auto(
 
     c = outlier_constant(sigma2, w, m, n, dim)
     scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
-    pt1p, p1p, pxp, xx = fused_stash_core(
+    core = fused_stash_merged_core if merged else fused_stash_core
+    pt1p, p1p, pxp, xx = core(
         scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
         interpret=interpret, stash_dtype=stash_dtype)
     pt1s = pt1p[0, :n]

@@ -499,3 +499,53 @@ def test_cpd_stash_cap_honors_stash_dtype_itemsize(rng, monkeypatch):
     assert captured["itemsize"] == 2
     ep.estep_auto(src, tgt, 0.2, 0.1, interpret=True)
     assert captured["itemsize"] == 4
+
+
+def test_merged_stash_matches_two_launch(rng):
+    """fused_stash_merged_core (one launch per stripe, pass B pipelined
+    under the next stripe's pass A) is bit-identical to fused_stash_core
+    across dense and culled regimes, f32 and bf16 stash."""
+    from probreg_tpu.ops.spatial import morton_order_np
+
+    for (m, n, s2, sd) in [(600, 900, 0.5, jnp.float32),
+                           (600, 900, 1e-3, jnp.float32),
+                           (1000, 500, 0.05, jnp.bfloat16)]:
+        src = rng.uniform(-1, 1, (m, 3)).astype(np.float32)
+        tgt = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        src = src[morton_order_np(src)]
+        tgt = tgt[morton_order_np(tgt)]
+        tm, tn = 128, 256
+        ys_t, y2 = ep._pad_transpose(jnp.asarray(src), tm)
+        xs_t, x2 = ep._pad_transpose(jnp.asarray(tgt), tn)
+        scal = jnp.stack([jnp.float32(0.5 / s2), jnp.float32(1e-4)])
+        a = ep.fused_stash_core(scal, ys_t, y2, xs_t, x2, tile_m=tm,
+                                tile_n=tn, interpret=True, stash_dtype=sd)
+        b = ep.fused_stash_merged_core(scal, ys_t, y2, xs_t, x2, tile_m=tm,
+                                       tile_n=tn, interpret=True,
+                                       stash_dtype=sd)
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_estep_auto_merged_matches_default(rng):
+    """estep_auto with config.use_merged_stash routes through the merged
+    pipeline and returns the same moments."""
+    from probreg_tpu.config import config as cfg
+
+    src = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (800, 3)).astype(np.float32)
+    base = ep.estep_auto(src, tgt, 0.3, 0.1, tile_m=128, tile_n=256,
+                         interpret=True)
+    old = cfg.use_merged_stash
+    cfg.use_merged_stash = True
+    try:
+        import probreg_tpu.config as cmod
+        cmod.clear_caches()
+        merged = ep.estep_auto(src, tgt, 0.3, 0.1, tile_m=128, tile_n=256,
+                               interpret=True)
+    finally:
+        cfg.use_merged_stash = old
+        cmod.clear_caches()
+    for xa, xb in zip(base, merged):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-6, atol=1e-7)
