@@ -204,7 +204,83 @@ def main():
                           scal_ref[0])
         out_ref[:] = jnp.sum(g, axis=0, keepdims=True)
 
-    for name, kern in (("d2_only", _d2_kernel), ("d2_exp", _d2exp_kernel)):
+    # ---- precision variants: the d2 matmul at HIGH (bf16x3) instead of
+    # HIGHEST (bf16x6), and a folded pure-MXU pass B.
+    def _d2exp_high_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref,
+                           xs_ref, x2_ref, out_ref):
+        xy = jax.lax.dot_general(
+            ys_ref[:], xs_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH)
+        d2 = jnp.maximum(
+            y2_ref[:].reshape(-1, 1) + x2_ref[:].reshape(1, -1) - 2.0 * xy,
+            0.0)
+        out_ref[:] = jnp.sum(jnp.exp(-d2 * scal_ref[0]), axis=0,
+                             keepdims=True)
+
+    def _folded_moment_kernel(act_ref, eff_ref, xs_ref, den_ref, gst_ref,
+                              p1_ref, px_ref):
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i] == 1)
+        def _():
+            g = gst_ref[:].astype(jnp.float32)
+            den = den_ref[:]
+            rowsel = jax.lax.broadcasted_iota(
+                jnp.int32, (ep._SUBLANES, den.shape[1]), 0) == 3
+            chan = jnp.where(rowsel, den, xs_ref[:] * den)
+            mom = jax.lax.dot_general(
+                chan, g, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH)
+            px_ref[:] = mom
+            p1_ref[:] = mom[3:4]
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            p1_ref[:] = jnp.zeros_like(p1_ref)
+            px_ref[:] = jnp.zeros_like(px_ref)
+
+    folded_kernel = pl.pallas_call(
+        _folded_moment_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i,),
+            in_specs=[
+                pl.BlockSpec((ep._SUBLANES, tile_n),
+                             lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, act, eff: (0, 0)),
+                pl.BlockSpec((tile_m, tile_n),
+                             lambda i, act, eff: (eff[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_m), lambda i, act, eff: (0, i)),
+                pl.BlockSpec((ep._SUBLANES, tile_m),
+                             lambda i, act, eff: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((ep._SUBLANES, mp), jnp.float32),
+        ],
+    )
+
+    @jax.jit
+    def pass_b_folded():
+        def stripe(carry, blk):
+            xs_b, act_b, eff_b = blk
+            p1_b, px_b = folded_kernel(act_b, eff_b, xs_b, den_fix, gst_fix)
+            return (carry[0] + p1_b, carry[1] + px_b), None
+        (p1, px), _ = jax.lax.scan(
+            stripe,
+            (jnp.zeros((1, mp), jnp.float32),
+             jnp.zeros((ep._SUBLANES, mp), jnp.float32)),
+            (xs_blocks, act, eff))
+        return p1
+    results["pass_b_folded_high"] = pairs / _timeit(pass_b_folded) / 1e9
+
+    for name, kern in (("d2_only", _d2_kernel), ("d2_exp", _d2exp_kernel),
+                       ("d2_exp_high", _d2exp_high_kernel)):
         call = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -714,7 +714,15 @@ class CombinedBCPD(BayesianCoherentPointDrift):
             jax.default_backend() == "tpu"
             and _config.config.use_culled_estep
             and m * n >= _config.config.culled_estep_min_pairs
-            and self.rank is not None)  # dense gmat dominates otherwise
+            and self.rank is not None  # dense gmat dominates otherwise
+            # Round-5 fault isolation: the row-weighted stash kernel is
+            # the 1M single-chip crash culprit — a guarded 1M run with it
+            # OFF (streaming E-step, 1-iteration programs) completed
+            # fault-free in 1058 s where the same run with it ON faulted
+            # the v5e worker at ~8.5 min (and twice in round 3). Above
+            # the validated source size the streaming scan is the safe
+            # default (BENCHMARKS.md round-5 probe).
+            and m <= _config.config.bcpd_culled_max_points)
         perm_s = None
         orig_source = self._source
         if use_culled:

@@ -119,6 +119,13 @@ class Config:
     # iterations keep a program ~10 s — far from the multi-minute
     # sustained-load fault regime.
     bcpd_guard_chunk: int = 4
+    # Largest SOURCE cloud the BCPD row-weighted culled stash kernel is
+    # used for on a single chip. 700k validated fault-free (round 4);
+    # at 1M the kernel (2 GB capped stash, 977-tile scalar-prefetch
+    # grid) faults the v5e worker, while the same guarded registration
+    # with the streaming XLA E-step completes fault-free (round-5 probe:
+    # 1058 s, quality matches). Above this, unmeshed BCPD streams.
+    bcpd_culled_max_points: int = 750_000
 
 
 config = Config()

@@ -609,17 +609,27 @@ def _stash_merged_kernel(act_ref, eff_ref, pact_ref, peff_ref, scal_ref,
             jnp.where(x2 < _BIG * 0.5, pt1 * x2, 0.0), keepdims=True)
 
     # ---- pass B: previous stripe's moments (pgst/pden/pxs), zero on the
-    # first stripe (pact all 0) and on its culled tiles.
+    # first stripe (pact all 0) and on its culled tiles. The normalizer
+    # is FOLDED into the (8, TN) channel matrix — one O(TN) broadcast —
+    # instead of a per-pair (TM, TN) multiply + row-sum: the B-half's VPU
+    # work would otherwise compete with the A-half's exp, which is the
+    # whole pipeline's critical path. p1 rides the dot on channel row 3
+    # (zero in _pad_transpose output for dim <= 3; holds inv_den here).
     @pl.when(pact_ref[i] == 1)
     def _():
-        p = pgst_ref[:].astype(jnp.float32) * pden_ref[:]
-        p1_ref[:] = jnp.sum(p, axis=1, keepdims=True).reshape(1, -1)
-        px_ref[:] = jax.lax.dot_general(
-            pxs_ref[:], p,
+        g = pgst_ref[:].astype(jnp.float32)
+        pden = pden_ref[:]
+        rowsel = jax.lax.broadcasted_iota(
+            jnp.int32, (_SUBLANES, pden.shape[1]), 0) == 3
+        chan = jnp.where(rowsel, pden, pxs_ref[:] * pden)
+        mom = jax.lax.dot_general(
+            chan, g,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (8, TM)
+        )  # (8, TM): rows 0-2 = px, row 3 = p1
+        px_ref[:] = mom
+        p1_ref[:] = mom[3:4]
 
     @pl.when(pact_ref[i] == 0)
     def _():

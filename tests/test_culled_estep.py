@@ -503,8 +503,10 @@ def test_cpd_stash_cap_honors_stash_dtype_itemsize(rng, monkeypatch):
 
 def test_merged_stash_matches_two_launch(rng):
     """fused_stash_merged_core (one launch per stripe, pass B pipelined
-    under the next stripe's pass A) is bit-identical to fused_stash_core
-    across dense and culled regimes, f32 and bf16 stash."""
+    under the next stripe's pass A) matches fused_stash_core across dense
+    and culled regimes, f32 and bf16 stash. pt1/xx/den are bit-identical
+    (same pass-A code); p1/px differ only by the folded-normalizer
+    rounding association (g * (x * inv_den) vs (g * inv_den) * x)."""
     from probreg_tpu.ops.spatial import morton_order_np
 
     for (m, n, s2, sd) in [(600, 900, 0.5, jnp.float32),
@@ -523,8 +525,14 @@ def test_merged_stash_matches_two_launch(rng):
         b = ep.fused_stash_merged_core(scal, ys_t, y2, xs_t, x2, tile_m=tm,
                                        tile_n=tn, interpret=True,
                                        stash_dtype=sd)
-        for xa, xb in zip(a, b):
-            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        tol = 1e-2 if sd == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(a[2][:3]),
+                                   np.asarray(b[2][:3]),
+                                   rtol=tol, atol=tol)
 
 
 def test_estep_auto_merged_matches_default(rng):
