@@ -171,7 +171,7 @@ def emit_floor_metrics(bunny_batch_s, on_tpu):
     results = {"cpd_bunny_batch_ms": (bunny_batch_s * 1e3, "ms")}
     for fn in (bf.bench_estep, bf.bench_svr, bf.bench_pyramid,
                bf.bench_bcpd_chunked, bf.bench_filterreg_batch,
-               bf.bench_gmmtree_batch):
+               bf.bench_gmmtree_batch, bf.bench_icp):
         try:
             fn(results)
         except Exception as e:

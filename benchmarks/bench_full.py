@@ -25,7 +25,8 @@ import numpy as np
 
 # v5e floors (round-3 measurements in parentheses).
 FLOORS = {
-    "estep_stash_dense_gpairs": 45.0,      # 62-66 measured
+    "estep_stash_dense_gpairs": 80.0,      # 101.8 measured (round-5 gated
+                                           # fast-start; 62-66 exact)
     "estep_stash_culled_gpairs": 170.0,    # 255-263 measured (frac ~ 0.1)
     "estep_xla_gpairs": 42.0,              # 58-59 measured
     "cpd_bunny_batch_ms": 2.0,             # 0.76-0.9 measured (per reg)
@@ -34,7 +35,8 @@ FLOORS = {
     "bcpd_chunked_pyramid_warm_s": 10.0,   # 4.6-5.4 measured (round 4)
     "filterreg_bunny_batch_ms": 2.0,       # 0.80 measured (ref: 5.1 ms)
     "gmmtree_bunny_batch_ms": 60.0,        # 31.6 measured (ref: 105.4 ms)
-    "icp_bunny_batch_ms": 2.0,             # placeholder until r5 measure
+    "icp_bunny_batch_ms": 1.2,             # 0.69 measured (fused kernel;
+                                           # ref Open3D row: 1.41 ms)
 }
 HIGHER_IS_BETTER = {"estep_stash_dense_gpairs", "estep_stash_culled_gpairs",
                     "estep_xla_gpairs"}
@@ -199,18 +201,27 @@ def bench_icp(results):
 
     from probreg_tpu import icp
 
+    from probreg_tpu.ops import em_pallas
+
     src, tgt = headline.prepare_clouds()
     src_d, tgt_d = jax.device_put(src), jax.device_put(tgt)
-    b = 50 if jax.default_backend() == "tpu" else 4
+    on_tpu = jax.default_backend() == "tpu"
+    b = 50 if on_tpu else 4
     rot0 = jnp.eye(3, dtype=src.dtype)
     t0 = jnp.zeros(3, src.dtype)
 
     @jax.jit
     def run(src, tgt):
         def body(carry, _):
-            rot, t, rmse, _ = icp._run_icp(
-                src, tgt, rot0, t0, maxiter=30, tol=1e-6,
-                trim_fraction=0.0)
+            if on_tpu:
+                # The production dispatch (icp.registration_icp routes
+                # bunny-size clouds to the single-launch fused kernel).
+                rot, t, rmse, _ = em_pallas.run_icp_fused(
+                    src, tgt, maxiter=30, tol=1e-6)
+            else:
+                rot, t, rmse, _ = icp._run_icp(
+                    src, tgt, rot0, t0, maxiter=30, tol=1e-6,
+                    trim_fraction=0.0)
             return carry + rmse * 1e-30, rot
         acc, rots = jax.lax.scan(body, jnp.asarray(0.0, src.dtype),
                                  None, length=b)

@@ -41,9 +41,15 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from probreg_tpu import config as pconfig
     from probreg_tpu.ops import estep_pallas as ep
     from probreg_tpu.ops.spatial import morton_order_np
     from probreg_tpu.utils.datagen import blobby_surface
+
+    # Reruns of this sweep recompile ~10 programs; the persistent cache
+    # works through the axon tunnel (BENCHMARKS.md).
+    pconfig.enable_compilation_cache(
+        __file__.rsplit("/", 2)[0] + "/.jax_compile_cache")
 
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     tile_m = int(sys.argv[2]) if len(sys.argv) > 2 else 512
@@ -71,6 +77,14 @@ def main():
 
     results = {}
 
+    def emit(name, gpairs):
+        # Print incrementally: a later-variant lowering failure must not
+        # lose the measurements already taken (happened with HIGH dots).
+        results[name] = gpairs
+        print(json.dumps({"metric": f"stash_{name}_gpairs",
+                          "value": round(gpairs, 1), "unit": "Gpair/s",
+                          "m": m, "tile": [tile_m, tile_n]}), flush=True)
+
     # ---- full kernel (production entry), f32 + bf16 stash
     @jax.jit
     def full_f32():
@@ -94,10 +108,28 @@ def main():
                                           tile_m=tile_m, tile_n=tile_n,
                                           stash_dtype=jnp.bfloat16)[1]
 
-    results["full_f32"] = pairs / _timeit(full_f32) / 1e9
-    results["full_bf16"] = pairs / _timeit(full_bf16) / 1e9
-    results["merged_f32"] = pairs / _timeit(merged_f32) / 1e9
-    results["merged_bf16"] = pairs / _timeit(merged_bf16) / 1e9
+    # Start-temperature fast mode: DEFAULT-precision d2 cross term (one
+    # bf16 MXU pass instead of HIGHEST's six) — the d2+exp stage alone
+    # measures 272 vs 99 Gpair/s, so this bounds the gated dense pipeline.
+    @jax.jit
+    def full_default():
+        return ep.fused_stash_core(scal, ys_t, y2, xs_t, x2,
+                                   tile_m=tile_m, tile_n=tile_n,
+                                   precision=jax.lax.Precision.DEFAULT)[1]
+
+    @jax.jit
+    def full_default_bf16():
+        return ep.fused_stash_core(scal, ys_t, y2, xs_t, x2,
+                                   tile_m=tile_m, tile_n=tile_n,
+                                   stash_dtype=jnp.bfloat16,
+                                   precision=jax.lax.Precision.DEFAULT)[1]
+
+    emit("full_f32", pairs / _timeit(full_f32) / 1e9)
+    emit("full_bf16", pairs / _timeit(full_bf16) / 1e9)
+    emit("full_default", pairs / _timeit(full_default) / 1e9)
+    emit("full_default_bf16", pairs / _timeit(full_default_bf16) / 1e9)
+    emit("merged_f32", pairs / _timeit(merged_f32) / 1e9)
+    emit("merged_bf16", pairs / _timeit(merged_bf16) / 1e9)
 
     # ---- pass A only (den+stash, no moment kernel)
     den_kernel = pl.pallas_call(
@@ -143,7 +175,7 @@ def main():
             (xs_blocks, x2_blocks, act, eff))
         return acc
 
-    results["pass_a"] = pairs / _timeit(pass_a_only) / 1e9
+    emit("pass_a", pairs / _timeit(pass_a_only) / 1e9)
 
     # ---- pass B only (moment kernel over a prebuilt stash, reused per
     # stripe: measures pass B's sustained rate on stash-sized blocks)
@@ -185,7 +217,7 @@ def main():
              jnp.zeros((ep._SUBLANES, mp), jnp.float32)),
             (xs_blocks, act, eff))
         return p1
-    results["pass_b"] = pairs / _timeit(pass_b_only) / 1e9
+    emit("pass_b", pairs / _timeit(pass_b_only) / 1e9)
 
     # ---- pass A sub-stages: d2 matmul only; d2+exp (no stash write)
     def _d2_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, xs_ref,
@@ -206,12 +238,13 @@ def main():
 
     # ---- precision variants: the d2 matmul at HIGH (bf16x3) instead of
     # HIGHEST (bf16x6), and a folded pure-MXU pass B.
-    def _d2exp_high_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref,
-                           xs_ref, x2_ref, out_ref):
+    def _d2exp_default_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref,
+                              xs_ref, x2_ref, out_ref):
+        # Mosaic lowers only DEFAULT/HIGHEST dots; DEFAULT = one bf16 pass.
         xy = jax.lax.dot_general(
             ys_ref[:], xs_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH)
+            precision=jax.lax.Precision.DEFAULT)
         d2 = jnp.maximum(
             y2_ref[:].reshape(-1, 1) + x2_ref[:].reshape(1, -1) - 2.0 * xy,
             0.0)
@@ -232,7 +265,7 @@ def main():
             mom = jax.lax.dot_general(
                 chan, g, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGH)
+                precision=jax.lax.Precision.DEFAULT)
             px_ref[:] = mom
             p1_ref[:] = mom[3:4]
 
@@ -277,10 +310,10 @@ def main():
              jnp.zeros((ep._SUBLANES, mp), jnp.float32)),
             (xs_blocks, act, eff))
         return p1
-    results["pass_b_folded_high"] = pairs / _timeit(pass_b_folded) / 1e9
+    emit("pass_b_folded", pairs / _timeit(pass_b_folded) / 1e9)
 
     for name, kern in (("d2_only", _d2_kernel), ("d2_exp", _d2exp_kernel),
-                       ("d2_exp_high", _d2exp_high_kernel)):
+                       ("d2_exp_default", _d2exp_default_kernel)):
         call = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -312,12 +345,8 @@ def main():
                 stripe, jnp.zeros((), jnp.float32),
                 (xs_blocks, x2_blocks, act, eff))
             return acc
-        results[name] = pairs / _timeit(run) / 1e9
+        emit(name, pairs / _timeit(run) / 1e9)
 
-    for k, v in results.items():
-        print(json.dumps({"metric": f"stash_{k}_gpairs",
-                          "value": round(v, 1), "unit": "Gpair/s",
-                          "m": m, "tile": [tile_m, tile_n]}))
 
 
 if __name__ == "__main__":

@@ -60,6 +60,22 @@ class Config:
     # The posterior NORMALIZER stays f32 either way (summed before the
     # cast); bf16 quantizes only the moment numerators (~0.4% relative).
     stash_dtype: jnp.dtype = jnp.float32
+    # Start-temperature fast mode for the single-exp stash E-step
+    # (estep_auto): when the bf16 rounding of the d2 cross term cannot
+    # perturb any exp ARGUMENT by more than estep_fast_start_tol (bound:
+    # (1/2s2) * 8 * 2^-9 * sqrt(max|y|^2 * max|x|^2), checked at runtime
+    # inside the compiled program), run the d2 matmul at DEFAULT precision
+    # (one bf16 MXU pass instead of HIGHEST's six) with a bf16 stash.
+    # Measured v5e 131k dense: 63.7 -> 103.9 Gpair/s (BENCHMARKS.md
+    # round-5 decomposition). Engages exactly in the dense start-
+    # temperature regime (sigma2 ~ cloud scale^2, smooth posteriors where
+    # ~1e-2 exp-arg noise is far below the posterior's own temperature);
+    # annealed iterations keep the HIGHEST path, which EM convergence
+    # needs (CLAUDE.md). The lax.cond reserves BOTH branches' stashes —
+    # budget accounting in estep_auto scales by 2/3 accordingly.
+    estep_fast_start: bool = True
+    # Max absolute exp-argument error admitted on the fast branch.
+    estep_fast_start_tol: float = 0.02
     # Pipelined single-launch-per-stripe stash E-step
     # (fused_stash_merged_core): pass B of stripe j-1 runs fused under
     # pass A of stripe j, overlapping the moment matmul + stash DMA with

@@ -57,13 +57,22 @@ _SUBLANES = 8
 _CUT = 104.0
 
 
-def _dist_tile(ys_t, y2, xs_t, x2, inv2s2):
-    """exp(-|y_i - x_j|^2 / 2s2) for one (TM, TN) tile, MXU cross term."""
+def _dist_tile(ys_t, y2, xs_t, x2, inv2s2,
+               precision=jax.lax.Precision.HIGHEST):
+    """exp(-|y_i - x_j|^2 / 2s2) for one (TM, TN) tile, MXU cross term.
+
+    ``precision`` applies to the cross-term matmul only (y2/x2 stay f32).
+    HIGHEST (bf16x6, f32-exact) is the default and is load-bearing for EM
+    convergence in the ANNEALED regime; DEFAULT (one bf16 pass) is 2.7x
+    faster on v5e (measured: 99 -> 272 Gpair/s for the d2+exp stage) and
+    numerically safe only when sigma2 is large vs the cloud scale — the
+    start-temperature gate in estep_auto decides at runtime.
+    """
     xy = jax.lax.dot_general(
         ys_t, xs_t,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (TM, TN)
     d2 = jnp.maximum(y2.reshape(-1, 1) + x2.reshape(1, -1) - 2.0 * xy, 0.0)
     return jnp.exp(-d2 * inv2s2)
@@ -382,7 +391,8 @@ def estep_fused(
 # estep_auto lax.cond between a Pallas and a dense-XLA branch is gone.
 
 def _stash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, xs_ref,
-                      x2_ref, den_ref, pt1_ref, xx_ref, gst_ref):
+                      x2_ref, den_ref, pt1_ref, xx_ref, gst_ref, *,
+                      precision=jax.lax.Precision.HIGHEST):
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
@@ -393,7 +403,7 @@ def _stash_den_kernel(act_ref, eff_ref, scal_ref, ys_ref, y2_ref, xs_ref,
     @pl.when(act_ref[i] == 1)
     def _():
         g = _dist_tile(ys_ref[:], y2_ref[:], xs_ref[:], x2_ref[:],
-                       scal_ref[0])
+                       scal_ref[0], precision=precision)
         # The stash may be bf16 (config.stash_dtype, opt-in): den is summed
         # from the f32 g BEFORE the cast, so the normalizer stays exact and
         # only the moment numerators carry the ~0.4% bf16 quantization.
@@ -461,7 +471,8 @@ def _stripe_compaction(mask):
 
 def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
                      mask=None, interpret: bool = False,
-                     stash_dtype=jnp.float32):
+                     stash_dtype=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST):
     """Single-exp culled E-step on PRE-PADDED transposed operands.
 
     Same contract as :func:`fused_core` (inputs padded to tile multiples,
@@ -469,7 +480,9 @@ def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
     HBM stash traffic. ``mask``: optional precomputed (n_i, n_j) tile mask.
     ``stash_dtype``: bfloat16 halves the stash traffic (6 B/pair) at ~0.4%
     relative error on the moment numerators — the normalizer stays f32 (see
-    _stash_den_kernel); opt-in via config.stash_dtype.
+    _stash_den_kernel); opt-in via config.stash_dtype. ``precision``: the
+    d2 cross-term matmul precision (see _dist_tile — DEFAULT is the fast
+    start-temperature mode, gated by estep_auto).
     """
     mp, np_ = ys_t.shape[1], xs_t.shape[1]
     n_i, n_j = mp // tile_m, np_ // tile_n
@@ -485,7 +498,7 @@ def fused_stash_core(scal, ys_t, y2, xs_t, x2, *, tile_m: int, tile_n: int,
     x2_blocks = x2.reshape(1, n_j, tile_n).transpose(1, 0, 2)
 
     den_kernel = pl.pallas_call(
-        _stash_den_kernel,
+        functools.partial(_stash_den_kernel, precision=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_i,),
@@ -1195,7 +1208,7 @@ def bcpd_estep_culled(t_source, target, rowlog, v_t, w_over_n, sigma2,
 # the kernel is used unconditionally (all-active mask == dense compute).
 
 def _gt_kernel(scal_ref, mbits_ref, qs_ref, q2_ref, ps_ref, p2_ref, w_ref,
-               out_ref):
+               out_ref, *, precision=jax.lax.Precision.HIGHEST):
     i = pl.program_id(0)   # query tile
     j = pl.program_id(1)   # point tile (reduction, innermost)
     n_j = pl.num_programs(1)
@@ -1207,7 +1220,7 @@ def _gt_kernel(scal_ref, mbits_ref, qs_ref, q2_ref, ps_ref, p2_ref, w_ref,
     @pl.when(_tile_active(mbits_ref, i * n_j + j))
     def _():
         g = _dist_tile(qs_ref[:], q2_ref[:], ps_ref[:], p2_ref[:],
-                       scal_ref[0])  # (TM, TN)
+                       scal_ref[0], precision=precision)  # (TM, TN)
         out_ref[:] += jax.lax.dot_general(
             w_ref[:], g,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1285,27 +1298,49 @@ def gauss_transform_culled(
         mask = jnp.ones((n_i, n_j), jnp.float32)
     mbits = _pack_mask_bits(mask)
 
-    outp = pl.pallas_call(
-        _gt_kernel,
-        grid=(n_i, n_j),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_SUBLANES, tile_q), lambda i, j: (0, i)),
-            pl.BlockSpec((1, tile_q), lambda i, j: (0, i)),
-            pl.BlockSpec((_SUBLANES, tile_p), lambda i, j: (0, j)),
-            pl.BlockSpec((1, tile_p), lambda i, j: (0, j)),
-            pl.BlockSpec((_SUBLANES, tile_p), lambda i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((_SUBLANES, tile_q), lambda i, j: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((_SUBLANES, nqp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nqp * mp * (_SUBLANES + 3),
-            bytes_accessed=4 * (nqp + mp) * _SUBLANES * (n_i + n_j),
-            transcendentals=nqp * mp,
-        ),
-        interpret=interpret,
-    )(scal, mbits, qs_t, q2, ps_t, p2, w_t)
+    def _call(precision, scal):
+        return pl.pallas_call(
+            functools.partial(_gt_kernel, precision=precision),
+            grid=(n_i, n_j),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_SUBLANES, tile_q), lambda i, j: (0, i)),
+                pl.BlockSpec((1, tile_q), lambda i, j: (0, i)),
+                pl.BlockSpec((_SUBLANES, tile_p), lambda i, j: (0, j)),
+                pl.BlockSpec((1, tile_p), lambda i, j: (0, j)),
+                pl.BlockSpec((_SUBLANES, tile_p), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((_SUBLANES, tile_q), lambda i, j: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((_SUBLANES, nqp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nqp * mp * (_SUBLANES + 3),
+                bytes_accessed=4 * (nqp + mp) * _SUBLANES * (n_i + n_j),
+                transcendentals=nqp * mp,
+            ),
+            interpret=interpret,
+        )(scal, mbits, qs_t, q2, ps_t, p2, w_t)
+
+    from ..config import config as _cfg
+
+    if bool(getattr(_cfg, "estep_fast_start", True)):
+        # Start-temperature fast mode, same bound as estep_auto: when the
+        # bf16 rounding of the d2 cross term cannot move any exp argument
+        # (here -d2/h^2) by more than tol, one bf16 MXU pass suffices.
+        # Engages for FilterReg/L2 moment passes while the bandwidth is
+        # large vs the (centered) cloud scale; annealed calls take the
+        # HIGHEST branch. No recompile at the flip (lax.cond).
+        tol = float(getattr(_cfg, "estep_fast_start_tol", 0.02))
+        q2max = jnp.max(jnp.where(q2 < _BIG * 0.5, q2, 0.0))
+        p2max = jnp.max(jnp.where(p2 < _BIG * 0.5, p2, 0.0))
+        argerr = inv * 8.0 * (2.0 ** -9) * jnp.sqrt(q2max * p2max)
+        outp = jax.lax.cond(
+            argerr <= tol,
+            functools.partial(_call, jax.lax.Precision.DEFAULT),
+            functools.partial(_call, jax.lax.Precision.HIGHEST),
+            scal)
+    else:
+        outp = _call(jax.lax.Precision.HIGHEST, scal)
 
     out = outp[:c, :nq].T
     if sort:
@@ -1369,7 +1404,7 @@ def estep_culled(
 @functools.partial(
     jax.jit,
     static_argnames=("w", "tile_m", "tile_n", "interpret",
-                     "assume_sorted", "stash_dtype"),
+                     "assume_sorted", "stash_dtype", "fast_start"),
 )
 def estep_auto(
     t_source: jax.Array,
@@ -1383,6 +1418,7 @@ def estep_auto(
     block=None,
     assume_sorted: bool = False,
     stash_dtype=jnp.float32,
+    fast_start: bool = None,
 ) -> EstepMoments:
     """Density-adaptive exact E-step: the single-exp g-stash kernel.
 
@@ -1423,14 +1459,26 @@ def estep_auto(
     from ..config import config as _cfg
 
     merged = bool(getattr(_cfg, "use_merged_stash", False))
+    if fast_start is None:
+        fast_start = bool(getattr(_cfg, "estep_fast_start", True))
+    fast_start = fast_start and not merged and jnp.dtype(stash_dtype) == \
+        jnp.dtype(jnp.float32)
     budget = int(getattr(_cfg, "cpd_stash_max_bytes", 0) or 0)
     if budget:
+        if merged:
+            # The merged pipeline keeps TWO stash buffers resident
+            # (previous + current stripe ping-pong through the scan).
+            eff_budget = budget // 2
+        elif fast_start:
+            # The fast-start lax.cond reserves BOTH branches' stashes
+            # (f32 exact + bf16 fast = 6 bytes per slot vs 4).
+            eff_budget = (budget * 2) // 3
+        else:
+            eff_budget = budget
         tn = _capped_stash_tile_n(
             m, tile_m, min(tile_n, ((n + 127) // 128) * 128),
             itemsize=jnp.dtype(stash_dtype).itemsize,
-            # The merged pipeline keeps TWO stash buffers resident
-            # (previous + current stripe ping-pong through the scan).
-            budget=budget // 2 if merged else budget,
+            budget=eff_budget,
             on_overflow="fallback")
         if tn is None:
             from .estep import estep_xla
@@ -1456,9 +1504,39 @@ def estep_auto(
     c = outlier_constant(sigma2, w, m, n, dim)
     scal = jnp.stack([0.5 / sigma2, c]).astype(jnp.float32)
     core = fused_stash_merged_core if merged else fused_stash_core
-    pt1p, p1p, pxp, xx = core(
-        scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
-        interpret=interpret, stash_dtype=stash_dtype)
+    if fast_start:
+        # Start-temperature fast mode (config.estep_fast_start): when the
+        # bf16 rounding of the d2 cross term cannot move any exp argument
+        # by more than tol, run DEFAULT-precision d2 + bf16 stash
+        # (measured v5e 131k dense: 63.7 -> 103.9 Gpair/s). Bound per
+        # pair: |err(2 y.x)| <= 8 * 2^-9 * sqrt(max|y|^2 max|x|^2)
+        # (inputs round to bf16 at ~2^-9 relative; Cauchy-Schwarz on the
+        # dim sum; factor-2 headroom), times 1/(2 sigma2). sigma2 anneals
+        # DOWN across EM iterations inside one compiled while_loop, so
+        # the branch flips from fast to exact mid-registration — exactly
+        # once per run, with no recompile (lax.cond).
+        tol = float(getattr(_cfg, "estep_fast_start_tol", 0.02))
+        y2max = jnp.max(jnp.where(y2 < _BIG * 0.5, y2, 0.0))
+        x2max = jnp.max(jnp.where(x2 < _BIG * 0.5, x2, 0.0))
+        argerr = scal[0] * 8.0 * (2.0 ** -9) * jnp.sqrt(y2max * x2max)
+
+        def _fast(scal):
+            return fused_stash_core(
+                scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
+                interpret=interpret, stash_dtype=jnp.bfloat16,
+                precision=jax.lax.Precision.DEFAULT)
+
+        def _exact(scal):
+            return fused_stash_core(
+                scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
+                interpret=interpret, stash_dtype=stash_dtype)
+
+        pt1p, p1p, pxp, xx = jax.lax.cond(argerr <= tol, _fast, _exact,
+                                          scal)
+    else:
+        pt1p, p1p, pxp, xx = core(
+            scal, ys_t, y2, xs_t, x2, tile_m=tile_m, tile_n=tile_n,
+            interpret=interpret, stash_dtype=stash_dtype)
     pt1s = pt1p[0, :n]
     p1s = p1p[0, :m]
     pxs = pxp[:dim, :m].T

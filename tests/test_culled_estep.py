@@ -103,8 +103,12 @@ def test_estep_auto_matches_xla_both_regimes(sigma2, expect_culled):
     frac = float(ep.active_tile_fraction(src[py], tgt[px], sigma2, 128, 128))
     assert (frac <= 0.7) == expect_culled, frac
     ref = eo.estep_xla(src, tgt, jnp.float32(sigma2), 0.05)
+    # fast_start=False: this test pins the EXACT (HIGHEST-precision)
+    # branch; the start-temperature fast branch has its own tolerance
+    # test (test_estep_auto_fast_start below).
     out = ep.estep_auto(src, tgt, jnp.float32(sigma2), 0.05,
-                        tile_m=128, tile_n=128, interpret=True)
+                        tile_m=128, tile_n=128, interpret=True,
+                        fast_start=False)
     # 3e-4: f32 reduction-order noise differs slightly between backends
     # (measured 1.01e-4 on a real TPU at sigma2=0.03).
     assert _rel(ref.pt1, out.pt1) < 3e-4
@@ -117,10 +121,40 @@ def test_estep_auto_matches_xla_both_regimes(sigma2, expect_culled):
     ref_s = eo.estep_xla(src[py], tgt[px], jnp.float32(sigma2), 0.05)
     out_s = ep.estep_auto(src[py], tgt[px], jnp.float32(sigma2), 0.05,
                           tile_m=128, tile_n=128, interpret=True,
-                          assume_sorted=True)
+                          assume_sorted=True, fast_start=False)
     assert _rel(ref_s.pt1, out_s.pt1) < 3e-4
     assert _rel(ref_s.p1, out_s.p1) < 3e-4
     assert _rel(ref_s.px, out_s.px) < 3e-4
+
+
+@pytest.mark.parametrize("sigma2,expect_fast", [(1.0, True), (0.003, False)])
+def test_estep_auto_fast_start(sigma2, expect_fast):
+    """The start-temperature fast branch (config.estep_fast_start,
+    DEFAULT-precision d2 + bf16 stash — 63.7 -> 103.9 Gpair/s dense on
+    v5e): engages exactly when the bf16 exp-argument error bound is below
+    tol, and its moments match the exact E-step within the bound's
+    implied envelope (~tol on exp args -> ~2 tol relative on moments,
+    plus the bf16 stash's 0.4%). At annealed sigma2 the gate must pick
+    the exact branch — output then matches to reduction-order noise.
+    Unit-scale clouds (the production regime: EM runners center, and the
+    gate compares sigma2 against the centered cloud scale)."""
+    src, tgt = _blob_clouds(640, 640, seed=11)
+    src = (src * 0.15).astype(np.float32)
+    tgt = (tgt * 0.15).astype(np.float32)
+    y2m = float(np.max((src ** 2).sum(-1)))
+    x2m = float(np.max((tgt ** 2).sum(-1)))
+    argerr = 0.5 / sigma2 * 8.0 * 2.0 ** -9 * np.sqrt(y2m * x2m)
+    from probreg_tpu.config import config as cfg
+
+    assert (argerr <= cfg.estep_fast_start_tol) == expect_fast, argerr
+    ref = eo.estep_xla(src, tgt, jnp.float32(sigma2), 0.05)
+    out = ep.estep_auto(src, tgt, jnp.float32(sigma2), 0.05,
+                        tile_m=128, tile_n=128, interpret=True,
+                        fast_start=True)
+    tol = 2.5 * cfg.estep_fast_start_tol + 8e-3 if expect_fast else 3e-4
+    assert _rel(ref.pt1, out.pt1) < tol
+    assert _rel(ref.p1, out.p1) < tol
+    assert _rel(ref.px, out.px) < tol
 
 
 def test_sharded_culled_matches_single_device(horse_cloud):

@@ -90,3 +90,52 @@ def test_icp_nearest_t_exact(rng):
     np.testing.assert_allclose(np.asarray(d2), ref.min(1), rtol=1e-4,
                                atol=1e-5)
     assert (np.asarray(idx) == ref.argmin(1)).all()
+
+
+def test_fused_icp_matches_xla_loop(horse_cloud):
+    """The single-launch whole-ICP kernel (ops/em_pallas._icp_kernel,
+    interpret mode here) must match the streaming XLA while_loop: same
+    hard correspondences -> same Kabsch updates -> same trajectory."""
+    import jax.numpy as jnp
+
+    from probreg_tpu.ops import em_pallas
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::3]
+    ang = np.deg2rad([5.0, -3.0, 7.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = (src @ rot.T + np.float32(0.03)).astype(np.float32)
+
+    rot_x, t_x, rmse_x, it_x = icp._run_icp(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), maxiter=25, tol=1e-9, trim_fraction=0.0)
+    rot_f, t_f, rmse_f, it_f = em_pallas.run_icp_fused(
+        src, tgt, maxiter=25, tol=1e-9, interpret=True)
+    np.testing.assert_allclose(np.asarray(rot_f), np.asarray(rot_x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_x), atol=2e-5)
+    assert abs(float(rmse_f) - float(rmse_x)) < 1e-5
+    # Iteration counts may differ: the kernel's Horn solve reaches an
+    # exact fixed point (delta-rmse == 0 -> stop) while the XLA path's
+    # SVD jitters in the last bits above a 1e-9 tol; the CONVERGED
+    # transforms agree (asserted above).
+    assert 2 <= int(it_f) <= int(it_x)
+
+
+def test_fused_icp_warm_start_and_recovery(horse_cloud):
+    """Fused ICP honors rot0/t0 and recovers a known transform from a
+    warm start that the identity start cannot reach (20-deg rotation with
+    translation; plain ICP from identity stalls in a local minimum for
+    some clouds — the warm start pins the CONTRACT, not luck)."""
+    from probreg_tpu.ops import em_pallas
+
+    src = np.asarray(horse_cloud, dtype=np.float32)[::3]
+    ang = np.deg2rad([0.0, 0.0, 20.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = (src @ rot.T + np.float32(0.05)).astype(np.float32)
+    rot_near = np.asarray(se3_op.euler2mat(0.0, 0.0, np.deg2rad(18.0)),
+                        np.float32)
+    rot_f, t_f, rmse_f, _ = em_pallas.run_icp_fused(
+        src, tgt, rot0=rot_near, t0=np.full(3, 0.05, np.float32),
+        maxiter=50, tol=1e-10, interpret=True)
+    np.testing.assert_allclose(np.asarray(rot_f), rot, atol=1e-3)
+    assert float(rmse_f) < 1e-3
