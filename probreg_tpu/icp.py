@@ -214,3 +214,62 @@ def registration_icp(
                                tol=float(tol),
                                trim_fraction=float(trim_fraction))
     return ICPResult(tf.RigidTransformation(rot, t), rmse, i)
+
+
+def registration_icp_batch(
+    sources,
+    targets,
+    maxiter: int = 50,
+    tol: float = 1.0e-6,
+    trim_fraction: float = 0.0,
+) -> List[ICPResult]:
+    """Register B cloud pairs with ICP in one compiled program.
+
+    Batch-serving symmetry with the other families
+    (cpd.registration_cpd_batch etc.): ``sources``/``targets`` are
+    (B, M, 3)/(B, N, 3) stacks, or Python lists of clouds with DIFFERENT
+    point counts per pair (RAGGED — zero-padded to the batch maximum and
+    registered through masked hard correspondences exactly equivalent to
+    registering each pair unpadded). On TPU each pair runs as one fused
+    whole-ICP kernel launch (ops/em_pallas.run_icp_fused, ~0.7 ms/pair at
+    bunny size); elsewhere, or for trimmed/oversized batches, pairs fall
+    back to per-pair :func:`registration_icp` calls.
+
+    Returns a list of ``ICPResult``.
+    """
+    import jax
+
+    ragged = isinstance(sources, (list, tuple)) \
+        or isinstance(targets, (list, tuple))
+    if ragged:
+        src_p, smask = interop.pad_ragged(
+            list(sources), _config.config.dtype)
+        tgt_p, tmask = interop.pad_ragged(
+            list(targets), _config.config.dtype)
+    else:
+        src_p = np.asarray(interop.as_points(sources,
+                                             dtype=_config.config.dtype))
+        tgt_p = np.asarray(interop.as_points(targets,
+                                             dtype=_config.config.dtype))
+        smask = tmask = None
+    nb, m = src_p.shape[0], src_p.shape[1]
+    n = tgt_p.shape[1]
+    if (trim_fraction == 0.0 and src_p.shape[2] == 3
+            and src_p.dtype == np.float32
+            and jax.default_backend() == "tpu"
+            and _config.config.use_fused_em
+            and em_pallas.fused_dims_ok(m, n)):
+        rots, ts, rmses, iters = em_pallas.run_icp_fused_batch(
+            jnp.asarray(src_p), jnp.asarray(tgt_p),
+            None if smask is None else jnp.asarray(smask),
+            None if tmask is None else jnp.asarray(tmask),
+            maxiter=int(maxiter), tol=float(tol), masked=smask is not None)
+        rots, ts = np.asarray(rots), np.asarray(ts)
+        rmses, iters = np.asarray(rmses), np.asarray(iters)
+        return [ICPResult(tf.RigidTransformation(rots[b], ts[b]),
+                          rmses[b], int(iters[b])) for b in range(nb)]
+    srcs = sources if ragged else [src_p[b] for b in range(nb)]
+    tgts = targets if ragged else [tgt_p[b] for b in range(nb)]
+    return [registration_icp(s, t, maxiter=maxiter, tol=tol,
+                             trim_fraction=trim_fraction)
+            for s, t in zip(srcs, tgts)]

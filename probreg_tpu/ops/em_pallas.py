@@ -660,26 +660,41 @@ def _icp_kernel(consts_ref, ys_ref, bmat_ref, xs_ext_ref, bigy_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("maxiter", "tol", "interpret"))
-def run_icp_fused(source, target, rot0=None, t0=None, *, maxiter=30,
-                  tol=1e-6, interpret=False):
+def run_icp_fused(source, target, rot0=None, t0=None, smask=None,
+                  tmask=None, *, maxiter=30, tol=1e-6, interpret=False):
     """Point-to-point ICP as ONE kernel launch (3-D, untrimmed).
 
     Returns (rot (3,3), t (3,), rmse, n_iter). Sizes must satisfy
     :func:`fused_dims_ok`; icp.registration_icp routes here on TPU and
     falls back to the streaming XLA while_loop otherwise.
+
+    ``smask``/``tmask``: optional (M,)/(N,) 0/1 validity masks for
+    ragged-batch padding — masked source rows get zero correspondence
+    weight (their row minimum is the BIG marker), masked target columns
+    get BIG distances so no source row ever matches them; exactly the
+    unpadded registration, with the masks as runtime data.
     """
     source = jnp.asarray(source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     m, dim = source.shape
     n = target.shape[0]
     assert dim == 3, "fused ICP kernel is 3-D only"
+    assert (smask is None) == (tmask is None)
+    masked = smask is not None
     rot0 = jnp.eye(3, dtype=jnp.float32) if rot0 is None \
         else jnp.asarray(rot0, jnp.float32)
     t0 = jnp.zeros((3,), jnp.float32) if t0 is None \
         else jnp.asarray(t0, jnp.float32)
     # Shared-centroid centering (see icp._run_icp): the expanded-form f32
     # distances cancel catastrophically at large coordinate magnitudes.
-    cen = (jnp.sum(source, axis=0) + jnp.sum(target, axis=0)) / (m + n)
+    if masked:
+        smask = jnp.asarray(smask, jnp.float32)
+        tmask = jnp.asarray(tmask, jnp.float32)
+        cnt = jnp.maximum(jnp.sum(smask) + jnp.sum(tmask), 1.0)
+        cen = (jnp.sum(source * smask[:, None], axis=0)
+               + jnp.sum(target * tmask[:, None], axis=0)) / cnt
+    else:
+        cen = (jnp.sum(source, axis=0) + jnp.sum(target, axis=0)) / (m + n)
     source = source - cen[None, :]
     target = target - cen[None, :]
     t0 = t0 + rot0 @ cen - cen
@@ -693,9 +708,17 @@ def run_icp_fused(source, target, rot0=None, t0=None, *, maxiter=30,
     xs = xs.at[:3, :n].set(target.T)
     xs_ext = xs.at[3, :n].set(1.0)
     x2_real = jnp.sum(target * target, axis=1)
-    x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
-    bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
-    bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
+    if masked:
+        x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(
+            jnp.where(tmask > 0, x2_real, _BIG))
+        bigy = jnp.full((1, mp), _BIG, jnp.float32).at[0, :m].set(
+            jnp.where(smask > 0, 0.0, _BIG))
+        bigx_row = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(
+            jnp.where(tmask > 0, 0.0, _BIG))
+    else:
+        x2 = jnp.full((1, np_), _BIG, jnp.float32).at[0, :n].set(x2_real)
+        bigy = jnp.zeros((1, mp), jnp.float32).at[0, m:].set(_BIG)
+        bigx_row = jnp.zeros((1, np_), jnp.float32).at[0, n:].set(_BIG)
     ones_n = jnp.ones((1, np_), jnp.float32)
     bmat = jnp.concatenate([
         -2.0 * xs[:3],
@@ -735,6 +758,30 @@ def run_icp_fused(source, target, rot0=None, t0=None, *, maxiter=30,
     rot, t = tmat[:3, :3], tmat[:3, 3]
     t = t + cen - rot @ cen                  # centered -> raw frame
     return rot, t, out[0, 0], out[0, 1].astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "tol", "masked", "interpret"))
+def run_icp_fused_batch(sources, targets, smasks=None, tmasks=None, *,
+                        maxiter=30, tol=1e-6, masked=False,
+                        interpret=False):
+    """(B, M, 3) x (B, N, 3) [+ (B, M)/(B, N) masks] -> stacked
+    (rot, t, rmse, n_iter) via one fused ICP launch per pair (lax.map —
+    see the batched-fused-runners note below)."""
+
+    def one(args):
+        if masked:
+            s, t, sm, tm = args
+            return run_icp_fused(s, t, smask=sm, tmask=tm,
+                                 maxiter=maxiter, tol=tol,
+                                 interpret=interpret)
+        s, t = args
+        return run_icp_fused(s, t, maxiter=maxiter, tol=tol,
+                             interpret=interpret)
+
+    args = (sources, targets, smasks, tmasks) if masked \
+        else (sources, targets)
+    return jax.lax.map(one, args)
 
 
 # --------------------------------------------------------------------------
