@@ -12,7 +12,7 @@ import time
 import numpy as np
 import utils
 
-from probreg_tpu import bcpd, cpd, filterreg, gmmtree, l2dist_regs, se3_op
+from probreg_tpu import bcpd, cpd, filterreg, gmmtree, icp, l2dist_regs, se3_op
 
 
 def nn_rmse(a, b):
@@ -59,6 +59,8 @@ def main():
         print(f"{name:18s} B={B}  {1e3 * elapsed:7.1f} ms total "
               f"({1e3 * elapsed / B:6.2f} ms/pair)  {qual_str}")
 
+    run("icp", icp.registration_icp_batch,
+        lambda r: r.transformation.rot, maxiter=30, tol=1e-9)
     run("cpd", cpd.registration_cpd_batch,
         lambda r: r.transformation.rot, maxiter=50, tol=1e-5)
     run("filterreg", filterreg.registration_filterreg_batch,

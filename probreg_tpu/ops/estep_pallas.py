@@ -1465,16 +1465,9 @@ def estep_auto(
         jnp.dtype(jnp.float32)
     budget = int(getattr(_cfg, "cpd_stash_max_bytes", 0) or 0)
     if budget:
-        if merged:
-            # The merged pipeline keeps TWO stash buffers resident
-            # (previous + current stripe ping-pong through the scan).
-            eff_budget = budget // 2
-        elif fast_start:
-            # The fast-start lax.cond reserves BOTH branches' stashes
-            # (f32 exact + bf16 fast = 6 bytes per slot vs 4).
-            eff_budget = (budget * 2) // 3
-        else:
-            eff_budget = budget
+        # The merged pipeline keeps TWO stash buffers resident (previous
+        # + current stripe ping-pong through the scan).
+        eff_budget = budget // 2 if merged else budget
         tn = _capped_stash_tile_n(
             m, tile_m, min(tile_n, ((n + 127) // 128) * 128),
             itemsize=jnp.dtype(stash_dtype).itemsize,
@@ -1484,6 +1477,20 @@ def estep_auto(
             from .estep import estep_xla
 
             return estep_xla(t_source, target, sigma2, w)
+        if fast_start:
+            # The fast-start lax.cond reserves BOTH branches' stashes
+            # (f32 exact + bf16 fast = 6 bytes per slot vs 4). At sizes
+            # where that would force a SMALLER tile_n (1M-class: the
+            # measured culled rate drops ~20% per halving), keep the
+            # full-tile exact kernel instead — those runs live in the
+            # annealed/culled regime where the gate would not fire.
+            tn_gated = _capped_stash_tile_n(
+                m, tile_m, min(tile_n, ((n + 127) // 128) * 128),
+                itemsize=jnp.dtype(stash_dtype).itemsize,
+                budget=(eff_budget * 2) // 3,
+                on_overflow="fallback")
+            if tn_gated is None or tn_gated < tn:
+                fast_start = False
         tile_n = min(tile_n, tn)
 
     if assume_sorted:
