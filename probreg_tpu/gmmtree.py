@@ -98,8 +98,10 @@ def _complexity(cov):
     return lmds[..., -1] / jnp.maximum(jnp.sum(lmds, axis=-1), _EPS)
 
 
-@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_d"))
-def _build(points, key, *, max_level, lambda_s, lambda_d, smask=None):
+@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_d",
+                                   "fused", "fused_interpret"))
+def _build(points, key, *, max_level, lambda_s, lambda_d, smask=None,
+           fused=False, fused_interpret=False):
     """buildGmmTree (gmmtree.cc:98-123): per-level EM to convergence.
 
     ``smask``: optional (N,) validity mask for ragged-batch padding — the
@@ -155,6 +157,27 @@ def _build(points, key, *, max_level, lambda_s, lambda_d, smask=None):
         cov = cov.at[pidx:pidx + k].set(pc)
 
     # --- per-level EM (outer python loop over static levels)
+    if fused and dim == 3:
+        # One Pallas launch per level (ops/gmmtree_pallas.level_em): the
+        # XLA level loop below is kernel-launch-serialization-bound on
+        # TPU (~146 ms at bunny size for microseconds of FLOPs); the
+        # fused kernel runs each level's entire EM while_loop in VMEM
+        # with the pdf grid and the M-step moments as two MXU matmuls.
+        from .ops import gmmtree_pallas as _gp
+
+        sm = smask if masked else jnp.ones((n,), points.dtype)
+        parent_local = jnp.zeros((n,), jnp.int32)
+        for l in range(max_level):
+            lb, le = _level_start(l), _level_start(l + 1)
+            pi_l, mu_l, cov_l, parent_local = _gp.level_em(
+                points, sm, pi[lb:le], mu[lb:le], cov[lb:le],
+                parent_local, n_eff, lambda_s=lambda_s,
+                lambda_d=lambda_d, interpret=fused_interpret)
+            pi = pi.at[lb:le].set(pi_l)
+            mu = mu.at[lb:le].set(mu_l)
+            cov = cov.at[lb:le].set(cov_l)
+        return pi, mu + cen[None, :], cov
+
     parent_idx = jnp.full((n,), -1, jnp.int32)
     for l in range(max_level):
         lb, le = _level_start(l), _level_start(l + 1)
@@ -530,10 +553,20 @@ class GMMTree:
         src64 = np.asarray(interop.as_points(source), np.float64)
         center = src64.mean(axis=0)
         key = jax.random.PRNGKey(self._seed)
+        # Fused per-level build kernel on TPU (ops/gmmtree_pallas): the
+        # XLA build is launch-serialization-bound (146 -> ~3 ms measured
+        # at bunny size on v5e).
+        from .ops.gmmtree_pallas import fused_build_ok
+
+        fused = (jax.default_backend() == "tpu"
+                 and _config.config.use_fused_em
+                 and src64.shape[1] == 3
+                 and _config.config.dtype == jnp.float32
+                 and fused_build_ok(src64.shape[0], self._tree_level))
         pi, mu, cov = _build(
             jnp.asarray(src64 - center, _config.config.dtype), key,
             max_level=self._tree_level,
-            lambda_s=float(self._lambda_s), lambda_d=1.0e-4)
+            lambda_s=float(self._lambda_s), lambda_d=1.0e-4, fused=fused)
         self._nodes = (pi, mu + jnp.asarray(center, mu.dtype)[None, :], cov)
 
     def set_callbacks(self, callbacks):

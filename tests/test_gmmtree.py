@@ -150,3 +150,102 @@ def test_gmmtree_matches_float64_replica(horse_cloud):
         maxiter=2, tol=0.0)
     np.testing.assert_allclose(np.asarray(rot_j), rot, atol=2e-4)
     np.testing.assert_allclose(np.asarray(t_j), t, atol=2e-4)
+
+
+def test_fused_build_level_iteration_exact(rng):
+    """One EM iteration of the fused level kernel == the XLA level loop's
+    em_once to f32 rounding (the deterministic equivalence tier; full
+    50-iteration trajectories may diverge through the hard m0 >= lambda_d
+    death rule, covered by the quality test below)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probreg_tpu import gmmtree as gt
+    from probreg_tpu.ops import gmmtree_pallas as gp
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    pts = blobby_surface(150, seed=1).astype(np.float32)
+    n = pts.shape[0]
+    key = jax.random.PRNGKey(3)
+    ml = 2
+    n_total = gt._n_total(ml)
+    idxs = jax.random.randint(key, (64,), 0, n)
+    pi = jnp.zeros((n_total,), jnp.float32).at[8:72].set(1.0 / 8)
+    mu = jnp.zeros((n_total, 3), jnp.float32).at[8:72].set(
+        jnp.asarray(pts)[idxs])
+    diff = pts[None] - pts[idxs][:, None]
+    cov = jnp.zeros((n_total, 3, 3), jnp.float32).at[8:72].set(
+        jnp.einsum("kni,knj->kij", jnp.asarray(diff), jnp.asarray(diff))
+        / n)
+    d2 = ((pts[:, None] - pts[idxs][None]) ** 2).sum(-1)
+    parent = jnp.asarray((np.argmin(d2, 1) // 8).astype(np.int32))
+
+    # parent ABSOLUTE ids for level-1 children == the local level-0
+    # parent ids (level-0 nodes are absolute 0..7).
+    inv, norm, _ = gt._log_pdf_terms(cov)
+    gamma, cidx = gt._gamma_children(jnp.asarray(pts), parent, pi, mu, inv,
+                                     norm)
+    m0, m1, _ = gt._accumulate(jnp.repeat(jnp.asarray(pts), 8, axis=0),
+                               gamma.reshape(-1), cidx.reshape(-1), n_total)
+    keep = m0[8:72] >= 1e-4
+    m0s = jnp.maximum(m0[8:72], gt._EPS)
+    pi_ref = jnp.where(keep, m0[8:72] / n, 0.0)
+    mu_ref = jnp.where(keep[:, None], m1[8:72] / m0s[:, None], 0.0)
+
+    pi_f, mu_f, _, _ = gp.level_em(
+        jnp.asarray(pts), jnp.ones((n,), jnp.float32), pi[8:72], mu[8:72],
+        cov[8:72], parent, n, lambda_s=1e18, lambda_d=1e-4, maxiter=1,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(pi_f), np.asarray(pi_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_ref),
+                               atol=1e-5)
+
+
+def test_fused_build_quality_not_worse(rng):
+    """Full fused build vs XLA build: hard-threshold node deaths make the
+    50-iteration trajectories diverge to different (valid) local optima,
+    so the contract is QUALITY: the fused tree keeps at least as much
+    leaf mixture mass, its leaf-level log-likelihood is not worse than
+    the XLA tree's by more than 2%, and registration against a
+    fused-built tree recovers a known transform."""
+    import jax
+    import jax.numpy as jnp
+
+    from probreg_tpu import gmmtree as gt
+    from probreg_tpu import se3_op
+    from probreg_tpu.utils.datagen import blobby_surface
+
+    pts = blobby_surface(400, seed=5).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    kw = dict(max_level=2, lambda_s=0.001, lambda_d=1e-4)
+    pi_x, mu_x, cov_x = gt._build(jnp.asarray(pts), key, **kw)
+    pi_f, mu_f, cov_f = gt._build(jnp.asarray(pts), key, fused=True,
+                                  fused_interpret=True, **kw)
+
+    mass_x = float(jnp.sum(pi_x[8:72]))
+    mass_f = float(jnp.sum(pi_f[8:72]))
+    assert mass_f >= mass_x - 0.02, (mass_f, mass_x)
+
+    def leaf_ll(pi, mu, cov):
+        inv, norm, _ = gt._log_pdf_terms(cov[8:72])
+        p = pi[None, 8:72] * gt._pdf(
+            jnp.asarray(pts),
+            jnp.broadcast_to(mu[8:72], (400, 64, 3)),
+            jnp.broadcast_to(inv, (400, 64, 3, 3)),
+            jnp.broadcast_to(norm, (400, 64)))
+        return float(jnp.sum(jnp.log(jnp.maximum(jnp.sum(p, 1), 1e-15))))
+
+    ll_x, ll_f = leaf_ll(pi_x, mu_x, cov_x), leaf_ll(pi_f, mu_f, cov_f)
+    assert ll_f >= ll_x - 0.02 * abs(ll_x), (ll_x, ll_f)
+
+    ang = np.deg2rad([5.0, -3.0, 6.0])
+    rot = np.asarray(se3_op.euler2mat(*ang), np.float32)
+    tgt = pts @ rot.T
+    res = gt._run_registration(
+        jnp.asarray(tgt), pi_f, mu_f, cov_f,
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        max_level=2, lambda_c=0.01, maxiter=30, tol=1e-6)
+    rot_rec = np.asarray(res[0])
+    err = float(se3_op.rotation_angle(rot_rec.T, rot))  # inverse frame
+    assert err < 5e-2, err
