@@ -34,7 +34,8 @@ FLOORS = {
     "pyramid_200k_s": 3.5,                 # 1.43 measured
     "bcpd_chunked_pyramid_warm_s": 10.0,   # 4.6-5.4 measured (round 4)
     "filterreg_bunny_batch_ms": 2.0,       # 0.80 measured (ref: 5.1 ms)
-    "gmmtree_bunny_batch_ms": 60.0,        # 31.6 measured (ref: 105.4 ms)
+    "gmmtree_bunny_batch_ms": 20.0,        # 8.7 measured (round-5 fused
+                                           # build+reg; ref: 105.4 ms)
     "icp_bunny_batch_ms": 1.2,             # 0.69 measured (fused kernel;
                                            # ref Open3D row: 1.41 ms)
 }

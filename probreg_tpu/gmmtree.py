@@ -26,6 +26,7 @@ import numpy as np
 from . import config as _config
 from .log import log
 from .models import transformation as tf
+from .ops import sym3 as _sym3
 from .utils import interop
 from .utils import se3_op as so
 
@@ -94,7 +95,10 @@ def _accumulate(points, gamma, node_idx, n_total):
 
 def _complexity(cov):
     """max eigenvalue ratio (gmmtree.cc:35-40); low = planar/degenerate."""
-    lmds = jnp.linalg.eigvalsh(cov)
+    # Closed-form eigenvalues (ops/sym3): jnp.linalg.eigvalsh costs
+    # ~28 ms on v5e even for a (72, 3, 3) batch (round-5 measurement) and
+    # dominated every registration that computed it.
+    lmds = _sym3.eigvalsh3(cov)
     return lmds[..., -1] / jnp.maximum(jnp.sum(lmds, axis=-1), _EPS)
 
 
@@ -291,7 +295,7 @@ def _mstep_core(m0, m1, node_mu, lmd, nn, rot_p, t_p):
 
 @partial(jax.jit, static_argnames=())
 def _mstep(m0, m1, node_mu, node_cov, rot_p, t_p):
-    lmd, nn = jnp.linalg.eigh(node_cov)
+    lmd, nn = _sym3.eigh3(node_cov)
     return _mstep_core(m0, m1, node_mu, lmd, nn, rot_p, t_p)
 
 
@@ -376,7 +380,7 @@ def _run_registration(target, pi, mu, cov, rot0, t0, *, max_level, lambda_c,
     matmuls against a one-hot assignment matrix. Everything lane = points.
     """
     n, dim = target.shape
-    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    lmd_nodes, nn_nodes = _sym3.eigh3(cov)
     # f32 covariance estimation can leave slightly INDEFINITE nodes
     # (observed -1.1e-5 smallest eigenvalue on a quantized-input build);
     # a negative eigenvalue drops that direction's twist weight to the
@@ -444,7 +448,7 @@ def _registration_chunk(target, pi, mu, cov, rot0, t0, *, max_level,
 
     Callback-mode chunking (utils/chunked.py): same transposed step as
     _run_registration, scanned with history instead of while-looped."""
-    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    lmd_nodes, nn_nodes = _sym3.eigh3(cov)
     # f32 covariance estimation can leave slightly INDEFINITE nodes
     # (observed -1.1e-5 smallest eigenvalue on a quantized-input build);
     # a negative eigenvalue drops that direction's twist weight to the
@@ -604,10 +608,31 @@ class GMMTree:
             self._tf_result = tf.RigidTransformation(rot, t)
             return MstepResult(self._tf_result.inverse(), q)
         if not self._callbacks:
-            rot, t, q = _run_registration(
-                target, pi, mu, cov, self._tf_result.rot, self._tf_result.t,
-                max_level=self._tree_level, lambda_c=float(self._lambda_c),
-                maxiter=int(maxiter), tol=float(tol))
+            # Fused whole-registration kernel (ops/gmmtree_pallas): the
+            # XLA loop's ~35 ops/iteration serialize in-program; matches
+            # the XLA trajectory to ~1e-7 (single launch, all grids in
+            # VMEM).
+            from .ops.gmmtree_pallas import fused_reg_ok, \
+                run_gmmtree_reg_fused
+
+            if (jax.default_backend() == "tpu"
+                    and _config.config.use_fused_em
+                    and target.shape[1] == 3
+                    and target.dtype == jnp.float32
+                    and fused_reg_ok(target.shape[0], self._tree_level)):
+                rot, t, q = run_gmmtree_reg_fused(
+                    target, pi, mu, cov,
+                    jnp.asarray(self._tf_result.rot, target.dtype),
+                    jnp.asarray(self._tf_result.t, target.dtype),
+                    max_level=self._tree_level,
+                    lambda_c=float(self._lambda_c),
+                    maxiter=int(maxiter), tol=float(tol))
+            else:
+                rot, t, q = _run_registration(
+                    target, pi, mu, cov, self._tf_result.rot,
+                    self._tf_result.t, max_level=self._tree_level,
+                    lambda_c=float(self._lambda_c),
+                    maxiter=int(maxiter), tol=float(tol))
             self._tf_result = tf.RigidTransformation(rot, t)
             return MstepResult(self._tf_result.inverse(), q)
         if callback_chunk > 1:
@@ -743,6 +768,62 @@ def _run_registration_batch(sources, targets, seed, *, max_level, lambda_s,
 
 @partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
                                    "maxiter", "tol"))
+def _run_registration_batch_fused(sources, targets, seed, *, max_level,
+                                  lambda_s, lambda_c, maxiter, tol):
+    """Batched fused path: lax.map of (fused build + fused registration)
+    per pair. The vmapped XLA batch runs every pair's build EM to the
+    SLOWEST pair's iteration count and pays batched segment-sum scatters
+    per iteration (~31 ms/pair at B=32 on v5e); sequential fused-kernel
+    programs leave each pair's device time at ~1-2 ms (the v5e has one
+    TensorCore, so batch elements are sequential either way — same
+    trade as the ICP/CPD fused batch runners, ops/em_pallas)."""
+    from .ops.gmmtree_pallas import run_gmmtree_reg_fused
+
+    dim = sources.shape[-1]
+    rot0 = jnp.eye(dim, dtype=sources.dtype)
+    t0 = jnp.zeros((dim,), sources.dtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
+
+    def run(args):
+        src, tgt, key = args
+        pi, mu, cov = _build(src, key, max_level=max_level,
+                             lambda_s=lambda_s, lambda_d=1.0e-4,
+                             fused=True)
+        return run_gmmtree_reg_fused(
+            tgt, pi, mu, cov, rot0, t0, max_level=max_level,
+            lambda_c=lambda_c, maxiter=maxiter, tol=tol)
+
+    return jax.lax.map(run, (sources, targets, keys))
+
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
+                                   "maxiter", "tol"))
+def _run_registration_ragged_batch_fused(sources, targets, smasks, tmasks,
+                                         seed, *, max_level, lambda_s,
+                                         lambda_c, maxiter, tol):
+    """Ragged twin of _run_registration_batch_fused (masked fused build +
+    masked fused registration per pair, lax.map)."""
+    from .ops.gmmtree_pallas import run_gmmtree_reg_fused
+
+    dim = sources.shape[-1]
+    rot0 = jnp.eye(dim, dtype=sources.dtype)
+    t0 = jnp.zeros((dim,), sources.dtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), sources.shape[0])
+
+    def run(args):
+        src, tgt, sm, tm, key = args
+        pi, mu, cov = _build(src, key, max_level=max_level,
+                             lambda_s=lambda_s, lambda_d=1.0e-4,
+                             smask=sm, fused=True)
+        return run_gmmtree_reg_fused(
+            tgt, pi, mu, cov, rot0, t0, tm, max_level=max_level,
+            lambda_c=lambda_c, maxiter=maxiter, tol=tol)
+
+    return jax.lax.map(run, (sources, targets, smasks, tmasks, keys))
+
+
+@partial(jax.jit, static_argnames=("max_level", "lambda_s", "lambda_c",
+                                   "maxiter", "tol"))
 def _run_gmmtree_multistart_batch(sources, targets, rots0, seed, *,
                                   max_level, lambda_s, lambda_c, maxiter,
                                   tol):
@@ -857,22 +938,51 @@ def registration_gmmtree_batch(
         dt = _config.config.dtype
         src_p, smask = interop.pad_ragged(list(sources), dt)
         tgt_p, tmask = interop.pad_ragged(list(targets), dt)
-        rot, t, q = _run_registration_ragged_batch(
-            jnp.asarray(src_p), jnp.asarray(tgt_p),
-            jnp.asarray(smask), jnp.asarray(tmask),
-            np.uint32(seed),
-            max_level=int(tree_level), lambda_s=float(lambda_s),
-            lambda_c=float(lambda_c), maxiter=int(maxiter), tol=float(tol))
+        from .ops.gmmtree_pallas import fused_build_ok, fused_reg_ok
+
+        if (jax.default_backend() == "tpu"
+                and _config.config.use_fused_em
+                and src_p.shape[-1] == 3
+                and src_p.dtype == np.float32
+                and fused_build_ok(src_p.shape[1], int(tree_level))
+                and fused_reg_ok(tgt_p.shape[1], int(tree_level))):
+            rot, t, q = _run_registration_ragged_batch_fused(
+                jnp.asarray(src_p), jnp.asarray(tgt_p),
+                jnp.asarray(smask), jnp.asarray(tmask), np.uint32(seed),
+                max_level=int(tree_level), lambda_s=float(lambda_s),
+                lambda_c=float(lambda_c), maxiter=int(maxiter),
+                tol=float(tol))
+        else:
+            rot, t, q = _run_registration_ragged_batch(
+                jnp.asarray(src_p), jnp.asarray(tgt_p),
+                jnp.asarray(smask), jnp.asarray(tmask),
+                np.uint32(seed),
+                max_level=int(tree_level), lambda_s=float(lambda_s),
+                lambda_c=float(lambda_c), maxiter=int(maxiter),
+                tol=float(tol))
         return [
             MstepResult(tf.RigidTransformation(rot[b], t[b]).inverse(), q[b])
             for b in range(src_p.shape[0])
         ]
     sources = jnp.asarray(interop.as_points(sources, dtype=_config.config.dtype))
     targets = jnp.asarray(interop.as_points(targets, dtype=_config.config.dtype))
-    rot, t, q = _run_registration_batch(
-        sources, targets, np.uint32(seed), max_level=int(tree_level),
-        lambda_s=float(lambda_s), lambda_c=float(lambda_c),
-        maxiter=int(maxiter), tol=float(tol))
+    from .ops.gmmtree_pallas import fused_build_ok, fused_reg_ok
+
+    if (jax.default_backend() == "tpu"
+            and _config.config.use_fused_em
+            and sources.shape[-1] == 3
+            and sources.dtype == jnp.float32
+            and fused_build_ok(sources.shape[1], int(tree_level))
+            and fused_reg_ok(targets.shape[1], int(tree_level))):
+        rot, t, q = _run_registration_batch_fused(
+            sources, targets, np.uint32(seed), max_level=int(tree_level),
+            lambda_s=float(lambda_s), lambda_c=float(lambda_c),
+            maxiter=int(maxiter), tol=float(tol))
+    else:
+        rot, t, q = _run_registration_batch(
+            sources, targets, np.uint32(seed), max_level=int(tree_level),
+            lambda_s=float(lambda_s), lambda_c=float(lambda_c),
+            maxiter=int(maxiter), tol=float(tol))
     return [
         MstepResult(tf.RigidTransformation(rot[b], t[b]).inverse(), q[b])
         for b in range(sources.shape[0])

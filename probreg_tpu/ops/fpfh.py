@@ -21,6 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import sym3 as _sym3
 from .pairwise import sqdist
 
 _NBINS = 11
@@ -52,7 +53,10 @@ def _normals(points, idx, valid):
     cov = jnp.einsum("nki,nkj->nij", diff, diff)
     self_diff = points - ctr
     cov = cov + jnp.einsum("ni,nj->nij", self_diff, self_diff)
-    _, vecs = jnp.linalg.eigh(cov)
+    # Closed-form 3x3 eigh (ops/sym3): jnp.linalg.eigh is iterative and
+    # ~ms-scale even for small batches on TPU; per-point normal PCA is
+    # (N, 3, 3). Column 0 = smallest-eigenvalue vector, same convention.
+    _, vecs = _sym3.eigh3(cov)
     normals = vecs[:, :, 0]
     # Orient outward from the centroid (deterministic; Open3D orients
     # toward a direction/viewpoint).

@@ -273,3 +273,320 @@ def level_em(points, smask, pi_l, mu_l, cov_l, parent_local, n_eff, *,
         jnp.stack([c6[2], c6[4], c6[5]], axis=-1),
     ], axis=-2)
     return pi_out, mu_out, cov_out, cur[0, :n]
+
+
+# --------------------------------------------------------------------------
+# Fused whole-registration kernel (tree descent + twist M-step in VMEM)
+# --------------------------------------------------------------------------
+#
+# gmmtree._run_registration is already one XLA program, but its ~35 ops per
+# EM iteration serialize in-program (same launch-bound regime as the build:
+# ~28 ms for 20 bunny iterations). This kernel runs the ENTIRE loop in one
+# launch: the all-nodes pdf grid is the same moment-feature matmul as the
+# build kernel's; the per-level descent is mask/reduce over the grid with
+# the complexity gather done as a (1, T) x (T, N) matmul; the twist
+# normal equations assemble from per-node channel rows and solve by the
+# pt2pl kernel's Schur-over-3x3-cofactor method; the update composes via
+# the exact Rodrigues (matches se3_op.twist_mul). Reference semantics:
+# gmmtree.cc:175-215 (descent), gmmtree.py:64-96 (M-step, target-frame
+# convention). One deliberate deviation: the XLA path clamps the pdf
+# exponent at 0 (gmmtree.py _estep_t_factory) — a guard against ~1e-6
+# NEGATIVE Mahalanobis rounding; unclamped, exp(5e-7)-level differences
+# are far below the descent's argmax margins.
+
+def _reg_kernel(consts_ref, ys_ref, cmask_ref, c16_ref, parentb_ref,
+                cplx_ref, nm_ref, nn9_ref, lmd3_ref, cof_ref, sk_ref,
+                tmat0_ref, tmat_ref, out_ref, *, max_level):
+    """consts (SMEM, 4): [maxiter, tol, lambda_c, unused]."""
+    maxiter = consts_ref[0]
+    tol = consts_ref[1]
+    lambda_c = consts_ref[2]
+    eps = jnp.float32(1.1920929e-07)
+
+    ys = ys_ref[:]                 # (8, Np) target rows [x, 1, 0...]
+    cmask = cmask_ref[:]           # (1, Np)
+    c16 = c16_ref[:]               # (16, Tp) pdf coeffs (pi/norm folded)
+    parentb = parentb_ref[:]       # (Tp, Np) int32 parent-of-node bcast
+    cplx = cplx_ref[:]             # (1, Tp)
+    nm = nm_ref[:]                 # (3, Tp) node means (centered)
+    nn9 = nn9_ref[:]               # (9, Tp) eigvecs: rows 3j+i = nn[t,i,j]
+    lmd3 = lmd3_ref[:]             # (3, Tp) eigenvalues (floored)
+    tp = c16.shape[1]
+    np_ = ys.shape[1]
+    tid = jax.lax.broadcasted_iota(jnp.int32, (tp, np_), 0)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def body(carry):
+        tmat, q_prev_unused, q_cur, it = carry
+        x_t = jax.lax.dot_general(
+            tmat, ys, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[:3]          # (3, Np)
+        x0, x1, x2 = x_t[0:1], x_t[1:2], x_t[2:3]
+        fmat = jnp.concatenate(
+            [jnp.ones_like(x0), x0, x1, x2, x0 * x0, x0 * x1, x0 * x2,
+             x1 * x1, x1 * x2, x2 * x2,
+             jnp.zeros((6, np_), jnp.float32)], axis=0)       # (16, Np)
+        qf = jax.lax.dot_general(
+            c16, fmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (Tp, Np)
+        wpdf = jnp.exp(-0.5 * qf)                             # pi * pdf
+
+        parent = jnp.full((1, np_), -1, jnp.int32)
+        gmax = jnp.zeros((1, np_), jnp.float32)
+        stopped = jnp.zeros((1, np_), jnp.float32)
+        search = jnp.zeros((1, np_), jnp.int32)
+        for _ in range(max_level):
+            mask = (parentb == parent).astype(jnp.float32)
+            g = wpdf * mask
+            den = jnp.sum(g, axis=0, keepdims=True)
+            g = jnp.where(den > _EPS, g / jnp.maximum(den, _EPS), 0.0)
+            new_g = jnp.max(g, axis=0, keepdims=True)
+            cand = jnp.where(
+                jnp.logical_and(g >= new_g, mask > 0.0), tid,
+                jnp.full_like(tid, _BIGI))
+            new_search = jnp.min(cand, axis=0, keepdims=True)
+            on = stopped > 0.5
+            search = jnp.where(on, search, new_search)
+            gmax = jnp.where(on, gmax, new_g)
+            onehot = (tid == search).astype(jnp.float32)
+            cpts = jax.lax.dot_general(
+                cplx, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (1, Np)
+            stopped = jnp.maximum(
+                stopped, (cpts <= lambda_c).astype(jnp.float32))
+            parent = jnp.where(stopped > 0.5, parent, search)
+
+        onehot = (tid == search).astype(jnp.float32)
+        w = onehot * gmax * cmask                             # (Tp, Np)
+        mom = jax.lax.dot_general(
+            fmat, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (16, Tp)
+        m0 = mom[0:1]
+        keep = (m0 >= eps).astype(jnp.float32)
+        m0s = jnp.maximum(m0, eps)
+        s = mom[1:4] / m0s                                    # (3, Tp)
+
+        # Twist normal equations (gmmtree._mstep_core): rows of A_t are
+        # scaled eigenvectors [cross(s, v_j); v_j], b_t,j = v_j.(mu - s).
+        # The three eigendirection blocks concatenate along LANES so ata
+        # and atb are single dots (Mosaic supports only constant
+        # accumulators — `acc + dot` loops fail to lower).
+        gj_list = []
+        bj_list = []
+        dmu = nm - s                                          # (3, Tp)
+        for j in range(3):
+            scale_j = jnp.sqrt(m0s / jnp.maximum(lmd3[j:j + 1], eps))
+            v0 = nn9[3 * j + 0:3 * j + 1] * scale_j
+            v1 = nn9[3 * j + 1:3 * j + 2] * scale_j
+            v2 = nn9[3 * j + 2:3 * j + 3] * scale_j
+            bj = (v0 * dmu[0:1] + v1 * dmu[1:2] + v2 * dmu[2:3]) * keep
+            cx = (s[1:2] * v2 - s[2:3] * v1) * keep
+            cy = (s[2:3] * v0 - s[0:1] * v2) * keep
+            cz = (s[0:1] * v1 - s[1:2] * v0) * keep
+            # One (8, Tp) block per eigendirection with b folded into
+            # row 6: Mosaic's lane-concat wants identical sublane
+            # offsets (separate (1, Tp) b rows carried offsets 0/3/6 and
+            # failed to lower), and folding b means ata8's column 6 IS
+            # A^T b — one dot yields the whole normal system.
+            gj = jnp.concatenate(
+                [cx, cy, cz, v0 * keep, v1 * keep, v2 * keep, bj,
+                 jnp.zeros((1, tp), jnp.float32)], axis=0)
+            gj_list.append(gj)
+            bj_list.append(bj)
+        gcat = jnp.concatenate(gj_list, axis=1)               # (8, 3 Tp)
+        ata8 = jax.lax.dot_general(
+            gcat, gcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (8, 8)
+        atb8 = jnp.dot(ata8, jnp.eye(8, dtype=jnp.float32)[6:7].T,
+                       preferred_element_type=jnp.float32)    # (8, 1)
+        # 6x6 solve by Schur complement over two cofactor 3x3 inverses
+        # (the pt2pl fused kernel's method, incl. its eye8-projection
+        # block extraction); the XLA twin adds the same absolute 1e-8
+        # ridge before jnp.linalg.solve.
+        eye8 = jnp.eye(8, dtype=jnp.float32)
+        p1m = eye8[0:3]
+        p2m = eye8[3:6]
+        lam = jnp.float32(1e-8)
+        amat = jnp.dot(jnp.dot(p1m, ata8,
+                               preferred_element_type=jnp.float32), p1m.T,
+                       preferred_element_type=jnp.float32) + lam * eye3
+        bmat3 = jnp.dot(jnp.dot(p1m, ata8,
+                                preferred_element_type=jnp.float32), p2m.T,
+                        preferred_element_type=jnp.float32)
+        cmat = jnp.dot(jnp.dot(p2m, ata8,
+                               preferred_element_type=jnp.float32), p2m.T,
+                       preferred_element_type=jnp.float32) + lam * eye3
+        b1 = jnp.dot(p1m, atb8, preferred_element_type=jnp.float32)
+        b2 = jnp.dot(p2m, atb8, preferred_element_type=jnp.float32)
+        from . import em_pallas as _em
+
+        ainv = _em._inv3_sym(amat, cof_ref[:])
+        ainv_b = jnp.dot(ainv, bmat3, preferred_element_type=jnp.float32)
+        smat = cmat - jax.lax.dot_general(
+            bmat3, ainv_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sinv = _em._inv3_sym(smat, cof_ref[:])
+        rhs2 = b2 - jax.lax.dot_general(
+            bmat3, jnp.dot(ainv, b1, preferred_element_type=jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u2 = jnp.dot(sinv, rhs2, preferred_element_type=jnp.float32)
+        u1 = jnp.dot(
+            ainv, b1 - jnp.dot(bmat3, u2,
+                               preferred_element_type=jnp.float32),
+            preferred_element_type=jnp.float32)               # (3, 1) rot
+
+        resid = (gcat[0:1] * u1[0, 0] + gcat[1:2] * u1[1, 0]
+                 + gcat[2:3] * u1[2, 0] + gcat[3:4] * u2[0, 0]
+                 + gcat[4:5] * u2[1, 0] + gcat[5:6] * u2[2, 0]
+                 - gcat[6:7])
+        q_new = jnp.sum(resid * resid)
+
+        # Exact Rodrigues on the rotation part (se3_op.twist_trans).
+        twd2 = jnp.sum(u1 * u1)
+        twd = jnp.sqrt(jnp.maximum(twd2, jnp.float32(1e-30)))
+        ntw = u1 / twd
+        skewm = _em._unflatten_rows(
+            jnp.dot(ntw.T, sk_ref[:],
+                    preferred_element_type=jnp.float32), 3, 3)
+        cth = jnp.cos(twd)
+        sth = jnp.sin(twd)
+        nnt = jnp.dot(ntw, ntw.T, preferred_element_type=jnp.float32)
+        dr = cth * eye3 + (1.0 - cth) * nnt + sth * skewm
+        dr = jnp.where(twd2 < jnp.float32(1e-12), eye3, dr)
+
+        old_rt = tmat[:3, :]                                  # (3, 8)
+        new_rt = jnp.dot(dr, old_rt, preferred_element_type=jnp.float32)
+        col3 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 3, 1.0, 0.0)
+        dt_pad = jnp.dot(u2, col3, preferred_element_type=jnp.float32)
+        tmat_new = jnp.concatenate(
+            [new_rt + dt_pad, jnp.eye(8, dtype=jnp.float32)[3:]], axis=0)
+        return (tmat_new, q_cur, q_new, it + 1.0)
+
+    def cond(carry):
+        _, q_prev, q, it = carry
+        return jnp.logical_and(
+            it < maxiter,
+            jnp.logical_or(it < 0.5, jnp.abs(q - q_prev) >= tol))
+
+    carry0 = (tmat0_ref[:], jnp.float32(3.4e38), jnp.float32(3.4e38),
+              jnp.float32(0.0))
+    tmat, _, q, it = jax.lax.while_loop(cond, body, carry0)
+    tmat_ref[:] = tmat
+    out_ref[0, 0] = q
+    out_ref[0, 1] = it
+    out_ref[0, 2] = jnp.float32(0.0)
+    out_ref[0, 3] = jnp.float32(0.0)
+
+
+def fused_reg_ok(n, max_level):
+    """VMEM gate for the fused registration kernel's (Tp, Np) grids."""
+    import numpy as _np
+
+    n_total = int((N_NODE * (N_NODE ** max_level - 1)) // (N_NODE - 1))
+    tp = -(-n_total // 128) * 128
+    np_ = -(-n // 128) * 128
+    return tp * np_ * 4 * 6 <= 10 << 20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_level", "lambda_c", "maxiter", "tol",
+                     "interpret"))
+def run_gmmtree_reg_fused(target, pi, mu, cov, rot0, t0, tmask=None, *,
+                          max_level, lambda_c, maxiter, tol,
+                          interpret=False):
+    """Whole GMMTree registration as ONE kernel launch.
+
+    Mirrors gmmtree._run_registration exactly (same centering, same
+    hoisted eigendecompositions with the 1e-7 eigenvalue floor, same
+    convergence): returns (rot, t, q) in the raw target frame.
+    """
+    from .. import gmmtree as _gt
+
+    n = target.shape[0]
+    n_total = pi.shape[0]
+    from . import sym3 as _sym3
+
+    lmd_nodes, nn_nodes = _sym3.eigh3(cov)
+    lmd_nodes = jnp.maximum(lmd_nodes, jnp.float32(1e-7))
+    cen = _gt._tree_centroid(target, mu, tmask)
+    mu_c = mu - cen[None, :]
+    xs0 = target - cen[None, :]
+    t0 = t0 + rot0 @ cen - cen
+
+    inv, norm, _ = _gt._log_pdf_terms(
+        jnp.asarray(cov, jnp.float32))
+    cplx_v = _gt._complexity(cov)
+    pinorm = jnp.asarray(pi, jnp.float32) * norm
+    logpn = jnp.where(pinorm > 0.0,
+                      jnp.log(jnp.maximum(pinorm, 1e-38)), _NEG_BIG)
+    msi = jnp.einsum("tij,tj->ti", inv, mu_c)                 # (T, 3)
+    mcm = jnp.einsum("ti,ti->t", msi, mu_c)                   # (T,)
+    a0 = mcm - 2.0 * logpn
+    quad = jnp.stack([inv[:, 0, 0], 2.0 * inv[:, 0, 1], 2.0 * inv[:, 0, 2],
+                      inv[:, 1, 1], 2.0 * inv[:, 1, 2], inv[:, 2, 2]])
+
+    tp = -(-n_total // 128) * 128
+    np_ = -(-n // 128) * 128
+    c16 = jnp.zeros((16, tp), jnp.float32)
+    c16 = c16.at[0, :n_total].set(a0)
+    c16 = c16.at[1:4, :n_total].set(-2.0 * msi.T)
+    c16 = c16.at[4:10, :n_total].set(quad)
+    # Padded nodes: dead (constant +BIG exponent term).
+    c16 = c16.at[0, n_total:].set(-2.0 * _NEG_BIG)
+
+    parent_of = jnp.concatenate([
+        jnp.arange(n_total, dtype=jnp.int32) // N_NODE - 1,
+        jnp.full((tp - n_total,), -2, jnp.int32)])
+    parentb = jnp.broadcast_to(parent_of[:, None], (tp, np_))
+    cplx = jnp.zeros((1, tp), jnp.float32).at[0, :n_total].set(cplx_v)
+    nm = jnp.zeros((3, tp), jnp.float32).at[:, :n_total].set(mu_c.T)
+    nn9 = jnp.zeros((9, tp), jnp.float32)
+    for j in range(3):
+        for i in range(3):
+            nn9 = nn9.at[3 * j + i, :n_total].set(nn_nodes[:, i, j])
+    lmd3 = jnp.ones((3, tp), jnp.float32).at[:, :n_total].set(lmd_nodes.T)
+
+    ys = jnp.zeros((8, np_), jnp.float32)
+    ys = ys.at[:3, :n].set(xs0.T)
+    ys = ys.at[3, :n].set(1.0)
+    cmask = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(
+        1.0 if tmask is None else jnp.asarray(tmask, jnp.float32))
+
+    tmat0 = jnp.eye(8, dtype=jnp.float32)
+    tmat0 = tmat0.at[:3, :3].set(rot0)
+    tmat0 = tmat0.at[:3, 3].set(t0)
+    consts = jnp.stack([
+        jnp.asarray(float(maxiter), jnp.float32),
+        jnp.asarray(float(tol), jnp.float32),
+        jnp.asarray(lambda_c, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+    ])
+
+    from . import em_pallas as _em
+
+    tmat, out = pl.pallas_call(
+        functools.partial(_reg_kernel, max_level=max_level),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(consts, ys, cmask, c16, parentb, cplx, nm, nn9, lmd3,
+      jnp.asarray(_em._COF_T), jnp.asarray(_em._SK_T), tmat0)
+
+    rot, t = tmat[:3, :3], tmat[:3, 3]
+    t = t + cen - rot @ cen
+    return rot, t, out[0, 0]

@@ -1029,7 +1029,9 @@ def _run_gmmtree_sharded(xs_t_sh, mask_sh, pi, mu_n, cov, rot0, t0, *,
                          max_level, lambda_c, maxiter, tol, mesh, axis):
     from .. import gmmtree as gt_mod
 
-    lmd_nodes, nn_nodes = jnp.linalg.eigh(cov)
+    from ..ops import sym3 as _sym3
+
+    lmd_nodes, nn_nodes = _sym3.eigh3(cov)
     # f32 covariance estimation can leave slightly INDEFINITE nodes
     # (observed -1.1e-5 smallest eigenvalue on a quantized-input build);
     # a negative eigenvalue drops that direction's twist weight to the
