@@ -43,6 +43,8 @@ MODULES = [
     "probreg_tpu.ops.estep",
     "probreg_tpu.ops.estep_pallas",
     "probreg_tpu.ops.em_pallas",
+    "probreg_tpu.ops.gmmtree_pallas",
+    "probreg_tpu.ops.sym3",
     "probreg_tpu.ops.pairwise",
     "probreg_tpu.ops.rigid_solvers",
     "probreg_tpu.ops.ifgt",

@@ -259,13 +259,14 @@ def registration_icp_batch(
             and jax.default_backend() == "tpu"
             and _config.config.use_fused_em
             and em_pallas.fused_dims_ok(m, n)):
-        rots, ts, rmses, iters = em_pallas.run_icp_fused_batch(
+        out = em_pallas.run_icp_fused_batch(
             jnp.asarray(src_p), jnp.asarray(tgt_p),
             None if smask is None else jnp.asarray(smask),
             None if tmask is None else jnp.asarray(tmask),
             maxiter=int(maxiter), tol=float(tol), masked=smask is not None)
-        rots, ts = np.asarray(rots), np.asarray(ts)
-        rmses, iters = np.asarray(rmses), np.asarray(iters)
+        # ONE packed fetch: separate np.asarray calls cost one ~33 ms
+        # tunnel RTT EACH on the remote-TPU harness (CLAUDE.md).
+        rots, ts, rmses, iters = jax.device_get(out)
         return [ICPResult(tf.RigidTransformation(rots[b], ts[b]),
                           rmses[b], int(iters[b])) for b in range(nb)]
     srcs = sources if ragged else [src_p[b] for b in range(nb)]
